@@ -1,0 +1,157 @@
+"""Text-analysis functions for training-data pipelines.
+
+All hot-path functions are pure column expressions (JVM-side,
+whole-stage codegen) — language ID, quality scoring, token counting,
+and fingerprinting all stay out of Python. SimHash is the one
+Arrow-batched pandas_udf (bit-bucketing over hashed shingles has no
+built-in equivalent).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# -- token counting ----------------------------------------------------------
+
+# BPE-ish word/number/punct splitter: words (with contractions), numbers,
+# runs of other non-space symbols — a deterministic regex approximation of
+# byte-pair-encoder pre-tokenization.
+TOKEN_REGEX = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_col(text: Column | str, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' (split on runs of whitespace) or 'bpe'
+    (regex pre-tokenizer above)."""
+    col = F.col(text) if isinstance(text, str) else text
+    if mode == "whitespace":
+        # count of \S+ runs — exactly len(regexp_extract_all(t, '\S+')),
+        # the form the DuckDB oracle uses; 0 for empty/blank strings
+        return F.regexp_count(col, F.lit(r"\S+"))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), F.lit(0)))
+    raise ValueError(f"unknown token mode {mode!r}")
+
+
+# -- language ID (stopword-hit heuristic) ------------------------------------
+
+# Tiny per-language stopword lists; the heuristic scores each language by
+# the number of stopword occurrences and picks the argmax (ties broken by
+# language code order, deterministic).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ich", "mit", "ein", "zu"),
+    "en": ("the", "and", "is", "of", "to", "in", "that", "it", "was", "for"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "una", "es"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "dans"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+}
+
+
+def stopword_pattern(lang: str) -> str:
+    """Regex counting stopword occurrences for a language. Word-boundary
+    anchored for Latin scripts; bare alternation for zh (ASCII ``\\b`` is
+    meaningless between CJK chars in both Java regex and RE2). The pattern
+    is shared verbatim with the DuckDB oracle SQL — keep it in the common
+    subset of the two dialects (char classes, alternation, (?i), \\b)."""
+    words = STOPWORDS[lang]
+    if lang == "zh":
+        return "(?:" + "|".join(words) + ")"
+    return r"(?i)\b(?:" + "|".join(words) + r")\b"
+
+
+def _stopword_hits(col: Column, lang: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(stopword_pattern(lang)), F.lit(0)))
+
+
+def language_id_col(text: Column | str) -> Column:
+    """Argmax-stopword-hits language guess over the STOPWORDS languages;
+    'und' (undetermined) when no stopword of any language occurs."""
+    col = F.col(text) if isinstance(text, str) else text
+    langs = sorted(STOPWORDS)
+    scores = F.array(
+        *[
+            F.struct(
+                _stopword_hits(col, lang).alias("hits"),
+                # negative index so array_max's lexicographic struct compare
+                # breaks score ties toward the EARLIER language code
+                F.lit(-i).alias("neg_idx"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(scores)
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+# -- quality scoring ----------------------------------------------------------
+
+
+def quality_score_cols(text: Column | str) -> dict[str, Column]:
+    """Cheap quality signals: length, punctuation ratio, stopword ratio,
+    mean word length, alpha ratio. Returns named columns; compose as
+    needed. All pure expressions."""
+    col = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(col)
+    n_tokens = token_count_col(col, "whitespace")
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_alpha = F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]"), F.lit(0)))
+    en_stop = _stopword_hits(col, "en")
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": n_punct.cast("double") / safe_chars,
+        "alpha_ratio": n_alpha.cast("double") / safe_chars,
+        "stopword_ratio": en_stop.cast("double") / safe_tokens,
+        "mean_word_len": n_chars.cast("double") / safe_tokens,
+    }
+
+
+# -- document fingerprinting ---------------------------------------------------
+
+
+def fingerprint64_col(text: Column | str) -> Column:
+    """64-bit content fingerprint: xxhash64 of the whitespace-normalized,
+    lowercased text. Pure expression; stable across runs/executors."""
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+# -- SimHash (pandas UDF — bit voting over shingle hashes) ---------------------
+
+
+def _simhash64_py(text: str, shingle: int = 3) -> int:
+    """64-bit SimHash over word shingles using Python's stable blake2b."""
+    import hashlib
+
+    words = text.lower().split()
+    if not words:
+        return 0
+    grams = (
+        [" ".join(words[i : i + shingle]) for i in range(len(words) - shingle + 1)]
+        if len(words) >= shingle
+        else [" ".join(words)]
+    )
+    counts = [0] * 64
+    for g in grams:
+        h = int.from_bytes(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        for bit in range(64):
+            counts[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if counts[bit] > 0:
+            out |= 1 << bit
+    # two's-complement into signed int64 for Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: _simhash64_py(t or ""))

@@ -1,0 +1,290 @@
+"""Deduplication operators (D1 + training-data near-dup family).
+
+Exact dedup is the reference's only aggregation-class operator
+(``--unique``, reference src/sink.rs:75-103): a global distinct-by-hash
+where the surviving duplicate is nondeterministic (first arrival wins
+across racing producers). ``dropDuplicates(["hash"])`` has exactly that
+contract in Spark — deterministic *set* of hashes, nondeterministic
+winner — and scales as a hash-based shuffle agg with map-side partial
+dedup, not the reference's O(rows²) per-batch mask.
+
+Near-dup operators (MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine) are the standard large-corpus family; all are shuffle-on-bucket
+designs: candidate generation never compares all pairs, only rows that
+collide in a band/bucket, so cost scales with collisions rather than n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from archive_to_parquet_spark.functions.text import simhash64
+from archive_to_parquet_spark.functions.vectors import cosine_similarity_col
+
+
+def dedup_exact(df: DataFrame, key: str = "hash") -> DataFrame:
+    """D1: global distinct-by-hash, nondeterministic winner
+    (reference src/sink.rs:75-103)."""
+    return df.dropDuplicates([key])
+
+
+def dedup_exact_deterministic(
+    df: DataFrame, key: str = "hash", order_cols: tuple[str, ...] = ("source", "path")
+) -> DataFrame:
+    """Deterministic-winner variant: smallest (order_cols) row survives.
+    One shuffle on `key`; AQE handles skewed hot hashes."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# -- shingling ----------------------------------------------------------------
+
+
+def shingles_col(text_col: str, n: int = 3):
+    """Word n-gram shingle array (lowercased, whitespace-normalized).
+
+    Built from pure expressions: split → sliding window via transform over
+    an index sequence. Stays JVM-side.
+    """
+    words = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+
+
+def _minhash_signature_col(shingles, num_hashes: int, seed: int = 42):
+    """MinHash signature as array<long>: per hash function i, the min over
+    shingles of xxhash64(shingle, seed+i). Pure expressions — the per-row
+    cost is num_hashes × shingles hash evaluations, all codegen'd."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle → minhash signature → band (rows = num_hashes/bands) → bucket
+    join on (band_idx, band_hash) → estimate Jaccard from full signatures
+    → filter by threshold. Returns (id_a, id_b, est_jaccard) with
+    id_a < id_b, deduplicated across bands.
+
+    Scale: the only join is the self-equi-join on band buckets — a shuffle
+    on the band hash; genuinely similar docs collide, others don't. At
+    100 TB, band-hash buckets are the unit of work; skewed buckets (e.g.
+    empty docs) are bounded by dropping buckets above a size cap upstream.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        _minhash_signature_col(shingles_col(text_col, shingle_n), num_hashes).alias(
+            "sig"
+        ),
+    )
+
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_idx", "band.band_hash")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        .cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_tables: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit simhash, split into ``num_tables``
+    16-bit chunks; by pigeonhole, any pair within ``max_hamming <
+    num_tables`` bits collides on at least one chunk. Bucket-join per
+    chunk, then exact Hamming check via bit_count(xor)."""
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
+    )
+    chunk_bits = 64 // num_tables
+    chunked = sig.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.shiftrightunsigned(F.col("sim"), t * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sim", "c.tbl", "c.chunk")
+
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
+
+    Inverted-index design: explode shingles → self-join on shingle →
+    count shared shingles per pair → Jaccard = shared / (|A|+|B|-shared).
+    No all-pairs compare; the shuffle key is the shingle. Hot shingles
+    (stopword trigrams) are the skew risk — cap df per shingle upstream
+    for the 100 TB path (drop shingles appearing in > capN docs, standard
+    prefix-filtering trick).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(text_col, shingle_n)).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    exploded = sh.select("id", F.explode("sh").alias("g"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH.
+
+    Sign-of-dot-product against ``num_planes`` fixed pseudo-random
+    hyperplanes → bucket byte → candidate pairs within a bucket → exact
+    cosine filter. Deterministic planes derived from xxhash64(seed,i,dim)
+    so no driver-side randomness ships to executors.
+    """
+    from archive_to_parquet_spark.operators.similarity import hyperplane_bucket_col
+
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket_col(vec_col, num_planes, seed).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_similarity_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

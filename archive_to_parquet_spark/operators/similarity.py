@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (approximate nearest neighbor).
+
+Two tiers:
+
+- ``brute_force_top_k``: exact cosine top-k — broadcast the (small) query
+  set against the corpus; one scan, no corpus shuffle, window top-k per
+  query. The correctness baseline.
+- ``lsh_top_k``: random-hyperplane LSH — bucket corpus and queries with the
+  same deterministic planes, equi-join on bucket (with multi-probe via
+  single-bit flips), exact re-rank inside buckets. The 100 TB path:
+  the corpus is scanned once to build buckets (cacheable/bucketed table);
+  per-query cost is proportional to bucket size, not corpus size.
+
+Everything is pure column expressions (zip_with/aggregate dot products)
+— no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from archive_to_parquet_spark.functions.vectors import cosine_similarity_col
+
+
+def hyperplane_bucket_col(vec_col, num_planes: int = 8, seed: int = 42):
+    """LSH bucket id: sign bits of dot(v, plane_i) for deterministic
+    pseudo-random hyperplanes. plane_i[d] = hash-derived value in [-1, 1),
+    computed from (seed, i, d) — identical on every executor, no shipped
+    state."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def plane_component(dim_idx, plane_idx: int):
+        h = F.xxhash64(dim_idx, F.lit(plane_idx), F.lit(seed))
+        return (h.cast("double") / F.lit(float(1 << 63)))  # [-1, 1)
+
+    def sign_bit(plane_idx: int):
+        # dot(v, plane) via aggregate over (value, dim-index) pairs
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, i: x.cast("double") * plane_component(i, plane_idx),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1 << plane_idx)).otherwise(F.lit(0))
+
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        bucket = bucket + sign_bit(p)
+    return bucket.cast("int")
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × scan corpus → window top-k.
+
+    Deterministic output: ties broken by corpus id. Returns
+    (query_id, vec_id, cosine, rank).
+    """
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("cv"))
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        cosine_similarity_col(F.col("cv"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def lsh_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    multi_probe_bits: int = 1,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via hyperplane LSH with multi-probe.
+
+    Queries probe their own bucket plus every bucket within
+    ``multi_probe_bits`` bit flips (recall knob). Join is an equi-join on
+    the int bucket id — at scale, bucket the corpus table by this column
+    (``write.bucketBy``) and the probe join is shuffle-free on the corpus
+    side.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("cv"),
+        hyperplane_bucket_col(corpus_vec, num_planes, seed).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        hyperplane_bucket_col(query_vec, num_planes, seed).alias("bucket0"),
+    )
+    # multi-probe: home bucket + single-bit flips (and optionally 2-bit)
+    probes = [F.col("bucket0")]
+    if multi_probe_bits >= 1:
+        probes += [
+            F.col("bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(num_planes)
+        ]
+    if multi_probe_bits >= 2:
+        probes += [
+            F.col("bucket0").bitwiseXOR(F.lit((1 << b1) | (1 << b2)))
+            for b1 in range(num_planes)
+            for b2 in range(b1 + 1, num_planes)
+        ]
+    q_probed = q.select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+    ).dropDuplicates(["query_id", "bucket"])
+
+    scored = c.join(F.broadcast(q_probed), "bucket").select(
+        "query_id",
+        "vec_id",
+        cosine_similarity_col(F.col("cv"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -1,0 +1,76 @@
+"""Conversion options — the engine's "query config".
+
+Mirrors the reference's ``ConvertionOptions`` (reference src/lib.rs:26-52)
+and its CLI surface (reference src/main.rs:26-85). Defaults match the
+reference: threads=8 (library default; the CLI overrides to available
+parallelism), include=all, unique=False, SNAPPY compression,
+batch_count=14, batch_size=100MB, extract_strings=False.
+
+Batch knobs map to Spark partition sizing rather than literal channel
+buffers (SURVEY.md §2.7): ``threads`` → input repartition width,
+``batch_size`` → Arrow batch budget inside the ingest walker.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+
+class IncludeType(str, enum.Enum):
+    """Row type filter (reference src/sink.rs:13-21)."""
+
+    ALL = "all"
+    TEXT = "text"
+    BINARY = "binary"
+
+    @classmethod
+    def parse(cls, value: str) -> "IncludeType":
+        try:
+            return cls(value.strip().lower())
+        except ValueError:
+            raise ValueError(
+                f"invalid include type {value!r}; expected one of "
+                f"{[m.value for m in cls]}"
+            ) from None
+
+
+DEFAULT_BATCH_SIZE = 100 * 1024 * 1024  # 100 MB (reference src/lib.rs:47)
+DEFAULT_MIN_STRING_LEN = 10  # reference src/batch.rs:115, strings.rs:12
+
+
+@dataclass
+class ConvertOptions:
+    """Engine configuration (reference src/lib.rs:26-52)."""
+
+    threads: int = 8
+    include: IncludeType = IncludeType.ALL
+    unique: bool = False
+    compression: str = "snappy"
+    min_size: int | None = None
+    max_size: int | None = None  # EXCLUSIVE (reference src/lib.rs:55-62)
+    batch_count: int = 14
+    batch_size: int = DEFAULT_BATCH_SIZE
+    extract_strings: bool = False
+    min_string_len: int = DEFAULT_MIN_STRING_LEN
+    # Engine extensions beyond the reference surface:
+    max_depth: int = 16  # recursion guard alongside the quine check (S11)
+    emit_format_column: bool = True
+    single_file: bool = False  # coalesce(1) for byte-level output parity
+    deterministic_dedup: bool = False  # min-(source,path) winner instead of
+    # the reference's nondeterministic first-arrival winner (SURVEY §2.11.1)
+
+    def size_range(self) -> tuple[int, int]:
+        """[min, max) with open ends 0 / 2^63-1 (reference src/lib.rs:54-62)."""
+        lo = 0 if self.min_size is None else int(self.min_size)
+        hi = (1 << 63) - 1 if self.max_size is None else int(self.max_size)
+        return lo, hi
+
+    def validate(self) -> None:
+        lo, hi = self.size_range()
+        if lo > hi:
+            raise ValueError(f"min_size {lo} > max_size {hi}")
+        if self.threads < 1:
+            raise ValueError("threads must be >= 1")
+        if self.max_depth < 1:
+            raise ValueError("max_depth must be >= 1")

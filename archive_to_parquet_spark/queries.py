@@ -1,0 +1,776 @@
+"""Query catalog: the engine's declared operator surface.
+
+Every entry pairs an idiomatic-Spark DataFrame query with an ANSI-SQL
+oracle that DuckDB runs over the same parquet tables; the driver
+compares row counts, schemas, and order-insensitive value hashes
+(CORRECTNESS_r{N}.json). Naming rule: every computed column is aliased
+identically on both sides.
+
+Groups:
+
+- ``q1..q6``    — the reference dataflow semantics (SURVEY.md §2.12)
+  re-expressed over the ``documents`` table (text ≙ content bytes):
+  projection+sha256, text/binary include filter, exclusive-max size
+  filter, dedup-by-hash set semantics, ascii-strings extraction,
+  multi-source union + counters.
+- ``rel_*``     — the relational surface (joins, aggs, windows, anti
+  join, top-k, sessionization, time bucketing) the reference lacks but
+  Spark provides natively (SURVEY.md §2.8).
+- ``dedup_*``, ``text_*``, ``ann_*`` — training-data pipeline operators
+  (exact + near dedup, quality/langid/tokens/fingerprint, similarity
+  search). Approximate operators (minhash/simhash/LSH) have no SQL
+  oracle — the driver records a rows-only check for those.
+
+Floats are rounded on BOTH sides before comparison (sums to 2dp, ratios
+and cosines to 6dp) because Spark and DuckDB may accumulate doubles in
+different orders.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from archive_to_parquet_spark.functions.text import (
+    STOPWORDS,
+    stopword_pattern,
+    token_count_col,
+)
+from archive_to_parquet_spark.functions.vectors import cosine_similarity_col
+from archive_to_parquet_spark.operators.dedup import (
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    embedding_near_duplicates,
+)
+from archive_to_parquet_spark.operators.similarity import lsh_top_k
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Printable-ASCII run regex — shared verbatim between Spark (Java regex)
+# and DuckDB (RE2); the char class subset behaves identically.
+ASCII_RUN_10 = "[ -~]{10,}"
+ASCII_TEXT_FULL = "^[ -~\\s]*$"
+
+SIZE_MIN, SIZE_MAX = 100, 400  # q3 bounds; max EXCLUSIVE (reference src/lib.rs:55-62)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as epoch-second long.
+
+    The driver data stores ts as parquet TIMESTAMP(NANOS) which Spark
+    refuses natively; ``nanosAsLong`` (runtime-settable) reads the raw
+    int64, and integer division (never float — 1.7e18 doesn't fit a
+    double's mantissa) produces exact epoch seconds. DuckDB side:
+    ``epoch_ns(ts) // 1000000000``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts_sec", F.expr("ts div 1000000000"))
+
+
+# ---------------------------------------------------------------------------
+# §2.12 reference-dataflow queries over documents (text ≙ content)
+# ---------------------------------------------------------------------------
+
+
+def q1_projection_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/X1/X3: canonical projection + sha256 (reference src/batch.rs:101-131)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.octet_length("text").cast("long").alias("size"),
+        F.sha2("text", 256).alias("hash_hex"),
+    )
+
+
+Q1_SQL = """
+SELECT doc_id, source,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size,
+       sha256(text) AS hash_hex
+FROM documents
+"""
+
+
+def q2_include_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/X2 include=text analog: keep printable-ASCII documents
+    (reference src/batch.rs:162-180; is_utf8 is trivially true on a
+    string column, so the discriminating predicate is ASCII-ness)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike(ASCII_TEXT_FULL)).select(
+        "doc_id", "source", "lang"
+    )
+
+
+Q2_SQL = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE regexp_matches(text, '{ASCII_TEXT_FULL}')
+"""
+
+
+def q3_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: size in [min, max) — max exclusive (reference src/lib.rs:55-62)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        (F.col("n_chars") >= SIZE_MIN) & (F.col("n_chars") < SIZE_MAX)
+    ).select("doc_id", "n_chars")
+
+
+Q3_SQL = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= {SIZE_MIN} AND n_chars < {SIZE_MAX}
+"""
+
+
+def q4_dedup_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 set semantics: hash → multiplicity. Validates the dedup *set*
+    without depending on the nondeterministic winner (reference
+    src/sink.rs:91-96)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("hash_hex"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q4_SQL = """
+SELECT sha256(text) AS hash_hex, COUNT(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q4b_distinct_hash_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").agg(
+        F.countDistinct(F.sha2("text", 256)).alias("n_distinct")
+    )
+
+
+Q4B_SQL = "SELECT COUNT(DISTINCT sha256(text)) AS n_distinct FROM documents"
+
+
+def q5_extract_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: strings(1)-style printable-ASCII runs, min length 10, joined
+    with newline (reference crates/extract-strings/src/ascii.rs:23-130,
+    src/batch.rs:115-117)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(ASCII_RUN_10), F.lit(0)), "\n"
+        ).alias("strings"),
+    )
+
+
+Q5_SQL = f"""
+SELECT doc_id,
+       array_to_string(regexp_extract_all(text, '{ASCII_RUN_10}'), chr(10)) AS strings
+FROM documents
+"""
+
+
+def q6_union_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 fan-in: multi-input UNION ALL → per-source counters
+    (reference src/converter/mod.rs:37-53, src/channel.rs:28-49)."""
+    docs = _t(spark, sf_dir, "documents")
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    return (
+        evens.unionAll(odds)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_rows"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+Q6_SQL = """
+SELECT source, COUNT(*) AS n_rows, SUM(n_chars) AS total_chars
+FROM (
+  SELECT * FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT * FROM documents WHERE doc_id % 2 = 1
+) GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2.8 — native Spark, declared + tested)
+# ---------------------------------------------------------------------------
+
+
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter → hash agg with partial
+    (map-side) combine; no join, one shuffle on the two group cols."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+REL_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(AVG(l_quantity), 4) AS avg_qty,
+       round(AVG(l_extendedprice), 4) AS avg_price,
+       round(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join: lineitem ⨝ orders (shuffle, the two big tables) ⨝
+    broadcast(customer) ⨝ broadcast(nation). Dims are broadcast so the
+    only exchange is the big-big join on orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+REL_REVENUE_SQL = """
+SELECT n_name,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def rel_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by value with deterministic tiebreak — TakeOrderedAndProject,
+    no full sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+REL_TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def rel_window_top3_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (row_number over partition)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rn")
+    )
+
+
+REL_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def rel_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS); broadcast the orders keys' distinct set
+    would be wrong at scale — Spark plans a shuffled left-anti here."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+REL_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def rel_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) + agg — TPC-H Q4 shape."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+REL_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def rel_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed agg over the event stream table (batch form of the
+    streaming tumbling window). hour_sec = epoch seconds floored to hour,
+    pure integer math on both engines."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("hour_sec", F.col("ts_sec") - F.col("ts_sec") % 3600)
+        .groupBy("hour_sec", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+REL_EVENTS_HOURLY_SQL = """
+SELECT (epoch_ns(ts) // 1000000000) - ((epoch_ns(ts) // 1000000000) % 3600) AS hour_sec,
+       event_type, COUNT(*) AS n, round(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 1800 s inactivity gap → session count per user
+    (lag + conditional cumsum; single shuffle on user_id)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts_sec") - F.lag("ts_sec").over(w) > 1800
+        ).cast("int"),
+    )
+    return flagged.groupBy("user_id").agg(
+        (F.coalesce(F.sum("new_session"), F.lit(0)) + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+REL_SESSIONIZE_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec FROM events
+), flagged AS (
+  SELECT user_id,
+         CASE WHEN ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM t
+)
+SELECT user_id,
+       CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+def rel_supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg over supplier."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+REL_SUPPLIER_SQL = """
+SELECT n_name, round(SUM(s_acctbal), 2) AS total_acctbal, COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def rel_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-agg grouping over part (min/max/avg/count distinct)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.count("*").alias("n_parts"),
+        )
+    )
+
+
+REL_PART_SQL = """
+SELECT p_brand,
+       round(AVG(p_retailprice), 4) AS avg_price,
+       round(MIN(p_retailprice), 2) AS min_price,
+       round(MAX(p_retailprice), 2) AS max_price,
+       COUNT(DISTINCT p_type) AS n_types,
+       COUNT(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, deterministic winner: min doc_id per content hash."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("hash_hex"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS hash_hex, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token count, punctuation/alpha ratios, mean word
+    length — all whole-stage-codegen expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = token_count_col(text, "whitespace")
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_alpha = F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), F.lit(0)))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct.cast("double") / safe_chars, 6).alias("punct_ratio"),
+        F.round(n_alpha.cast("double") / safe_chars, 6).alias("alpha_ratio"),
+        F.round(n_chars.cast("double") / safe_tokens, 6).alias("mean_word_len"),
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+       round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+       round(length(text) * 1.0
+             / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS mean_word_len
+FROM documents
+"""
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col("text", "whitespace").alias("ws_tokens"),
+        token_count_col("text", "bpe").alias("bpe_tokens"),
+    )
+
+
+# TOKEN_REGEX shared with functions/text.py
+TEXT_TOKENS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID; ties break toward the earlier
+    language code; 'und' when no stopword matches."""
+    from archive_to_parquet_spark.functions.text import language_id_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", language_id_col("text").alias("lang_guess")
+    )
+
+
+def _lang_id_oracle_sql() -> str:
+    langs = sorted(STOPWORDS)  # de, en, es, fr, zh
+    hits = ",\n         ".join(
+        "len(regexp_extract_all(text, '{p}')) AS h_{l}".format(
+            p=stopword_pattern(lang).replace("'", "''"), l=lang
+        )
+        for lang in langs
+    )
+    # earliest-lang tiebreak: check langs in order, each >= all later ones
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} >= h_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "\n           ".join(cases)
+    greatest = ", ".join(f"h_{lang}" for lang in langs)
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {hits}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest({greatest}) <= 0 THEN 'und'
+           {case_sql}
+       END AS lang_guess
+FROM h
+"""
+
+
+TEXT_LANG_ID_SQL = _lang_id_oracle_sql()
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text
+    (the SQL-checkable twin of the xxhash64 fingerprint in
+    functions/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(normalized.cast("binary")).alias("fp"))
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted shingle index
+    (no all-pairs compare; shuffle key = shingle)."""
+    from archive_to_parquet_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+DEDUP_NGRAM_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(words) - 2, 1))]) AS grams
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), sizes AS (
+  SELECT doc_id, len(grams) AS n FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (approximate — rows-only check;
+    the exact-Jaccard twin ``dedup_ngram_jaccard`` is the oracle-checked
+    ground truth)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (approximate — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane LSH (approximate —
+    rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # the synthetic embeddings have no true near-dups (max pairwise cosine
+    # ≈0.51), so demonstrate with a loose threshold and wider buckets
+    pairs = embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.35, num_planes=4
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10: every 50th vector queries the corpus.
+    Broadcast queries × one corpus scan; rank on the ROUNDED score so
+    float noise can't flip the deterministic (score, vec_id) order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity_col(F.col("embedding"), F.col("qv")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         -- cast to double: duckdb computes float-list cosine in float32,
+         -- spark accumulates in double
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (approximate — rows-only check;
+    recall is measured against ann_cosine_topk in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_top_k(emb, q, k=10, num_planes=8, multi_probe_bits=2)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name → (spark_fn, oracle_sql | None)
+_CATALOG: dict[str, tuple[QueryFn, str | None]] = {
+    "q1_projection_hash": (q1_projection_hash, Q1_SQL),
+    "q2_include_text": (q2_include_text, Q2_SQL),
+    "q3_size_filter": (q3_size_filter, Q3_SQL),
+    "q4_dedup_hash_groups": (q4_dedup_hash_groups, Q4_SQL),
+    "q4b_distinct_hash_count": (q4b_distinct_hash_count, Q4B_SQL),
+    "q5_extract_strings": (q5_extract_strings, Q5_SQL),
+    "q6_union_group": (q6_union_group, Q6_SQL),
+    "rel_pricing_summary": (rel_pricing_summary, REL_PRICING_SQL),
+    "rel_revenue_by_nation": (rel_revenue_by_nation, REL_REVENUE_SQL),
+    "rel_top_orders": (rel_top_orders, REL_TOP_ORDERS_SQL),
+    "rel_window_top3_per_cust": (rel_window_top3_per_cust, REL_WINDOW_SQL),
+    "rel_customers_without_orders": (rel_customers_without_orders, REL_ANTI_SQL),
+    "rel_order_priority_counts": (rel_order_priority_counts, REL_SEMI_SQL),
+    "rel_events_hourly": (rel_events_hourly, REL_EVENTS_HOURLY_SQL),
+    "rel_sessionize": (rel_sessionize, REL_SESSIONIZE_SQL),
+    "rel_supplier_balance_by_nation": (rel_supplier_balance_by_nation, REL_SUPPLIER_SQL),
+    "rel_part_type_stats": (rel_part_type_stats, REL_PART_SQL),
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash": (dedup_minhash, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_embedding_lsh": (dedup_embedding_lsh, None),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, None),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _CATALOG.items() if sql is not None}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The reference dataflow end-to-end over documents: project+hash →
+    size filter → exact dedup (deterministic winner) → per-source stats."""
+    docs = _t(spark, sf_dir, "documents")
+    entries = docs.select(
+        "source",
+        F.col("doc_id").cast("string").alias("path"),
+        F.octet_length("text").cast("long").alias("size"),
+        F.sha2("text", 256).alias("hash_hex"),
+    ).filter((F.col("size") >= 0) & (F.col("size") < (1 << 62)))
+    w = Window.partitionBy("hash_hex").orderBy("source", "path")
+    unique = (
+        entries.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return unique.groupBy("source").agg(
+        F.count("*").alias("n_unique"),
+        F.sum("size").alias("total_bytes"),
+    )
