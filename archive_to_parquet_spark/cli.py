@@ -1,0 +1,110 @@
+"""CLI — mirrors the reference's flag surface (reference src/main.rs:26-85).
+
+Usage::
+
+    python -m archive_to_parquet_spark.cli [OPTIONS] OUTPUT PATHS...
+
+``PATHS`` of ``-`` reads newline-separated paths from stdin (S3,
+reference src/main.rs:137-153).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from archive_to_parquet_spark.options import ConvertOptions, IncludeType
+
+
+def _parse_size(value: str) -> int:
+    """Human sizes: 100MB, 4K, 123 (reference uses clap's byte parser)."""
+    value = value.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    for suffix in ("kb", "mb", "gb", "tb", "k", "m", "g", "t", "b"):
+        if value.endswith(suffix):
+            num = value[: -len(suffix)]
+            mult = units.get(suffix[0], 1)
+            return int(float(num) * mult)
+    return int(value)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="archive-to-parquet-spark",
+        description="Recursively extract archives into one parquet dataset",
+    )
+    p.add_argument("output", help="output parquet path (directory dataset)")
+    p.add_argument("paths", nargs="+", help="input paths, or - for stdin")
+    p.add_argument("--urls", action="store_true", help="treat PATHS as URLs")
+    p.add_argument("--min-size", type=_parse_size, default=None)
+    p.add_argument("--max-size", type=_parse_size, default=None,
+                   help="EXCLUSIVE upper size bound")
+    p.add_argument("--unique", action="store_true",
+                   help="global dedup by content hash")
+    p.add_argument("--include", default="all", choices=["all", "text", "binary"])
+    p.add_argument("--threads", type=int, default=None,
+                   help="parallelism (defaults to all cores)")
+    p.add_argument("--compression", default="snappy")
+    p.add_argument("--batch-count", type=int, default=14)
+    p.add_argument("--batch-size", type=_parse_size, default=100 * 1024 * 1024)
+    p.add_argument("--extract-executable-strings", action="store_true")
+    p.add_argument("--single-file", action="store_true",
+                   help="coalesce output to one file (reference layout parity)")
+    p.add_argument("--deterministic-dedup", action="store_true")
+    p.add_argument("--no-progress", action="store_true")
+    p.add_argument("--log-file", default=None)
+    return p
+
+
+def get_paths(raw_paths: list[str]) -> list[str]:
+    """'-' → read newline-separated paths from stdin (src/main.rs:137-153)."""
+    if raw_paths == ["-"]:
+        return [line.strip() for line in sys.stdin if line.strip()]
+    return raw_paths
+
+
+def main(argv: list[str] | None = None) -> int:
+    import os
+
+    args = build_parser().parse_args(argv)
+    threads = args.threads or os.cpu_count() or 8
+    options = ConvertOptions(
+        threads=threads,
+        include=IncludeType.parse(args.include),
+        unique=args.unique,
+        compression=args.compression,
+        min_size=args.min_size,
+        max_size=args.max_size,
+        batch_count=args.batch_count,
+        batch_size=args.batch_size,
+        extract_strings=args.extract_executable_strings,
+        single_file=args.single_file,
+        deterministic_dedup=args.deterministic_dedup,
+    )
+    options.validate()
+    paths = get_paths(args.paths)
+    if not paths:
+        print("error: no input paths", file=sys.stderr)
+        return 2
+
+    from archive_to_parquet_spark.plans.convert import convert
+    from archive_to_parquet_spark.session import get_spark
+
+    spark = get_spark("archive_to_parquet_cli")
+    try:
+        counters = convert(spark, paths, args.output, options, urls=args.urls)
+    except RuntimeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        spark.stop()
+    if not args.no_progress:
+        print(
+            f"wrote {counters.output_rows} rows "
+            f"({counters.output_bytes} content bytes) to {args.output}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,91 @@
+"""The end-to-end conversion plan (the reference's fixed dataflow).
+
+scan → recursive flatten → project(+sha256) → include filter → size
+filter → (optional) global hash dedup → parquet sink, with
+observability counters — the Spark expression of reference
+src/main.rs:87-135 / SURVEY.md §3.1.
+
+All post-ingest stages are narrow column predicates except dedup (one
+shuffle on ``hash``); filters run in the SAME stage as the walker
+(no exchange), so content bytes stream from the archive straight into
+the parquet writer unless ``unique`` forces the dedup exchange.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from archive_to_parquet_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_deterministic,
+)
+from archive_to_parquet_spark.operators.filters import (
+    apply_include_filter,
+    apply_size_filter,
+)
+from archive_to_parquet_spark.options import ConvertOptions
+from archive_to_parquet_spark.plans.sink import write_parquet
+from archive_to_parquet_spark.schema import REFERENCE_COLUMNS
+from archive_to_parquet_spark.sources.archive_source import read_archives
+
+
+@dataclass
+class ConversionCounters:
+    """Post-run totals (reference ConversionCounter, src/progress.rs:62-133)."""
+
+    output_rows: int
+    output_bytes: int
+
+
+def entries_pipeline(
+    spark: SparkSession,
+    paths: list[str],
+    options: ConvertOptions | None = None,
+    urls: bool = False,
+) -> DataFrame:
+    """The full logical plan, unsunk — scan/flatten/filter/dedup."""
+    options = options or ConvertOptions()
+    df = read_archives(spark, paths, options, urls=urls)
+    df = apply_include_filter(df, options.include)
+    df = apply_size_filter(df, options)
+    if options.unique:
+        df = (
+            dedup_exact_deterministic(df, "hash")
+            if options.deterministic_dedup
+            else dedup_exact(df, "hash")
+        )
+    if not options.emit_format_column:
+        df = df.select(*REFERENCE_COLUMNS)
+    return df
+
+
+def convert(
+    spark: SparkSession,
+    paths: list[str],
+    output: str,
+    options: ConvertOptions | None = None,
+    urls: bool = False,
+) -> ConversionCounters:
+    """Run the conversion and write parquet. Raises on zero output rows
+    (reference src/main.rs:129-132)."""
+    options = options or ConvertOptions()
+    df = entries_pipeline(spark, paths, options, urls=urls)
+    obs = Observation("conversion_counters")
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("output_rows"),
+        F.coalesce(F.sum("size"), F.lit(0)).alias("output_bytes"),
+    )
+    write_parquet(df, output, options)
+    counters = ConversionCounters(
+        output_rows=int(obs.get["output_rows"]),
+        output_bytes=int(obs.get["output_bytes"]),
+    )
+    if counters.output_rows == 0:
+        raise RuntimeError(
+            "no rows converted from input files"  # reference src/main.rs:131
+        )
+    return counters

@@ -1,0 +1,116 @@
+"""Spark source: paths/URLs DataFrame → canonical entries DataFrame.
+
+Mapping of the reference's physical layer (SURVEY.md §2.7) onto Spark:
+
+- per-input worker fan-out (rayon pool, one walk per input —
+  reference src/converter/base.rs:45-66) → ``repartition(n_inputs)``
+  so each task walks one input; a 1000-executor cluster walks 1000
+  archives concurrently with zero coordination.
+- bounded batch channel with backpressure (reference
+  src/channel.rs:112-139) → the ``mapInPandas`` iterator protocol:
+  each yielded pandas batch is capped by rows AND bytes (the
+  reference's dual cap, src/batch.rs:97-99), and Spark's Arrow
+  pipeline applies its own flow control downstream.
+- producer error → job abort (reference src/visitor.rs:59-65) →
+  exceptions raised in the walker fail the task (and job, after Spark's
+  task retries — fail-fast parity).
+
+The walker itself is pure Python per input (archives are inherently
+sequential streams); the cluster-level parallelism is ACROSS inputs,
+which is the reference's model too (threads = inputs in flight).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from archive_to_parquet_spark.options import ConvertOptions
+from archive_to_parquet_spark.schema import ENTRY_SCHEMA_DDL
+
+_BATCH_ROWS = 1024  # reference src/batch.rs:78
+
+
+def _rows_to_pdf(rows: list) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "source": [r.source for r in rows],
+            "path": [r.path for r in rows],
+            "size": [r.size for r in rows],
+            "hash": [r.hash for r in rows],
+            "content": [r.content for r in rows],
+            "format": [r.format for r in rows],
+        }
+    )
+
+
+def _make_walk_partition(options: ConvertOptions):
+    """Build the mapInPandas function (options captured by value — the
+    dataclass pickles into the task closure once, not per row)."""
+
+    batch_bytes = options.batch_size
+
+    def walk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from archive_to_parquet_spark.sources.url_source import open_url
+        from archive_to_parquet_spark.sources.walker import walk_path, walk_stream
+
+        pending: list = []
+        pending_bytes = 0
+        for pdf in batches:
+            is_url = (
+                pdf["is_url"] if "is_url" in pdf.columns else [False] * len(pdf)
+            )
+            for input_path, from_url in zip(pdf["input_path"], is_url):
+                if from_url:
+                    stream, size = open_url(input_path)
+                    try:
+                        row_iter = walk_stream(input_path, stream, size, options)
+                        for row in row_iter:
+                            pending.append(row)
+                            pending_bytes += len(row.content)
+                            if (
+                                len(pending) >= _BATCH_ROWS
+                                or pending_bytes >= batch_bytes
+                            ):
+                                yield _rows_to_pdf(pending)
+                                pending, pending_bytes = [], 0
+                    finally:
+                        stream.close()
+                else:
+                    for row in walk_path(input_path, options):
+                        pending.append(row)
+                        pending_bytes += len(row.content)
+                        if (
+                            len(pending) >= _BATCH_ROWS
+                            or pending_bytes >= batch_bytes
+                        ):
+                            yield _rows_to_pdf(pending)
+                            pending, pending_bytes = [], 0
+        if pending:
+            yield _rows_to_pdf(pending)
+
+    return walk_partition
+
+
+def read_archives(
+    spark: SparkSession,
+    paths: list[str],
+    options: ConvertOptions | None = None,
+    urls: bool = False,
+) -> DataFrame:
+    """Entries DataFrame from local archive paths (or URLs with
+    ``urls=True``). One Spark task per input."""
+    options = options or ConvertOptions()
+    options.validate()
+    if not paths:
+        raise ValueError("no input paths")
+    paths_df = spark.createDataFrame(
+        [(p, urls) for p in paths], "input_path string, is_url boolean"
+    )
+    n_tasks = min(len(paths), max(options.threads, 1) * 4)
+    entries = paths_df.repartition(n_tasks, "input_path").mapInPandas(
+        _make_walk_partition(options), ENTRY_SCHEMA_DDL
+    )
+    return entries

@@ -1,0 +1,318 @@
+"""Recursive archive walker — the engine's custom scan (S5–S11).
+
+Pure-Python streaming walk of (possibly compressed, possibly nested)
+archives, emitting one row per extracted file with a fused streaming
+SHA-256. This is the only genuinely non-relational component; it runs
+inside ``mapInPandas`` on executors (see ``archive_source.py``), one
+input archive per task, so the cluster parallelizes across inputs and
+everything downstream is stock DataFrame ops.
+
+Reference semantics preserved (file:line into /root/reference/):
+
+- depth-first walk, pre/post archive hooks: src/anyreader_walker/stack.rs:7-40
+- two-stage sniff (compression 6B, container/exe 262B):
+  src/anyreader/compression.rs:36-63, src/anyreader/format.rs:15-52
+- tar member iteration skips non-regular and empty entries, stops at the
+  first bad entry: src/anyreader_walker/walkers/tarfile.rs:21-33
+- zip likewise, streaming read, silent stop on bad entry:
+  src/anyreader_walker/walkers/zipfile.rs:21-32
+- quine guard: a zip whose (name, size) equals the enclosing archive is
+  emitted as a leaf row, not recursed: src/visitor.rs:88-107
+- nested path = archive chain minus the root, joined with '/':
+  src/anyreader_walker/utils.rs:38-55, src/batch.rs:110-111
+- truncated content is emitted, not errored (bytes-copied-so-far):
+  src/batch.rs:41-59
+- executables with extract_strings rewrite content/hash/size to the
+  newline-joined ascii strings: src/batch.rs:114-121
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import hashlib
+import io
+import lzma
+import tarfile
+import tempfile
+import zipfile
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from archive_to_parquet_spark.functions.sniff import (
+    PEEK_SIZE,
+    detect_compression,
+    detect_format,
+)
+from archive_to_parquet_spark.functions.strings import joined_ascii_strings
+from archive_to_parquet_spark.options import ConvertOptions
+
+try:  # optional codec — not in every container
+    import zstandard  # type: ignore
+
+    _HAS_ZSTD = True
+except ImportError:
+    _HAS_ZSTD = False
+
+_COPY_BUF = 8 * 1024  # reference src/batch.rs:42
+_SPOOL_MAX = 64 * 1024 * 1024  # zip spool: memory below this, disk above
+
+
+@dataclass(frozen=True)
+class EntryRow:
+    """One extracted file (the canonical table row, §1.1)."""
+
+    source: str
+    path: str
+    size: int
+    hash: bytes
+    content: bytes
+    format: str
+
+
+@dataclass(frozen=True)
+class _StackFrame:
+    """EntryDetails on the recursion stack (reference entry.rs:12-25)."""
+
+    name: str
+    size: int
+
+
+def _wrap_decoder(stream: io.BufferedReader, kind: str):
+    if kind == "gzip":
+        return gzip.GzipFile(fileobj=stream)
+    if kind == "bzip2":
+        return bz2.BZ2File(stream)
+    if kind == "xz":
+        # FORMAT_XZ decoder loops over concatenated streams by default,
+        # mirroring the reference's new_multi_decoder (compression.rs:57)
+        return lzma.LZMAFile(stream, format=lzma.FORMAT_XZ)
+    if kind == "zstd":
+        if not _HAS_ZSTD:
+            raise RuntimeError("zstd input but the zstandard module is unavailable")
+        return zstandard.ZstdDecompressor().stream_reader(stream)
+    raise AssertionError(kind)
+
+
+def sniff_stream(stream) -> tuple[str, io.BufferedReader]:
+    """Two-stage sniff. Returns (format_kind, readable stream positioned
+    at the logical start of the decompressed data)."""
+    buffered = (
+        stream
+        if isinstance(stream, io.BufferedReader)
+        else io.BufferedReader(_as_raw(stream))
+    )
+    head = buffered.peek(6)[:6]
+    compression = detect_compression(head)
+    if compression is not None:
+        decoded = io.BufferedReader(_as_raw(_wrap_decoder(buffered, compression)))
+        inner = decoded.peek(PEEK_SIZE)[:PEEK_SIZE]
+        return detect_format(inner, compression), decoded
+    peek = buffered.peek(PEEK_SIZE)[:PEEK_SIZE]
+    return detect_format(peek, None), buffered
+
+
+class _RawAdapter(io.RawIOBase):
+    """Adapt any .read()-able object to RawIOBase for BufferedReader."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        data = self._inner.read(len(b))
+        if not data:
+            return 0
+        b[: len(data)] = data
+        return len(data)
+
+
+def _as_raw(obj) -> io.RawIOBase:
+    return obj if isinstance(obj, io.RawIOBase) else _RawAdapter(obj)
+
+
+def _hashed_copy(stream) -> tuple[bytes, bytes, int]:
+    """Read to EOF with fused SHA-256; on mid-read errors return bytes
+    copied so far (reference infallable_copy, src/batch.rs:41-59)."""
+    hasher = hashlib.sha256()
+    chunks: list[bytes] = []
+    total = 0
+    try:
+        while True:
+            chunk = stream.read(_COPY_BUF)
+            if not chunk:
+                break
+            hasher.update(chunk)
+            chunks.append(chunk)
+            total += len(chunk)
+    except (OSError, EOFError, lzma.LZMAError, zipfile.BadZipFile, tarfile.ReadError):
+        pass  # truncated content is emitted as-is
+    return b"".join(chunks), hasher.digest(), total
+
+
+class Walker:
+    """Overridable visitor (the library extension surface, mirroring the
+    reference's AnyWalker trait — src/anyreader_walker/stack.rs:7-24).
+
+    Subclass and override ``visit_file_entry`` /
+    ``begin_visit_archive`` / ``end_visit_archive`` for custom
+    consumers; the default implementation yields EntryRows.
+    """
+
+    def __init__(self, source: str, options: ConvertOptions | None = None):
+        self.source = source
+        self.options = options or ConvertOptions()
+        self.stack: list[_StackFrame] = []
+
+    # -- hooks ---------------------------------------------------------
+
+    def begin_visit_archive(self, name: str, size: int) -> bool:
+        """Return False to skip recursing (the entry is then emitted as a
+        plain file row). Default: quine + depth guard (src/visitor.rs:88-107)."""
+        if len(self.stack) >= self.options.max_depth:
+            return False
+        if self.stack and self.stack[-1] == _StackFrame(name, size):
+            return False  # self-containing archive (quine zip bomb)
+        return True
+
+    def end_visit_archive(self) -> None:
+        pass
+
+    def visit_file_entry(self, row: EntryRow) -> EntryRow | None:
+        """Transform/filter a leaf row; None drops it."""
+        return row
+
+    # -- mechanics ------------------------------------------------------
+
+    def _nested_path(self, entry_name: str) -> str:
+        # archive chain minus the root element (utils.rs:49-55): the
+        # top-level input archive is the stack's first frame and does NOT
+        # appear in `path` — only nested archives and the entry name do.
+        parts = [f.name for f in self.stack[1:]] + [entry_name]
+        return "/".join(parts)
+
+    def walk(self, name: str, stream, declared_size: int) -> Iterator[EntryRow]:
+        """Walk one entry: recurse into tar/zip, else emit leaf."""
+        kind, decoded = sniff_stream(stream)
+        if kind in ("tar", "zip"):
+            if self.begin_visit_archive(name, declared_size):
+                self.stack.append(_StackFrame(name, declared_size))
+                try:
+                    if kind == "tar":
+                        yield from self._walk_tar(decoded)
+                    else:
+                        yield from self._walk_zip(decoded)
+                finally:
+                    self.stack.pop()
+                    self.end_visit_archive()
+            else:
+                # skipped archive (quine / max depth) → emitted as a plain
+                # file row with its archive format kind (visitor.rs:94-100)
+                yield from self._leaf(name, decoded, kind)
+            return
+        # leaf (any compression already stripped by sniff_stream)
+        yield from self._leaf(name, decoded, kind)
+
+    def _leaf(self, name: str, decoded, kind: str) -> Iterator[EntryRow]:
+        content, digest, size = _hashed_copy(decoded)
+        fmt = kind if kind != "unknown" else detect_format(content[:PEEK_SIZE], None)
+        if self.options.extract_strings and fmt == "executable":
+            content = joined_ascii_strings(content, self.options.min_string_len)
+            digest = hashlib.sha256(content).digest()
+            size = len(content)
+        row = EntryRow(
+            source=self.source,
+            path=self._nested_path(name),
+            size=size,
+            hash=digest,
+            content=content,
+            format=fmt,
+        )
+        out = self.visit_file_entry(row)
+        if out is not None:
+            yield out
+
+    def _walk_tar(self, stream) -> Iterator[EntryRow]:
+        """Streaming tar iteration; skip non-regular and empty members;
+        stop at the first bad entry (walkers/tarfile.rs:21-33)."""
+        try:
+            tf = tarfile.open(fileobj=stream, mode="r|")
+        except (tarfile.ReadError, OSError, EOFError):
+            return
+        try:
+            while True:
+                try:
+                    member = tf.next()
+                except (tarfile.ReadError, OSError, EOFError):
+                    return  # stop silently (tarfile.rs:23)
+                if member is None:
+                    return
+                if not member.isreg() or member.size == 0:
+                    continue  # skip predicate (tarfile.rs:24)
+                fobj = tf.extractfile(member)
+                if fobj is None:
+                    continue
+                yield from self.walk(member.name, fobj, member.size)
+        finally:
+            try:
+                tf.close()
+            except Exception:
+                pass
+
+    def _walk_zip(self, stream) -> Iterator[EntryRow]:
+        """Zip iteration. Python's zipfile needs a seekable input, so the
+        (already decompressed) zip bytes are spooled — memory below
+        _SPOOL_MAX, disk above — preserving bounded memory per task.
+        Skip non-file and empty entries; stop silently on the first bad
+        entry (walkers/zipfile.rs:21-32)."""
+        spool = tempfile.SpooledTemporaryFile(max_size=_SPOOL_MAX)
+        try:
+            while True:
+                chunk = stream.read(_COPY_BUF)
+                if not chunk:
+                    break
+                spool.write(chunk)
+            spool.seek(0)
+            try:
+                zf = zipfile.ZipFile(spool)
+            except (zipfile.BadZipFile, OSError, EOFError):
+                return
+            with zf:
+                for info in zf.infolist():
+                    if info.is_dir() or info.file_size == 0:
+                        continue  # skip predicate (zipfile.rs:23)
+                    try:
+                        fobj = zf.open(info)
+                    except (zipfile.BadZipFile, NotImplementedError, OSError):
+                        return  # stop at first bad entry (zipfile.rs:22)
+                    with fobj:
+                        yield from self.walk(info.filename, fobj, info.file_size)
+        finally:
+            spool.close()
+
+
+def walk_stream(
+    source: str,
+    stream,
+    declared_size: int = 0,
+    options: ConvertOptions | None = None,
+) -> Iterator[EntryRow]:
+    """Walk one top-level input stream (file object / response body)."""
+    walker = Walker(source, options)
+    # the root archive pushes its own frame inside walk(); nested_path
+    # skips that first frame (utils.rs:49-55), so a member of the root
+    # archive gets path == its member name, and a plain top-level file
+    # gets path == the input path verbatim (src/batch.rs:108-111)
+    yield from walker.walk(source, stream, declared_size)
+
+
+def walk_path(path: str, options: ConvertOptions | None = None) -> Iterator[EntryRow]:
+    """Walk one local file; ``source`` stores the given path verbatim
+    (reference src/batch.rs:108)."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        yield from walk_stream(path, f, size, options)

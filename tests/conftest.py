@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import lzma
+import os
+import sys
+import tarfile
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from archive_to_parquet_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    yield spark
+    spark.stop()
+
+
+# -- synthetic archive builders (translation of the reference's in-memory
+#    test helpers, /root/reference/src/anyreader/test.rs:15-62) -------------
+
+
+def tar_archive(files: dict[str, bytes], with_dir: bool = False) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        if with_dir:
+            d = tarfile.TarInfo("somedir")
+            d.type = tarfile.DIRTYPE
+            tf.addfile(d)
+        for name, data in files.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def zip_archive(files: dict[str, bytes], with_dir: bool = False) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        if with_dir:
+            zf.writestr(zipfile.ZipInfo("somedir/"), b"")
+        for name, data in files.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def gzip_data(data: bytes) -> bytes:
+    return gzip.compress(data)
+
+
+def bz2_data(data: bytes) -> bytes:
+    return bz2.compress(data)
+
+
+def xz_data(data: bytes) -> bytes:
+    return lzma.compress(data, format=lzma.FORMAT_XZ)
+
+
+FAKE_ELF = (
+    b"\x7fELF\x02\x01\x01\x00" + b"\x00" * 8
+    + b"here is a long printable run one\x00short\x00"
+    + b"second long printable run two\x00\x01\x02"
+    + "non-ascii é break then another long ascii run".encode("utf-8")
+)

@@ -1,0 +1,199 @@
+"""Recursive walker semantics (reference src/anyreader_walker/ tests +
+FIXTURES.md §3) — pure Python, no Spark session needed."""
+
+from __future__ import annotations
+
+import hashlib
+import io
+
+from archive_to_parquet_spark.options import ConvertOptions
+from archive_to_parquet_spark.sources.walker import walk_stream
+from tests.conftest import (
+    FAKE_ELF,
+    bz2_data,
+    gzip_data,
+    tar_archive,
+    xz_data,
+    zip_archive,
+)
+
+
+def _walk_bytes(source: str, data: bytes, options: ConvertOptions | None = None):
+    return list(walk_stream(source, io.BytesIO(data), len(data), options))
+
+
+def test_flat_tar_skips_dirs_and_empty():
+    data = tar_archive(
+        {"a.txt": b"hello", "b.txt": b"world!", "empty.txt": b""}, with_dir=True
+    )
+    rows = _walk_bytes("flat.tar", data)
+    assert [(r.path, r.content) for r in rows] == [
+        ("a.txt", b"hello"),
+        ("b.txt", b"world!"),
+    ]
+    for r in rows:
+        assert r.source == "flat.tar"
+        assert r.size == len(r.content)
+        assert r.hash == hashlib.sha256(r.content).digest()
+        assert r.format == "unknown"
+
+
+def test_flat_zip_skips_dirs_and_empty():
+    data = zip_archive(
+        {"a.txt": b"hello", "sub/b.txt": b"world!", "empty.txt": b""}, with_dir=True
+    )
+    rows = _walk_bytes("flat.zip", data)
+    assert [(r.path, r.content) for r in rows] == [
+        ("a.txt", b"hello"),
+        ("sub/b.txt", b"world!"),
+    ]
+
+
+def test_nested_tar_and_zip_paths():
+    # tar containing a tar and a zip, two levels (stack.rs:26-39);
+    # path = nested chain without the ROOT archive (utils.rs:49-55)
+    inner_tar = tar_archive({"x/y.txt": b"deep tar"})
+    inner_zip = zip_archive({"z.txt": b"deep zip"})
+    outer = tar_archive({"inner.tar": inner_tar, "inner.zip": inner_zip})
+    rows = _walk_bytes("outer.tar", outer)
+    assert [(r.path, r.content) for r in rows] == [
+        ("inner.tar/x/y.txt", b"deep tar"),
+        ("inner.zip/z.txt", b"deep zip"),
+    ]
+    assert all(r.source == "outer.tar" for r in rows)
+
+
+def test_wrapped_codecs():
+    # the same tar under each codec (compression.rs:36-63)
+    tar = tar_archive({"f.txt": b"payload bytes"})
+    for codec, blob in (
+        ("gz", gzip_data(tar)),
+        ("bz2", bz2_data(tar)),
+        ("xz", xz_data(tar)),
+    ):
+        rows = _walk_bytes(f"wrapped.tar.{codec}", blob)
+        assert [(r.path, r.content) for r in rows] == [("f.txt", b"payload bytes")], codec
+
+
+def test_compressed_leaf_keeps_codec_format():
+    blob = gzip_data(b"just text, not an archive")
+    rows = _walk_bytes("file.gz", blob)
+    assert len(rows) == 1
+    assert rows[0].content == b"just text, not an archive"
+    assert rows[0].format == "gzip"
+    assert rows[0].path == "file.gz"
+
+
+def test_plain_file_path_is_source_verbatim():
+    rows = _walk_bytes("some/rel/path.bin", b"plain content")
+    assert len(rows) == 1
+    assert rows[0].path == "some/rel/path.bin"
+    assert rows[0].source == "some/rel/path.bin"
+
+
+def test_quine_zip_emitted_as_file():
+    # a zip containing an identically-named-and-sized member that is
+    # itself: the member must be emitted as a file row, not recursed
+    # (visitor.rs:94-100)
+    bomb_inner = zip_archive({"payload.txt": b"data here"})
+    # make member whose name==parent name and size==parent size
+    name = "quine.zip"
+    # iterate: build zip whose member named quine.zip has exact same size
+    # as the enclosing zip. Construct by fixed-point iteration.
+    member = bomb_inner
+    for _ in range(10):
+        outer = zip_archive({name: member, "other.txt": b"hello world"})
+        if len(outer) == len(member):
+            break
+        member = b"\0" * len(outer)  # placeholder of matching size
+        outer = zip_archive({name: member, "other.txt": b"hello world"})
+    # walk with source name == member name and declared size == member size
+    rows = _walk_bytes(name, zip_archive({name: member, "other.txt": b"x" * 11}))
+    # can't force byte-exact equality easily; instead test the guard directly
+    from archive_to_parquet_spark.sources.walker import Walker, _StackFrame
+
+    w = Walker("quine.zip")
+    w.stack.append(_StackFrame("quine.zip", 123))
+    assert not w.begin_visit_archive("quine.zip", 123)
+    assert w.begin_visit_archive("quine.zip", 124)
+    assert w.begin_visit_archive("other.zip", 123)
+    # and all rows from the real walk are leaves with valid hashes
+    for r in rows:
+        assert r.hash == hashlib.sha256(r.content).digest()
+
+
+def test_max_depth_guard():
+    deep = tar_archive({"leaf.txt": b"bottom level"})
+    for i in range(5):
+        deep = tar_archive({f"level{i}.tar": deep})
+    rows = _walk_bytes("deep.tar", deep, ConvertOptions(max_depth=3))
+    # the level that exceeds depth is emitted as a raw tar blob row
+    assert len(rows) == 1
+    assert rows[0].format == "tar"
+    rows_full = _walk_bytes("deep.tar", deep, ConvertOptions(max_depth=16))
+    assert [(r.path, r.content) for r in rows_full] == [
+        (
+            "level4.tar/level3.tar/level2.tar/level1.tar/level0.tar/leaf.txt",
+            b"bottom level",
+        )
+    ]
+
+
+def test_truncated_gzip_emits_partial_content():
+    # gzip stream cut mid-member → truncated content emitted
+    # (reference src/batch.rs:41-59)
+    payload = b"A" * 100_000
+    blob = gzip_data(payload)
+    truncated = blob[: len(blob) // 2]
+    rows = _walk_bytes("trunc.gz", truncated)
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < len(r.content) < len(payload)
+    assert r.content == payload[: len(r.content)]
+    assert r.hash == hashlib.sha256(r.content).digest()
+    assert r.size == len(r.content)
+
+
+def test_truncated_tar_stops_at_bad_entry():
+    tar = tar_archive({"good.txt": b"G" * 600, "later.txt": b"L" * 600})
+    truncated = tar[: 512 + 600]  # header + part of first member region
+    rows = _walk_bytes("trunc.tar", truncated)
+    # first member may be emitted (possibly truncated); iteration stops
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0].path == "good.txt"
+
+
+def test_extract_strings_rewrites_executables():
+    # content/hash/size rewritten to newline-joined ascii runs
+    # (reference src/batch.rs:114-121); non-executables untouched
+    tar = tar_archive({"bin/tool": FAKE_ELF, "doc.txt": b"hello text file"})
+    rows = _walk_bytes("exe.tar", tar, ConvertOptions(extract_strings=True))
+    by_path = {r.path: r for r in rows}
+    exe = by_path["bin/tool"]
+    assert exe.format == "executable"
+    text = exe.content.decode("ascii")
+    assert "here is a long printable run one" in text
+    assert "short" not in text.split("\n")  # below min_len 10
+    assert exe.size == len(exe.content)
+    assert exe.hash == hashlib.sha256(exe.content).digest()
+    doc = by_path["doc.txt"]
+    assert doc.content == b"hello text file"
+
+
+def test_exe_without_flag_keeps_raw_bytes():
+    tar = tar_archive({"bin/tool": FAKE_ELF})
+    rows = _walk_bytes("exe.tar", tar, ConvertOptions(extract_strings=False))
+    assert rows[0].content == FAKE_ELF
+    assert rows[0].format == "executable"
+    assert rows[0].hash == hashlib.sha256(FAKE_ELF).digest()
+
+
+def test_zip_inside_gzip_inside_tar():
+    inner_zip = zip_archive({"n.txt": b"nested content"})
+    gz = gzip_data(inner_zip)
+    outer = tar_archive({"wrapped.zip.gz": gz})
+    rows = _walk_bytes("outer.tar", outer)
+    assert [(r.path, r.content) for r in rows] == [
+        ("wrapped.zip.gz/n.txt", b"nested content")
+    ]
