@@ -59,18 +59,33 @@ def shingles_col(text_col: str, n: int = 3):
     )
 
 
-def _minhash_signature_col(shingles, num_hashes: int, seed: int = 42):
-    """MinHash signature as array<long>: per hash function i, the min over
-    shingles of xxhash64(shingle, seed+i). Pure expressions — the per-row
-    cost is num_hashes × shingles hash evaluations, all codegen'd."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
-            ).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures via explode → groupBy(id) with ``num_hashes``
+    ``min(xxhash64(shingle, i))`` aggregates.
+
+    Why not a single array expression per row: Catalyst's CollapseProject
+    inlines a shingle-array expression into every one of the N min-hash
+    evaluations (and again into each LSH band hash), recomputing the
+    split/slice chain N× per row. The explode+agg form computes shingles
+    once, gets map-side partial mins (tiny shuffle: one row per (id,
+    partial)), and each ``mh_i`` is a concrete attribute afterwards.
+    Returns (id, mh_0..mh_{n-1}, n_shingles)."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_col(text_col, shingle_n))).alias("g"),
     )
+    aggs = [
+        F.min(F.xxhash64("g", F.lit(seed + i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("id").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
 def minhash_near_duplicates(
@@ -97,12 +112,10 @@ def minhash_near_duplicates(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
 
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        _minhash_signature_col(shingles_col(text_col, shingle_n), num_hashes).alias(
-            "sig"
-        ),
-    )
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).withColumn("sig", F.array(*mh_cols))
 
     banded = sig.select(
         "id",
@@ -113,13 +126,10 @@ def minhash_near_duplicates(
                     F.struct(
                         F.lit(b).alias("band_idx"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.col(mh_cols[b * rows_per_band + r])
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -217,36 +227,51 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
+    """Exact n-gram Jaccard pairs ≥ threshold, with AllPairs-style prefix
+    filtering for candidate generation.
 
-    Inverted-index design: explode shingles → self-join on shingle →
-    count shared shingles per pair → Jaccard = shared / (|A|+|B|-shared).
-    No all-pairs compare; the shuffle key is the shingle. Hot shingles
-    (stopword trigrams) are the skew risk — cap df per shingle upstream
-    for the 100 TB path (drop shingles appearing in > capN docs, standard
-    prefix-filtering trick).
+    A naive inverted index (join every doc pair sharing ANY shingle)
+    explodes on hot shingles. Prefix filtering is exact-preserving: rank
+    each doc's shingles by global rarity (document frequency, then
+    shingle — a total order); if J(a,b) ≥ t then the overlap O ≥
+    t·max(|a|,|b|), so the (|x| − ⌈t·|x|⌉ + 1)-length rare-prefixes of a
+    and b must intersect. Candidates therefore join only on prefix
+    shingles — the rarest ones, with the fewest collisions — and the
+    exact score is computed per candidate with array_intersect. Shuffle
+    keys: shingle (freq + candidate joins), id (rank window, score
+    joins); no all-pairs stage anywhere, so the plan scales with
+    candidate count, not n².
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_col(text_col, shingle_n)).alias("sh"),
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    exploded = sh.select("id", F.explode("sh").alias("g"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
+    exploded = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count("*").alias("df_g"))
+    w = Window.partitionBy("id").orderBy("df_g", "g")
+    prefix = (
+        exploded.join(freq, "g")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(
+            F.col("rank") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("id", "g")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        shared.join(sa, "id_a")
+        candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.col("shared").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+            shared.cast("double") / (F.size("sh_a") + F.size("sh_b") - shared),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

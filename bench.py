@@ -1,0 +1,143 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR plus an
+archive-ingest throughput microbench.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "ingest": {...}}
+
+Queries execute via a noop write (computes every column, no sink cost);
+the first timed query follows a small warm-up so JVM/codegen startup
+isn't billed to it.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import tarfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Queries that exercise the distinct physical paths: scan+project+hash,
+# hash agg, big-big join + broadcast dims, window, sessionization,
+# shingle join, minhash LSH, broadcast ANN, regex-heavy text ops.
+HEADLINE = [
+    "q1_projection_hash",
+    "q4_dedup_hash_groups",
+    "q6_union_group",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_window_top3_per_cust",
+    "rel_events_hourly",
+    "rel_sessionize",
+    "dedup_exact_docs",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "text_lang_id",
+    "ann_cosine_topk",
+]
+
+_INGEST_MEMBERS = 512
+_INGEST_MEMBER_BYTES = 64 * 1024  # 512 × 64 KiB × 16 inputs = 512 MiB
+_INGEST_INPUTS = 16
+
+
+def _ingest_fixture(
+    tmp_dir: str, n_inputs: int = _INGEST_INPUTS
+) -> tuple[list[str], int]:
+    """Deterministic tar fixtures for the ingest bench (cached). Member
+    size ~64 KiB approximates the baseline workload's ~95 KiB average
+    entry (BASELINE.md: 25.23 GB / 263,862 entries)."""
+    os.makedirs(tmp_dir, exist_ok=True)
+    paths = []
+    total = 0
+    for i in range(n_inputs):
+        path = os.path.join(
+            tmp_dir, f"bench_{i}_{_INGEST_MEMBERS}x{_INGEST_MEMBER_BYTES}.tar"
+        )
+        paths.append(path)
+        total += _INGEST_MEMBERS * _INGEST_MEMBER_BYTES
+        if os.path.exists(path):
+            continue
+        with tarfile.open(path, "w") as tf:
+            for m in range(_INGEST_MEMBERS):
+                # deterministic pseudo-random-ish bytes, cheap to produce
+                unit = (
+                    f"input{i} member{m} ".encode() * 16
+                    + bytes((m * 31 + j * 7 + i) % 251 for j in range(256))
+                )
+                reps = _INGEST_MEMBER_BYTES // len(unit) + 1
+                data = (unit * reps)[:_INGEST_MEMBER_BYTES]
+                info = tarfile.TarInfo(f"dir{m % 16}/file_{m}.bin")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+    return paths, total
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+
+    from archive_to_parquet_spark import queries as catalog
+    from archive_to_parquet_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    def run_noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: JVM, codegen, parquet footer caches
+    run_noop(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+
+    qs = catalog.queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        run_noop(qs[name](spark, sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+
+    # ingest throughput: recursive walk + hash + filters, noop sink
+    from archive_to_parquet_spark.options import ConvertOptions
+    from archive_to_parquet_spark.plans.convert import entries_pipeline
+
+    paths, total_bytes = _ingest_fixture("/tmp/a2p_bench_fixtures")
+    # warm-up with one input: python-worker spawn + module import are
+    # one-time costs the 25 GB baseline run amortizes away; our fixture
+    # is 0.5 GB so they'd dominate a cold measurement
+    run_noop(entries_pipeline(spark, paths, ConvertOptions(threads=cpus)))
+    t0 = time.time()
+    run_noop(entries_pipeline(spark, paths, ConvertOptions(threads=cpus)))
+    ingest_sec = time.time() - t0
+    ingest = {
+        "sec": round(ingest_sec, 3),
+        "bytes": total_bytes,
+        "mb_per_s": round(total_bytes / ingest_sec / 1e6, 1),
+        "entries": _INGEST_MEMBERS * len(paths),
+        "entries_per_s": round(_INGEST_MEMBERS * len(paths) / ingest_sec, 0),
+    }
+
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest": ingest,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
