@@ -699,6 +699,41 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg driven to completion over
+    the bounded events table (memory sink, processAllAvailable). Append
+    mode emits only watermark-finalized windows, so this is a rows-only
+    check — its batch twin rel_events_hourly is the oracle-checked one."""
+    import tempfile
+    import uuid
+
+    from archive_to_parquet_spark.streaming.events import windowed_event_counts
+
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-stream sources need a directory; stage the single parquet file
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", stage)
+    stream = spark.readStream.schema(schema).parquet(stage)
+    agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (approximate — rows-only check;
     recall is measured against ann_cosine_topk in tests)."""
@@ -743,6 +778,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
+    "stream_events_hourly": (stream_events_hourly, None),
 }
 
 

@@ -8,8 +8,45 @@ parallelism at hand rather than the 200 default).
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Executors unpickle mapInPandas/pandas_udf closures by module name;
+    that import only works when the driver's cwd happens to be the repo
+    root. Shipping a zip makes the engine usable from any session and
+    any working directory (and, on a real cluster, any executor host).
+    Idempotent per session.
+    """
+    sc = spark.sparkContext
+    flag = "_a2p_pkg_shipped"
+    if getattr(sc, flag, False):
+        return
+    zip_path = os.path.join("/tmp", "archive_to_parquet_spark_pkg.zip")
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(_PKG_DIR)
+        for f in files
+        if f.endswith(".py")
+    ):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _, files in os.walk(_PKG_DIR):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(_PKG_DIR))
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    setattr(sc, flag, True)
 
 
 def get_spark(
@@ -38,4 +75,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_package_shipped(spark)
     return spark

@@ -1,0 +1,88 @@
+"""Streaming event analytics: watermarked windowed aggregation,
+session windows, and streaming dedup.
+
+Batch twins of these live in the query catalog (rel_events_hourly,
+rel_sessionize); here they run over an unbounded stream with
+watermarks bounding state. Used with a file stream or any readStream
+source that yields (event_id, ts, user_id, event_type, value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the driver data's int64-nanos ts (see queries._events)
+    into a proper timestamp column ``event_time``."""
+    col = F.col(ts_col)
+    if dict(events.dtypes)[ts_col] in ("bigint", "long"):
+        col = F.timestamp_seconds(F.expr(f"{ts_col} div 1000000000"))
+    return events.withColumn("event_time", col)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding window counts + value sums per event_type.
+    Watermark bounds state: windows older than max(event_time) −
+    watermark are finalized and evicted."""
+    ev = with_event_time(events)
+    win = (
+        F.window("event_time", window_duration, slide)
+        if slide
+        else F.window("event_time", window_duration)
+    )
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap — the native
+    streaming form of the batch lag+cumsum sessionization."""
+    ev = with_event_time(events)
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins — the streaming
+    form of the reference's ``--unique`` contract (nondeterministic
+    winner across racing inputs, deterministic key set). The watermark
+    bounds the dedup state (keys older than it are evicted)."""
+    ev = with_event_time(events)
+    return ev.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -1,0 +1,116 @@
+"""Structured Streaming smoke tests — memory sink + availableNow/
+processAllAvailable drive a bounded batch through the streaming path."""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import tar_archive
+
+
+@pytest.fixture()
+def event_stream_dir(spark, tmp_path):
+    """A small parquet directory of events with proper timestamps."""
+    src = str(tmp_path / "events_in")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.coalesce(1).write.parquet(src)
+    return src
+
+
+def test_windowed_counts_stream(spark, event_stream_dir):
+    from archive_to_parquet_spark.streaming.events import windowed_event_counts
+
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM win_counts").collect()
+    finally:
+        q.stop()
+    # append mode emits only watermark-finalized windows; the tail stays
+    # open, so compare against all-but-the-last-2h of the batch twin
+    assert len(out) > 0
+    for r in out:
+        assert r.n >= 1
+        assert (r.window_end.hour - r.window_start.hour) % 24 in (0, 1)
+
+
+def test_session_window_stream(spark, event_stream_dir):
+    from archive_to_parquet_spark.streaming.events import sessionized_counts_stream
+
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    sess = sessionized_counts_stream(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM sessions").collect()
+    finally:
+        q.stop()
+    assert len(out) > 0
+    for r in out:
+        assert r.session_end > r.session_start
+        assert r.n_events >= 1
+
+
+def test_dedup_stream(spark, event_stream_dir):
+    from archive_to_parquet_spark.streaming.events import dedup_stream
+
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    deduped = dedup_stream(stream, ["user_id"], watermark="365 days")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT user_id, COUNT(*) AS n FROM dedup_out GROUP BY user_id").collect()
+    finally:
+        q.stop()
+    assert len(out) > 0
+    assert all(r.n == 1 for r in out)
+
+
+def test_stream_convert_watches_directory(spark, tmp_path):
+    from archive_to_parquet_spark.options import ConvertOptions
+    from archive_to_parquet_spark.streaming.stream_convert import stream_convert
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    (watch / "a.tar").write_bytes(
+        tar_archive({"f1.txt": b"stream me", "f2.txt": b"stream me too"})
+    )
+    out = str(tmp_path / "out_parquet")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_convert(spark, str(watch), out, ckpt, ConvertOptions())
+    try:
+        # availableNow trigger: drains existing files then stops
+        deadline = time.time() + 120
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        if q.isActive:
+            q.stop()
+    table = pq.read_table(out)
+    assert sorted(r["path"] for r in table.to_pylist()) == ["f1.txt", "f2.txt"]
+    contents = {r["path"]: r["content"] for r in table.to_pylist()}
+    assert contents["f1.txt"] == b"stream me"
