@@ -1,0 +1,101 @@
+"""Join operators Spark lacks natively: as-of join and range join.
+
+Both are implemented as compositions of built-in ops (SURVEY.md §2.8 /
+the custom-operator preference order): no Python in the hot path, no
+all-pairs blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: for each left row, attach the right row with the
+    largest ``right_time <= left_time`` (direction='backward'; 'forward'
+    = smallest ``>=``), per ``on`` key.
+
+    Implementation: union both sides tagged, one window sorted by (key,
+    time) carrying ``last_value(right payload) IGNORE NULLS`` — a single
+    shuffle on the key, linear scan per key, no join at all. This is the
+    scalable form: a naive non-equi join is O(n·m) per key; merge_asof
+    via applyInPandas materializes per-key pandas frames. The union+
+    window runs wholly in Tungsten.
+
+    Right payload columns are suffixed. Left rows with no match get
+    nulls, exactly like ``pd.merge_asof``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lcols = left.columns
+    rcols = [c for c in right.columns if c not in (on, right_time)]
+    r_payload = [F.col(c).alias(c + suffix) for c in rcols]
+
+    tagged_l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c + suffix) for c in rcols],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *r_payload,
+    )
+    both = tagged_l.unionByName(tagged_r)
+
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal time (<= semantics)
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
+    filled = both.select(
+        "__is_left",
+        *[F.col(c) for c in lcols],
+        *[
+            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
+            for c in rcols
+        ],
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join(
+    left: DataFrame,
+    bands: DataFrame,
+    value: str,
+    lo: str = "lo",
+    hi: str = "hi",
+) -> DataFrame:
+    """Band/range join: attach the band row where ``lo <= value < hi``.
+
+    ``bands`` is small (a dimension of intervals) → broadcast
+    nested-loop with both range predicates; Spark evaluates it as
+    BroadcastNestedLoopJoin, cost = |left| × |bands| comparisons with
+    |bands| tiny. For large interval tables, bucketize ``value`` to
+    equi-join on bucket + residual filter instead.
+    """
+    cond: Column = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
+    return left.join(F.broadcast(bands), cond, "left")

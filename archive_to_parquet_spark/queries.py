@@ -453,6 +453,250 @@ FROM part GROUP BY p_brand
 """
 
 
+def rel_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — hierarchical subtotals."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+REL_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def rel_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all subtotal combinations."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+REL_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       round(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+REL_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority."""
+    piv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_finished"),
+        F.coalesce("P", F.lit(0)).alias("n_pending"),
+    )
+
+
+REL_PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: customers with urgent orders but no low-priority
+    orders, and the intersection size as a second marker column."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    # subtract = SQL EXCEPT (set semantics); exceptAll would be the
+    # multiset form and keeps customers with more urgent than low orders
+    return urgent.subtract(low).select(F.col("o_custkey").alias("custkey"))
+
+
+REL_SET_OPS_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def rel_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks the user's most recent click
+    at-or-before it (window implementation — operators/joins.py; DuckDB's
+    native ASOF JOIN is the oracle). Times keyed on exact int64 nanos so
+    ties cannot arise."""
+    from archive_to_parquet_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("t_ns")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t_ns"),
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="t_ns", right_time="t_ns"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("click_value_right", 4).alias("click_value"),
+        F.col("click_event_id_right").alias("click_event_id"),
+    )
+
+
+REL_ASOF_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS t_ns FROM events),
+p AS (SELECT event_id, user_id, t_ns FROM e WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_event_id, user_id, value AS click_value, t_ns FROM e WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       round(c.click_value, 4) AS click_value,
+       c.click_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.t_ns <= p.t_ns
+"""
+
+
+def rel_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: bucket orders into price bands via broadcast interval
+    join (operators/joins.py range_join)."""
+    from archive_to_parquet_spark.operators.joins import range_join
+
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 50_000.0),
+            ("mid", 50_000.0, 150_000.0),
+            ("high", 150_000.0, 300_000.0),
+            ("whale", 300_000.0, 10_000_000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    orders = _t(spark, sf_dir, "orders")
+    joined = range_join(orders, bands, "o_totalprice")
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+REL_RANGE_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+         ('high', 150000.0, 300000.0), ('whale', 300000.0, 10000000.0)
+)
+SELECT band, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total
+FROM orders LEFT JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+def rel_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events props column + agg."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+    )
+
+
+REL_JSON_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+REL_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(MIN(value), 4) AS vmin,
+       round(MAX(value), 4) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams across the corpus — explode → count → top-k
+    with deterministic (count desc, gram asc) order."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .filter(F.length("bigram") > 0)
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+TEXT_BIGRAM_SQL = r"""
+WITH w AS (
+  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+  FROM documents
+), b AS (
+  SELECT unnest([array_to_string(words[i:i+1], ' ')
+                 for i in generate_series(1, greatest(len(words) - 1, 1))]) AS bigram
+  FROM w
+)
+SELECT bigram, COUNT(*) AS n FROM b WHERE length(bigram) > 0
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -767,6 +1011,16 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rel_sessionize": (rel_sessionize, REL_SESSIONIZE_SQL),
     "rel_supplier_balance_by_nation": (rel_supplier_balance_by_nation, REL_SUPPLIER_SQL),
     "rel_part_type_stats": (rel_part_type_stats, REL_PART_SQL),
+    "rel_rollup_sales": (rel_rollup_sales, REL_ROLLUP_SQL),
+    "rel_cube_orders": (rel_cube_orders, REL_CUBE_SQL),
+    "rel_grouping_sets": (rel_grouping_sets, REL_GROUPING_SETS_SQL),
+    "rel_pivot_status": (rel_pivot_status, REL_PIVOT_SQL),
+    "rel_set_ops": (rel_set_ops, REL_SET_OPS_SQL),
+    "rel_asof_click_before_purchase": (rel_asof_click_before_purchase, REL_ASOF_SQL),
+    "rel_range_join_price_bands": (rel_range_join_price_bands, REL_RANGE_JOIN_SQL),
+    "rel_json_props": (rel_json_props, REL_JSON_SQL),
+    "rel_percentiles": (rel_percentiles, REL_PERCENTILES_SQL),
+    "text_bigram_topk": (text_bigram_topk, TEXT_BIGRAM_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash": (dedup_minhash, None),

@@ -1,0 +1,47 @@
+"""as-of and range join operator semantics."""
+
+from __future__ import annotations
+
+from archive_to_parquet_spark.operators.joins import asof_join, range_join
+
+
+def test_asof_backward(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 25, 2), ("B", 5, 3)],
+        "sym string, t long, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 100.0), ("A", 10, 101.0), ("A", 20, 102.0), ("B", 9, 50.0)],
+        "sym string, t long, px double",
+    )
+    out = {
+        r.trade_id: r.px_right
+        for r in asof_join(trades, quotes, "sym", "t", "t").collect()
+    }
+    assert out[1] == 101.0  # equal time matches (<= semantics)
+    assert out[2] == 102.0  # latest quote before t=25
+    assert out[3] is None  # B's only quote is at t=9 > 5
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([("k", 10, 1)], "g string, t long, id long")
+    right = spark.createDataFrame(
+        [("k", 5, 1.0), ("k", 12, 2.0), ("k", 30, 3.0)],
+        "g string, t long, v double",
+    )
+    out = asof_join(left, right, "g", "t", "t", direction="forward").collect()
+    assert out[0].v_right == 2.0  # earliest right at-or-after t=10
+
+
+def test_range_join_bands(spark):
+    rows = spark.createDataFrame(
+        [(1, 5.0), (2, 49.999), (3, 50.0), (4, 150.0)], "id long, v double"
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 50.0), ("b", 50.0, 150.0)], "band string, lo double, hi double"
+    )
+    out = {r.id: r.band for r in range_join(rows, bands, "v").collect()}
+    assert out[1] == "a"
+    assert out[2] == "a"
+    assert out[3] == "b"  # lo inclusive
+    assert out[4] is None  # hi exclusive, no band matches
