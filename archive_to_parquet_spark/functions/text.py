@@ -35,6 +35,38 @@ def token_count_col(text: Column | str, mode: str = "whitespace") -> Column:
     raise ValueError(f"unknown token mode {mode!r}")
 
 
+# -- word n-gram shingles ------------------------------------------------------
+
+
+def word_ngrams_col(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (lowercased, whitespace-split).
+
+    Built by zipping the word array with its k-shifted slices and
+    concatenating per element. The naive form —
+    ``transform(sequence(...), i -> concat_ws(' ', slice(words, i+1, n)))``
+    — embeds the whole ``words`` expression inside the lambda, so Spark
+    re-evaluates the split per SHINGLE (O(words²) per row; measured 2.5×
+    slower at sf0.1, worse with element_at). Here every shifted slice is
+    evaluated once per row and the lambda touches only its own element.
+
+    Trailing semantics match the reference oracle: exactly
+    ``max(len-n+1, 1)`` shingles; documents shorter than ``n`` words
+    yield one shingle of all their words (arrays_zip pads with null,
+    concat_ws skips nulls).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    shifted = [words] + [
+        F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(1)))
+        for k in range(1, n)
+    ]
+    zipped = F.slice(F.arrays_zip(*shifted), 1, n_sh)
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
+    )
+
+
 # -- language ID (stopword-hit heuristic) ------------------------------------
 
 # Tiny per-language stopword lists; the heuristic scores each language by

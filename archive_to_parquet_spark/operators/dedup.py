@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from archive_to_parquet_spark.functions.text import simhash64
-from archive_to_parquet_spark.functions.vectors import cosine_similarity_col
 
 
 def dedup_exact(df: DataFrame, key: str = "hash") -> DataFrame:
@@ -46,17 +45,11 @@ def dedup_exact_deterministic(
 
 
 def shingles_col(text_col: str, n: int = 3):
-    """Word n-gram shingle array (lowercased, whitespace-normalized).
+    """Word n-gram shingle array — see functions.text.word_ngrams_col for
+    the per-row-evaluation rationale."""
+    from archive_to_parquet_spark.functions.text import word_ngrams_col
 
-    Built from pure expressions: split → sliding window via transform over
-    an index sequence. Stays JVM-side.
-    """
-    words = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
-    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), n_sh - 1)
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
-    )
+    return word_ngrams_col(text_col, n)
 
 
 def minhash_signatures(
@@ -255,11 +248,19 @@ def ngram_jaccard_pairs(
         .filter(
             F.col("rank") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         )
-        .select("id", "g")
+        .select("id", "n_sh", "g")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # length filter (exact-preserving): J ≥ t ⇒ min(|a|,|b|)/max(|a|,|b|) ≥ t,
+    # so disparate-size pairs can't qualify — prunes most spurious collisions
     candidates = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -293,11 +294,16 @@ def embedding_near_duplicates(
     cosine filter. Deterministic planes derived from xxhash64(seed,i,dim)
     so no driver-side randomness ships to executors.
     """
+    from archive_to_parquet_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm_col,
+    )
     from archive_to_parquet_spark.operators.similarity import hyperplane_bucket_col
 
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        l2_norm_col(vec_col).alias("norm"),
         hyperplane_bucket_col(vec_col, num_planes, seed).alias("bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
@@ -309,7 +315,9 @@ def embedding_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_similarity_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            cosine_from_norms(
+                F.col("a.v"), F.col("b.v"), F.col("a.norm"), F.col("b.norm")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

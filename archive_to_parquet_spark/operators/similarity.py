@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from archive_to_parquet_spark.functions.vectors import cosine_similarity_col
+from archive_to_parquet_spark.functions.vectors import (
+    cosine_from_norms,
+    l2_norm_col,
+)
 
 
 def hyperplane_bucket_col(vec_col, num_planes: int = 8, seed: int = 42):
@@ -61,18 +64,33 @@ def brute_force_top_k(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × scan corpus → window top-k.
 
-    Deterministic output: ties broken by corpus id. Returns
+    Deterministic output: ties broken by corpus id. ``round_to`` rounds
+    the score BEFORE ranking so float noise can't flip cross-engine
+    orderings (used by the oracle-checked catalog entry). Returns
     (query_id, vec_id, cosine, rank).
     """
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("cv"))
+    # norms computed once per ROW below the join (the join node blocks
+    # projection collapse), so each of the |corpus|×|queries| pairs pays
+    # only the dot product
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        l2_norm_col(query_vec).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("cv"),
+        l2_norm_col(corpus_vec).alias("cn"),
+    )
+    score = cosine_from_norms("cv", "qv", "cn", "qn")
+    if round_to is not None:
+        score = F.round(score, round_to)
     scored = c.join(F.broadcast(q)).select(
-        "query_id",
-        "vec_id",
-        cosine_similarity_col(F.col("cv"), F.col("qv")).alias("cosine"),
+        "query_id", "vec_id", score.alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -107,11 +125,13 @@ def lsh_top_k(
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("cv"),
+        l2_norm_col(corpus_vec).alias("cn"),
         hyperplane_bucket_col(corpus_vec, num_planes, seed).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
+        l2_norm_col(query_vec).alias("qn"),
         hyperplane_bucket_col(query_vec, num_planes, seed).alias("bucket0"),
     )
     # multi-probe: home bucket + single-bit flips (and optionally 2-bit)
@@ -127,13 +147,13 @@ def lsh_top_k(
             for b2 in range(b1 + 1, num_planes)
         ]
     q_probed = q.select(
-        "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+        "query_id", "qv", "qn", F.explode(F.array(*probes)).alias("bucket")
     ).dropDuplicates(["query_id", "bucket"])
 
     scored = c.join(F.broadcast(q_probed), "bucket").select(
         "query_id",
         "vec_id",
-        cosine_similarity_col(F.col("cv"), F.col("qv")).alias("cosine"),
+        cosine_from_norms("cv", "qv", "cn", "qn").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()

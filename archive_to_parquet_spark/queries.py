@@ -38,7 +38,6 @@ from archive_to_parquet_spark.functions.text import (
     stopword_pattern,
     token_count_col,
 )
-from archive_to_parquet_spark.functions.vectors import cosine_similarity_col
 from archive_to_parquet_spark.operators.dedup import (
     minhash_near_duplicates,
     simhash_near_duplicates,
@@ -667,12 +666,10 @@ FROM events GROUP BY event_type
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams across the corpus — explode → count → top-k
     with deterministic (count desc, gram asc) order."""
+    from archive_to_parquet_spark.functions.text import word_ngrams_col
+
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
-    )
+    bigrams = word_ngrams_col("text", 2)
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .filter(F.length("bigram") > 0)
@@ -902,25 +899,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10: every 50th vector queries the corpus.
     Broadcast queries × one corpus scan; rank on the ROUNDED score so
     float noise can't flip the deterministic (score, vec_id) order."""
+    from archive_to_parquet_spark.operators.similarity import brute_force_top_k
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    scored = emb.join(F.broadcast(q)).select(
-        "query_id",
-        "vec_id",
-        F.round(cosine_similarity_col(F.col("embedding"), F.col("qv")), 6).alias(
-            "cosine"
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    topk = brute_force_top_k(emb, q, k=10, round_to=6)
+    return topk.select("query_id", "vec_id", "cosine", "rank")
 
 
 ANN_TOPK_SQL = """
