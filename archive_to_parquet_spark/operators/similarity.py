@@ -56,6 +56,89 @@ def hyperplane_bucket_col(vec_col, num_planes: int = 8, seed: int = 42):
     return bucket.cast("int")
 
 
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means the corpus into
+    ``n_list`` centroid buckets, probe the ``n_probe`` nearest buckets
+    per query, exact cosine re-rank inside probed buckets.
+
+    The centroid model is learned distributed (Spark ML KMeans over the
+    corpus — one pass per iteration, no driver materialization of
+    vectors); bucket assignment is the model's JVM transform. Queries
+    pick probe buckets via a broadcast centroid table (always tiny:
+    ``n_list`` rows) — a |queries|×n_list scored join, ranked to
+    n_probe. At scale, persist the bucketed corpus once
+    (``write.bucketBy(n_list, 'bucket')``) and amortize training across
+    query batches; recall/latency trades via n_probe exactly like the
+    LSH multi-probe knob.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("cv"),
+        l2_norm_col(corpus_vec).alias("cn"),
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_list, seed=seed, maxIter=10).fit(c.select("features"))
+    bucketed = model.transform(c).select(
+        "vec_id", "cv", "cn", F.col("prediction").alias("bucket")
+    )
+
+    centroids = model.clusterCenters()  # n_list small vectors — driver-safe
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+        "bucket int, centroid array<double>",
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        l2_norm_col(query_vec).alias("qn"),
+    )
+    # score queries against every centroid (broadcast n_list rows),
+    # keep the n_probe nearest by euclidean distance (kmeans' metric)
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probed = q.join(F.broadcast(cent_df)).select(
+        "query_id", "qv", "qn", "bucket", dist2.alias("d2")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("bucket").asc())
+    q_probes = (
+        probed.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "qn", "bucket")
+    )
+
+    scored = bucketed.join(F.broadcast(q_probes), "bucket").select(
+        "query_id",
+        "vec_id",
+        cosine_from_norms("cv", "qv", "cn", "qn").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def brute_force_top_k(
     corpus: DataFrame,
     queries: DataFrame,

@@ -929,6 +929,19 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means buckets + n_probe nearest lists;
+    approximate — rows-only check, recall measured vs brute force in
+    tests)."""
+    from archive_to_parquet_spark.operators.similarity import ivf_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_top_k(emb, q, k=10, n_list=16, n_probe=4)
+
+
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window agg driven to completion over
     the bounded events table (memory sink, processAllAvailable). Append
@@ -1018,6 +1031,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, None),
     "stream_events_hourly": (stream_events_hourly, None),
 }
 

@@ -113,16 +113,33 @@ def sniff_stream(stream) -> tuple[str, io.BufferedReader]:
 
 
 class _RawAdapter(io.RawIOBase):
-    """Adapt any .read()-able object to RawIOBase for BufferedReader."""
+    """Adapt any .read()-able object to RawIOBase for BufferedReader.
+
+    Decoder errors (truncated gzip/bz2/xz streams, CRC failures) are
+    converted to EOF so partially-readable content is emitted as-is —
+    the reference's ``infallable_copy`` contract (src/batch.rs:41-59).
+    This sits below BOTH the sniffing peek and the content copy, so a
+    stream cut anywhere (even inside the first 262 bytes) yields a
+    truncated row, never a crash.
+    """
 
     def __init__(self, inner):
         self._inner = inner
+        self._failed = False
 
     def readable(self) -> bool:
         return True
 
     def readinto(self, b) -> int:
-        data = self._inner.read(len(b))
+        if self._failed:
+            return 0
+        import zlib
+
+        try:
+            data = self._inner.read(len(b))
+        except (OSError, EOFError, zlib.error, lzma.LZMAError) as _:
+            self._failed = True
+            return 0
         if not data:
             return 0
         b[: len(data)] = data

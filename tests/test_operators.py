@@ -115,6 +115,25 @@ def test_lsh_topk_recall_against_brute_force(spark):
             assert r.query_id == r.vec_id
 
 
+def test_ivf_topk_recall_against_brute_force(spark):
+    from archive_to_parquet_spark.operators.similarity import ivf_top_k
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_top_k(emb, q, k=5).collect()
+    approx = ivf_top_k(emb, q, k=5, n_list=8, n_probe=3).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # the query vector itself lands in its own probed bucket → rank 1
+    for r in approx:
+        if r.rank == 1:
+            assert r.query_id == r.vec_id
+
+
 def test_language_id_heuristic(spark):
     from archive_to_parquet_spark.functions.text import language_id_col
 

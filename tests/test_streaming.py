@@ -6,6 +6,7 @@ from __future__ import annotations
 import time
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 import pytest
 
 from tests.conftest import tar_archive
@@ -88,6 +89,38 @@ def test_dedup_stream(spark, event_stream_dir):
         q.stop()
     assert len(out) > 0
     assert all(r.n == 1 for r in out)
+
+
+def test_stateful_running_user_stats(spark, event_stream_dir):
+    from archive_to_parquet_spark.streaming.stateful import running_user_stats
+
+    schema = spark.read.parquet(event_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    stats = running_user_stats(stream)
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {
+            r.user_id: r
+            for r in spark.sql(
+                # update mode may emit a row per micro-batch; keep the latest
+                "SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn FROM user_stats) WHERE rn = 1"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    # cross-check against the batch ground truth
+    batch = spark.read.parquet(event_stream_dir).groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    for r in batch.collect():
+        assert out[r.user_id].n_events == r.n
+        assert abs(out[r.user_id].total_value - r.total) < 1e-6
 
 
 def test_stream_convert_watches_directory(spark, tmp_path):
