@@ -694,6 +694,89 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+def rel_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: running sum + trailing-3 moving average per
+    customer over their order history."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    trailing3 = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(trailing3), 4).alias("moving_avg3"),
+    )
+
+
+REL_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(SUM(o_totalprice) OVER w_run, 2) AS running_total,
+       round(AVG(o_totalprice) OVER w_3, 4) AS moving_avg3
+FROM orders
+WINDOW
+  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def rel_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into an agg
+    + join): orders 1.5× above their customer's average."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sub")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        FROM orders_sub o
+        WHERE o_totalprice > 1.5 * (
+            SELECT AVG(o_totalprice) FROM orders_sub i
+            WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+REL_CORRELATED_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+    SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
+def rel_ship_delay_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: year/month extraction + day-difference agg across
+    the lineitem ⨝ orders join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        joined.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 4).alias(
+                "avg_ship_delay_days"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+REL_SHIP_DELAY_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       EXTRACT(month FROM o_orderdate) AS order_month,
+       round(AVG(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_ship_delay_days,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -1019,6 +1102,12 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rel_range_join_price_bands": (rel_range_join_price_bands, REL_RANGE_JOIN_SQL),
     "rel_json_props": (rel_json_props, REL_JSON_SQL),
     "rel_percentiles": (rel_percentiles, REL_PERCENTILES_SQL),
+    "rel_running_totals": (rel_running_totals, REL_RUNNING_SQL),
+    "rel_orders_above_customer_avg": (
+        rel_orders_above_customer_avg,
+        REL_CORRELATED_SQL,
+    ),
+    "rel_ship_delay_by_year": (rel_ship_delay_by_year, REL_SHIP_DELAY_SQL),
     "text_bigram_topk": (text_bigram_topk, TEXT_BIGRAM_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),

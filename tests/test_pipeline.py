@@ -106,6 +106,21 @@ def test_reference_column_mode(spark, fixture_archives):
     assert df.columns == ["source", "path", "size", "hash", "content"]
 
 
+def test_observability_counters(spark, fixture_archives):
+    from archive_to_parquet_spark.observability import observe_entries, stage_snapshot
+
+    df = entries_pipeline(spark, fixture_archives, ConvertOptions())
+    observed, resolve = observe_entries(df)
+    n = observed.count()
+    counters = resolve()
+    assert counters.entries_read == n == 6
+    assert counters.entries_read_bytes > 0
+    assert counters.distinct_sources == 2
+    assert 0 < counters.text_entries < 6
+    snap = stage_snapshot(spark)
+    assert snap.failed_tasks == 0
+
+
 def test_deterministic_dedup_winner(spark, fixture_archives):
     df = entries_pipeline(
         spark,
