@@ -91,7 +91,7 @@ def ivf_top_k(
         l2_norm_col(corpus_vec).alias("cn"),
         array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_list, seed=seed, maxIter=10).fit(c.select("features"))
+    model = KMeans(k=n_list, seed=seed, maxIter=5).fit(c.select("features"))
     bucketed = model.transform(c).select(
         "vec_id", "cv", "cn", F.col("prediction").alias("bucket")
     )

@@ -186,7 +186,7 @@ def q6_union_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_SQL = """
-SELECT source, COUNT(*) AS n_rows, SUM(n_chars) AS total_chars
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT * FROM documents WHERE doc_id % 2 = 0
   UNION ALL
@@ -305,8 +305,8 @@ REL_WINDOW_SQL = """
 SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
   FROM orders
 ) WHERE rn <= 3
 """
@@ -636,7 +636,7 @@ def rel_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REL_JSON_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS n_with_k
 FROM events GROUP BY event_type
 """
