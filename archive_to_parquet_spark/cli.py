@@ -64,9 +64,21 @@ def get_paths(raw_paths: list[str]) -> list[str]:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import logging
     import os
 
     args = build_parser().parse_args(argv)
+    if args.log_file:
+        try:
+            logging.basicConfig(
+                filename=args.log_file,
+                level=logging.INFO,
+                format="%(asctime)s %(levelname)s %(name)s %(message)s",
+            )
+        except OSError as e:
+            print(f"error: cannot open log file {args.log_file}: {e}", file=sys.stderr)
+            return 2
+        logging.getLogger(__name__).info("starting conversion: %s", vars(args))
     threads = args.threads or os.cpu_count() or 8
     options = ConvertOptions(
         threads=threads,
