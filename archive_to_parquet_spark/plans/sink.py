@@ -32,11 +32,24 @@ def write_parquet(
     output: str,
     options: ConvertOptions | None = None,
     mode: str = "overwrite",
+    partition_by_hash_prefix: bool = False,
 ) -> None:
+    """Write the entries table.
+
+    ``partition_by_hash_prefix`` is the 100 TB layout: directory
+    partitions on the first hash byte (256 uniform buckets, since
+    SHA-256 is uniform by construction) so point lookups and
+    incremental dedup prune 255/256 of the files before bloom filters
+    even load. Mutually exclusive with ``single_file``.
+    """
     options = options or ConvertOptions()
-    writer = (
-        df.coalesce(1) if options.single_file else df
-    ).write.mode(mode)
+    if partition_by_hash_prefix:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("hash_prefix", F.hex(F.substring("hash", 1, 1)))
+        writer = df.write.mode(mode).partitionBy("hash_prefix")
+    else:
+        writer = (df.coalesce(1) if options.single_file else df).write.mode(mode)
     writer = (
         writer.option("compression", options.compression)
         # dictionary: off globally, on for the low-cardinality string cols

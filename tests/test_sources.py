@@ -86,6 +86,40 @@ def test_custom_walker_subclass():
     assert w.archives_left == 2
 
 
+def test_zstd_input_without_module_is_clear_error(monkeypatch):
+    """zstd inputs need the optional zstandard module; without it the
+    error must be explicit, not a mis-sniffed empty row."""
+    import archive_to_parquet_spark.sources.walker as walker_mod
+
+    if walker_mod._HAS_ZSTD:
+        pytest.skip("zstandard installed in this environment")
+    blob = b"\x28\xb5\x2f\xfd" + b"\x00" * 64  # zstd frame magic
+    with pytest.raises(RuntimeError, match="zstandard"):
+        list(walk_stream("x.zst", io.BytesIO(blob), len(blob)))
+
+
+def test_hash_prefix_partitioned_sink(spark, tmp_path):
+    from archive_to_parquet_spark.plans.convert import entries_pipeline
+    from archive_to_parquet_spark.plans.sink import write_parquet
+
+    archive = tmp_path / "p.tar"
+    archive.write_bytes(
+        tar_archive({f"f{i}.txt": f"unique content {i}".encode() for i in range(40)})
+    )
+    df = entries_pipeline(spark, [str(archive)], ConvertOptions())
+    out = str(tmp_path / "parted")
+    write_parquet(df, out, ConvertOptions(), partition_by_hash_prefix=True)
+    import glob as g
+
+    dirs = sorted(g.glob(f"{out}/hash_prefix=*"))
+    assert len(dirs) > 5  # 40 uniform hashes spread over many prefixes
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    # partition pruning: a filter on hash_prefix scans one directory
+    one = dirs[0].split("=")[-1]
+    assert back.filter(back.hash_prefix == one).count() >= 1
+
+
 def test_sink_writes_tuned_parquet(spark, tmp_path):
     """K2 parity: dictionary on source/path only, stats present, snappy
     (reference src/sink.rs:23-55)."""
