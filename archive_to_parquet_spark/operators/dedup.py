@@ -248,11 +248,21 @@ def ngram_jaccard_pairs(
         .filter(
             F.col("rank") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         )
-        .select("id", "n_sh", "g")
+        .select("id", "n_sh", "rank", "g")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    # length filter (exact-preserving): J ≥ t ⇒ min(|a|,|b|)/max(|a|,|b|) ≥ t,
-    # so disparate-size pairs can't qualify — prunes most spurious collisions
+    # Two exact-preserving prunes on the candidate join (ppjoin family):
+    # - length filter: J ≥ t ⇒ min(|a|,|b|)/max(|a|,|b|) ≥ t;
+    # - positional filter: for the FIRST common token (positions pa, pb in
+    #   the shared rarity order) the remaining-suffix bound
+    #   1 + min(|a|−pa, |b|−pb) ≥ O must hold when the true overlap is O,
+    #   and J ≥ t ⇒ O ≥ ⌈t/(1+t)·(|a|+|b|)⌉ — prune matches below it.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    ubound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.rank"), F.col("b.n_sh") - F.col("b.rank")
+    )
     candidates = (
         a.join(
             b,
@@ -261,6 +271,7 @@ def ngram_jaccard_pairs(
             & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
             & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
         )
+        .filter(ubound >= alpha)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
