@@ -290,6 +290,92 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a pair/edge list → (id, component)
+    where component is the minimum id reachable from the node.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds — near-dup clusters are shallow (stars
+    around a few hubs), so a handful of rounds suffices. Each round is
+    one join + one agg, both shuffling on node id; lineage is truncated
+    with localCheckpoint so the plan doesn't grow per iteration. For
+    galaxy-scale graphs swap in alternating large-star/small-star — the
+    driver loop is the same shape.
+
+    Raises RuntimeError if not converged within max_iterations.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component"))
+                    < F.col("component")
+                ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash+LSH candidate pairs →
+    connected components → (id, component, is_representative) where the
+    representative is the min id per cluster. Singletons (no near-dup)
+    are their own representative."""
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, jaccard_threshold=jaccard_threshold, **minhash_kwargs
+    )
+    comp = connected_components(pairs)
+    ids = df.select(F.col(id_col).alias("id"))
+    labeled = ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    return labeled.withColumn(
+        "is_representative",
+        F.col("id")
+        == F.min("id").over(Window.partitionBy("component")),
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -978,6 +978,24 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash pairs → connected components → one
+    representative per cluster (iterative label propagation — not
+    SQL-expressible, rows-only check; exactness of the component
+    algorithm is unit-tested on known graphs)."""
+    from archive_to_parquet_spark.operators.dedup import near_duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = near_duplicate_clusters(
+        docs, "doc_id", "text", jaccard_threshold=0.5, num_hashes=32, bands=8
+    )
+    return labeled.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.col("is_representative").cast("int").alias("is_rep"),
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10: every 50th vector queries the corpus.
     Broadcast queries × one corpus scan; rank on the ROUNDED score so
@@ -1114,6 +1132,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_minhash": (dedup_minhash, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding_lsh": (dedup_embedding_lsh, None),
+    "dedup_near_clusters": (dedup_near_clusters, None),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),

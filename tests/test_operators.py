@@ -115,6 +115,39 @@ def test_lsh_topk_recall_against_brute_force(spark):
             assert r.query_id == r.vec_id
 
 
+def test_connected_components(spark):
+    from archive_to_parquet_spark.operators.dedup import connected_components
+
+    # two chains + a triangle + isolated pair: components {1..4}, {10,11,12}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_near_duplicate_clusters(spark, docs_with_dups):
+    from archive_to_parquet_spark.operators.dedup import near_duplicate_clusters
+
+    labeled = near_duplicate_clusters(
+        docs_with_dups, "doc_id", "text", jaccard_threshold=0.5,
+        num_hashes=32, bands=16,
+    ).collect()
+    by_id = {r.id: r for r in labeled}
+    # docs 1,2 (exact dup) and likely 3 (near) share a component
+    assert by_id[1].component == by_id[2].component
+    # singletons are their own representative
+    assert by_id[4].is_representative
+    assert by_id[5].is_representative
+    # exactly one representative per component
+    reps = {}
+    for r in labeled:
+        reps.setdefault(r.component, 0)
+        reps[r.component] += int(r.is_representative)
+    assert all(v == 1 for v in reps.values())
+
+
 def test_ivf_topk_recall_against_brute_force(spark):
     from archive_to_parquet_spark.operators.similarity import ivf_top_k
 
