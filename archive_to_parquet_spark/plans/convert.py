@@ -62,6 +62,45 @@ def entries_pipeline(
     return df
 
 
+def convert_incremental(
+    spark: SparkSession,
+    paths: list[str],
+    output: str,
+    options: ConvertOptions | None = None,
+    urls: bool = False,
+) -> ConversionCounters:
+    """Append-only conversion that skips content already present in
+    ``output`` (by hash) — the steady-state ingest mode for a growing
+    corpus: each batch pays one left-anti join against the existing
+    hash set instead of a full-table rewrite.
+
+    At scale: the anti join reads ONLY the hash column of the existing
+    dataset (column pruning; with the hash-prefix partitioned layout it
+    also prunes partitions), so cost tracks the new batch + the hash
+    index, not total corpus bytes. New rows may still duplicate each
+    other; ``options.unique`` dedups within the batch first.
+    """
+    import os
+
+    options = options or ConvertOptions()
+    df = entries_pipeline(spark, paths, options, urls=urls)
+    if os.path.exists(output):
+        existing_hashes = spark.read.parquet(output).select("hash")
+        df = df.join(existing_hashes, "hash", "left_anti")
+    obs = Observation("incremental_counters")
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("output_rows"),
+        F.coalesce(F.sum("size"), F.lit(0)).alias("output_bytes"),
+    )
+    # append mode; zero NEW rows is fine (everything already ingested)
+    write_parquet(df, output, options, mode="append")
+    return ConversionCounters(
+        output_rows=int(obs.get["output_rows"]),
+        output_bytes=int(obs.get["output_bytes"]),
+    )
+
+
 def convert(
     spark: SparkSession,
     paths: list[str],

@@ -663,6 +663,30 @@ FROM events GROUP BY event_type
 """
 
 
+def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function coverage: case, substring, replace, edit
+    distance — all deterministic per row."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.levenshtein("p_brand", F.lit("Brand#10")).alias("brand_dist"),
+        F.length("p_name").alias("name_len"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+REL_STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       upper(substring(p_name, 1, 8)) AS name_prefix,
+       regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devoweled,
+       levenshtein(p_brand, 'Brand#10') AS brand_dist,
+       CAST(length(p_name) AS INT) AS name_len,
+       reverse(p_brand) AS brand_rev
+FROM part
+"""
+
+
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams across the corpus — explode → count → top-k
     with deterministic (count desc, gram asc) order."""
@@ -1126,6 +1150,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         REL_CORRELATED_SQL,
     ),
     "rel_ship_delay_by_year": (rel_ship_delay_by_year, REL_SHIP_DELAY_SQL),
+    "rel_string_funcs": (rel_string_funcs, REL_STRING_FUNCS_SQL),
     "text_bigram_topk": (text_bigram_topk, TEXT_BIGRAM_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),

@@ -1,0 +1,69 @@
+"""Bucketed co-located join: no Exchange in the plan, same results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_to_parquet_spark.plans.bucketing import (
+    bucketed_join,
+    plan_has_exchange,
+    write_bucketed,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    import shutil
+
+    # stale managed-table dirs (e.g. from an interrupted run) block
+    # saveAsTable with LOCATION_ALREADY_EXISTS
+    for tbl in ("li_b", "ord_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    write_bucketed(li.withColumnRenamed("l_orderkey", "okey"), "li_b", "okey", 8)
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "okey"), "ord_b", "okey", 8)
+    yield "li_b", "ord_b"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_bucketed_join_is_exchange_free(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    # force the big-big (sort-merge) path: broadcast would sidestep the
+    # shuffle question entirely at this tiny scale
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, lt, rt, "okey")
+        # co-located buckets: the join plans with zero shuffle exchanges
+        assert not plan_has_exchange(
+            joined.select("okey", "l_quantity", "o_totalprice")
+        )
+        # whereas the plain (unbucketed) join must exchange
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_quantity", "o_totalprice"
+        )
+        assert plan_has_exchange(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_results_match_plain(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    joined = bucketed_join(spark, lt, rt, "okey")
+    n_bucketed = joined.count()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert n_bucketed == n_plain > 0
+    total_b = joined.agg(F.round(F.sum("l_quantity"), 2).alias("s")).collect()[0].s
+    plain_j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    total_p = plain_j.agg(F.round(F.sum("l_quantity"), 2).alias("s")).collect()[0].s
+    assert total_b == total_p

@@ -106,6 +106,30 @@ def test_reference_column_mode(spark, fixture_archives):
     assert df.columns == ["source", "path", "size", "hash", "content"]
 
 
+def test_convert_incremental_skips_existing(spark, fixture_archives, tmp_path):
+    from archive_to_parquet_spark.plans.convert import convert_incremental
+    from tests.conftest import tar_archive
+
+    out = str(tmp_path / "inc.parquet")
+    # first batch: everything is new
+    c1 = convert_incremental(spark, fixture_archives[:1], out, ConvertOptions())
+    assert c1.output_rows == 4
+    # same batch again: nothing new
+    c2 = convert_incremental(spark, fixture_archives[:1], out, ConvertOptions())
+    assert c2.output_rows == 0
+    assert pq.read_table(out).num_rows == 4
+    # a batch with one overlapping and one new file: only the new row lands
+    extra = tmp_path / "extra.tar"
+    extra.write_bytes(
+        tar_archive({"dup_again.txt": b"tar member text", "fresh.txt": b"brand new"})
+    )
+    c3 = convert_incremental(spark, [str(extra)], out, ConvertOptions())
+    assert c3.output_rows == 1
+    table = pq.read_table(out)
+    assert table.num_rows == 5
+    assert "fresh.txt" in {r["path"] for r in table.to_pylist()}
+
+
 def test_observability_counters(spark, fixture_archives):
     from archive_to_parquet_spark.observability import observe_entries, stage_snapshot
 
