@@ -663,6 +663,61 @@ FROM events GROUP BY event_type
 """
 
 
+def rel_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function coverage: sqrt/ln/pow/abs/ceil/floor, rounded."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.round(F.pow(F.col("p_size").cast("double"), 2), 2).alias("size_sq"),
+        F.ceil(F.col("p_retailprice")).alias("price_ceil"),
+        F.floor(F.col("p_retailprice")).alias("price_floor"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+    )
+
+
+REL_MATH_FUNCS_SQL = """
+SELECT p_partkey,
+       round(sqrt(p_retailprice), 6) AS sqrt_price,
+       round(ln(p_retailprice), 6) AS ln_price,
+       round(pow(CAST(p_size AS DOUBLE), 2), 2) AS size_sq,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       abs(p_size - 25) AS size_dev
+FROM part
+"""
+
+
+def rel_intersect_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + HAVING: customers with both urgent and low-priority
+    orders, restricted to those with more than 2 orders overall."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = urgent.intersect(low)
+    counts = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 2)
+    )
+    return both.join(counts, "o_custkey").select(
+        F.col("o_custkey").alias("custkey"), "n_orders"
+    )
+
+
+REL_INTERSECT_SQL = """
+WITH both_prios AS (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey IN (SELECT o_custkey FROM both_prios)
+GROUP BY o_custkey HAVING COUNT(*) > 2
+"""
+
+
 def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function coverage: case, substring, replace, edit
     distance — all deterministic per row."""
@@ -1151,6 +1206,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "rel_ship_delay_by_year": (rel_ship_delay_by_year, REL_SHIP_DELAY_SQL),
     "rel_string_funcs": (rel_string_funcs, REL_STRING_FUNCS_SQL),
+    "rel_math_funcs": (rel_math_funcs, REL_MATH_FUNCS_SQL),
+    "rel_intersect_having": (rel_intersect_having, REL_INTERSECT_SQL),
     "text_bigram_topk": (text_bigram_topk, TEXT_BIGRAM_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
