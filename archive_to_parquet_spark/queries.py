@@ -1075,6 +1075,38 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order-function coverage over the embedding column:
+    slice, sort, min/max, filter-count — DuckDB list functions as the
+    oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(F.array_max(v).cast("double"), 6).alias("vmax"),
+        F.round(F.array_min(v).cast("double"), 6).alias("vmin"),
+        F.size(v).alias("dim"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.slice(v, 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            6,
+        ).alias("head8_sum"),
+    )
+
+
+REL_ARRAY_FUNCS_SQL = """
+SELECT vec_id,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+       round(list_sum(embedding[1:8]::DOUBLE[]), 6) AS head8_sum
+FROM embeddings
+"""
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10: every 50th vector queries the corpus.
     Broadcast queries × one corpus scan; rank on the ROUNDED score so
@@ -1208,6 +1240,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rel_string_funcs": (rel_string_funcs, REL_STRING_FUNCS_SQL),
     "rel_math_funcs": (rel_math_funcs, REL_MATH_FUNCS_SQL),
     "rel_intersect_having": (rel_intersect_having, REL_INTERSECT_SQL),
+    "rel_array_funcs": (rel_array_funcs, REL_ARRAY_FUNCS_SQL),
     "text_bigram_topk": (text_bigram_topk, TEXT_BIGRAM_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
