@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--single-file", action="store_true",
                    help="coalesce output to one file (reference layout parity)")
     p.add_argument("--deterministic-dedup", action="store_true")
+    p.add_argument("--incremental", action="store_true",
+                   help="append only content whose hash is absent from OUTPUT")
     p.add_argument("--no-progress", action="store_true")
     p.add_argument("--log-file", default=None)
     return p
@@ -99,12 +101,17 @@ def main(argv: list[str] | None = None) -> int:
         print("error: no input paths", file=sys.stderr)
         return 2
 
-    from archive_to_parquet_spark.plans.convert import convert
+    from archive_to_parquet_spark.plans.convert import convert, convert_incremental
     from archive_to_parquet_spark.session import get_spark
 
     spark = get_spark("archive_to_parquet_cli")
     try:
-        counters = convert(spark, paths, args.output, options, urls=args.urls)
+        if args.incremental:
+            counters = convert_incremental(
+                spark, paths, args.output, options, urls=args.urls
+            )
+        else:
+            counters = convert(spark, paths, args.output, options, urls=args.urls)
     except RuntimeError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -1075,6 +1075,30 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL/posexplode coverage: word with its position per document
+    (first 5 positions of even-id docs, to keep the result bounded);
+    oracle via DuckDB unnest WITH ORDINALITY."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    words = F.split(F.lower(F.trim("text")), r"\s+")
+    return (
+        docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
+        .filter(F.col("pos") < 5)
+        .select("doc_id", "pos", "word")
+    )
+
+
+# DuckDB 1.0 has no WITH ORDINALITY — index via a generate_series lateral
+REL_POSEXPLODE_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[i] AS word
+FROM w, UNNEST(generate_series(1, least(len(words), 5))) AS t(i)
+"""
+
+
 def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order-function coverage over the embedding column:
     slice, sort, min/max, filter-count — DuckDB list functions as the
@@ -1241,6 +1265,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rel_math_funcs": (rel_math_funcs, REL_MATH_FUNCS_SQL),
     "rel_intersect_having": (rel_intersect_having, REL_INTERSECT_SQL),
     "rel_array_funcs": (rel_array_funcs, REL_ARRAY_FUNCS_SQL),
+    "rel_posexplode_words": (rel_posexplode_words, REL_POSEXPLODE_SQL),
     "text_bigram_topk": (text_bigram_topk, TEXT_BIGRAM_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),

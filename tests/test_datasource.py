@@ -62,6 +62,40 @@ def test_format_archive_glob_and_pushdown(registered, archives, tmp_path):
     }
 
 
+def test_format_archive_stream(registered, tmp_path):
+    watch = tmp_path / "stream_in"
+    watch.mkdir()
+    (watch / "one.tar").write_bytes(tar_archive({"a.txt": b"first batch"}))
+    stream = (
+        registered.readStream.format("archive-stream")
+        .option("glob", f"{watch}/*.tar")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("arch_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = registered.sql("SELECT path, content FROM arch_stream").collect()
+        assert {(r.path, bytes(r.content)) for r in first} == {("a.txt", b"first batch")}
+        # a new archive arrives mid-stream
+        (watch / "two.tar").write_bytes(tar_archive({"b.txt": b"second batch"}))
+        q.processAllAvailable()
+        both = registered.sql("SELECT path, content FROM arch_stream").collect()
+        assert {(r.path, bytes(r.content)) for r in both} == {
+            ("a.txt", b"first batch"),
+            ("b.txt", b"second batch"),
+        }
+        # no re-emission on a further empty batch
+        q.processAllAvailable()
+        assert registered.sql("SELECT COUNT(*) n FROM arch_stream").collect()[0].n == 2
+    finally:
+        q.stop()
+
+
 def test_format_archive_requires_paths(registered):
     from pyspark.errors.exceptions.captured import AnalysisException
 
