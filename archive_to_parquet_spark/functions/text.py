@@ -55,7 +55,11 @@ def word_ngrams_col(text: Column | str, n: int = 3) -> Column:
     concat_ws skips nulls).
     """
     col = F.col(text) if isinstance(text, str) else text
-    words = F.split(F.lower(F.trim(col)), r"\s+")
+    # array_remove drops the empty strings that split() emits at
+    # whitespace boundaries — F.trim strips only spaces, so a trailing
+    # newline otherwise produces phantom '' words (diverging from the
+    # DuckDB oracle and from simhash's str.split() tokenizer)
+    words = F.array_remove(F.split(F.lower(col), r"\s+"), "")
     n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
     shifted = [words] + [
         F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(1)))

@@ -38,6 +38,16 @@ def salted_join(
     """
     if num_salts < 1:
         raise ValueError("num_salts must be >= 1")
+    # right/full outer would emit every unmatched right row once PER SALT
+    # (the replicated copies have no matching bucket) — reject rather
+    # than silently corrupt
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "left_anti",
+               "leftsemi", "leftanti", "semi", "anti", "cross"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports left-oriented joins only, got how={how!r}: "
+            "unmatched right rows would duplicate once per salt"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
     salted_left = left.withColumn("__salt", salt)
     salted_right = right.withColumn(

@@ -80,12 +80,18 @@ def convert_incremental(
     index, not total corpus bytes. New rows may still duplicate each
     other; ``options.unique`` dedups within the batch first.
     """
-    import os
+    from pyspark.errors import AnalysisException
 
     options = options or ConvertOptions()
     df = entries_pipeline(spark, paths, options, urls=urls)
-    if os.path.exists(output):
+    # probe the output through Spark, not os.path — the output may be a
+    # non-local URI (hdfs://, s3a://) where a local existence check
+    # would silently skip the dedup anti-join
+    try:
         existing_hashes = spark.read.parquet(output).select("hash")
+    except AnalysisException:
+        existing_hashes = None  # first batch: nothing to dedup against
+    if existing_hashes is not None:
         df = df.join(existing_hashes, "hash", "left_anti")
     obs = Observation("incremental_counters")
     df = df.observe(

@@ -879,20 +879,16 @@ FROM documents GROUP BY 1
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals: token count, punctuation/alpha ratios, mean word
     length — all whole-stage-codegen expressions."""
+    from archive_to_parquet_spark.functions.text import quality_score_cols
+
     docs = _t(spark, sf_dir, "documents")
-    text = F.col("text")
-    n_chars = F.length(text)
-    n_tokens = token_count_col(text, "whitespace")
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
-    n_alpha = F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), F.lit(0)))
-    safe_chars = F.greatest(n_chars, F.lit(1))
-    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    q = quality_score_cols("text")
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(n_punct.cast("double") / safe_chars, 6).alias("punct_ratio"),
-        F.round(n_alpha.cast("double") / safe_chars, 6).alias("alpha_ratio"),
-        F.round(n_chars.cast("double") / safe_tokens, 6).alias("mean_word_len"),
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(q["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(q["mean_word_len"], 6).alias("mean_word_len"),
     )
 
 
@@ -1194,23 +1190,26 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream sources need a directory; stage the single parquet file
     stage = tempfile.mkdtemp(prefix="stream_events_")
-    shutil.copy(f"{sf_dir}/events.parquet", stage)
-    stream = spark.readStream.schema(schema).parquet(stage)
-    agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
-    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    return spark.table(name)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", stage)
+        stream = spark.readStream.schema(schema).parquet(stage)
+        agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+        name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

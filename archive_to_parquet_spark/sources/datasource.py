@@ -178,8 +178,9 @@ class ArchiveStreamReader(SimpleDataSourceStreamReader):
         done_after = set(end.get("processed", []))
         replay = sorted(done_after - done_before)
         opts = ConvertOptions(max_depth=int(self.options.get("max_depth", 16)))
+        present = set(globmod.glob(self.options["glob"]))
         for f in replay:
-            if f in set(globmod.glob(self.options["glob"])):
+            if f in present:
                 for r in walk_path(f, opts):
                     yield (r.source, r.path, r.size, r.hash, r.content, r.format)
 

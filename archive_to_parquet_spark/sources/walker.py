@@ -96,54 +96,91 @@ def _wrap_decoder(stream: io.BufferedReader, kind: str):
 
 def sniff_stream(stream) -> tuple[str, io.BufferedReader]:
     """Two-stage sniff. Returns (format_kind, readable stream positioned
-    at the logical start of the decompressed data)."""
-    buffered = (
-        stream
-        if isinstance(stream, io.BufferedReader)
-        else io.BufferedReader(_as_raw(stream))
-    )
-    head = buffered.peek(6)[:6]
+    at the logical start of the decompressed data).
+
+    Peeks use exact-read loops + prefix push-back rather than
+    ``BufferedReader.peek`` — peek performs a single raw read and may
+    return fewer than the requested bytes on short-read streams, which
+    made tar detection (magic at offset 257) silently fail."""
+    tolerant = io.BufferedReader(_as_raw(stream))
+    head = _read_exact(tolerant, 6)
+    rewound = io.BufferedReader(_RawAdapter(tolerant, prefix=head))
     compression = detect_compression(head)
     if compression is not None:
-        decoded = io.BufferedReader(_as_raw(_wrap_decoder(buffered, compression)))
-        inner = decoded.peek(PEEK_SIZE)[:PEEK_SIZE]
+        decoder = _wrap_decoder(rewound, compression)
+        decoded_tolerant = io.BufferedReader(_RawAdapter(decoder))
+        inner = _read_exact(decoded_tolerant, PEEK_SIZE)
+        decoded = io.BufferedReader(_RawAdapter(decoded_tolerant, prefix=inner))
         return detect_format(inner, compression), decoded
-    peek = buffered.peek(PEEK_SIZE)[:PEEK_SIZE]
-    return detect_format(peek, None), buffered
+    peek = _read_exact(rewound, PEEK_SIZE)
+    out = io.BufferedReader(_RawAdapter(rewound, prefix=peek))
+    return detect_format(peek, None), out
 
 
 class _RawAdapter(io.RawIOBase):
-    """Adapt any .read()-able object to RawIOBase for BufferedReader.
+    """Adapt any .read()-able object to RawIOBase for BufferedReader,
+    optionally serving a pushed-back prefix first.
 
-    Decoder errors (truncated gzip/bz2/xz streams, CRC failures) are
-    converted to EOF so partially-readable content is emitted as-is —
-    the reference's ``infallable_copy`` contract (src/batch.rs:41-59).
-    This sits below BOTH the sniffing peek and the content copy, so a
-    stream cut anywhere (even inside the first 262 bytes) yields a
-    truncated row, never a crash.
+    Decoder/container errors (truncated gzip/bz2/xz streams, CRC
+    failures, bad zip members) are converted to EOF so
+    partially-readable content is emitted as-is — the reference's
+    ``infallable_copy`` contract (src/batch.rs:41-59). This sits below
+    BOTH the sniffing peek and the content copy, so a stream cut or a
+    corrupt member anywhere yields a truncated row, never a crash.
     """
 
-    def __init__(self, inner):
+    def __init__(self, inner, prefix: bytes = b""):
         self._inner = inner
+        self._prefix = prefix
         self._failed = False
 
     def readable(self) -> bool:
         return True
 
     def readinto(self, b) -> int:
+        if self._prefix:
+            n = min(len(b), len(self._prefix))
+            b[:n] = self._prefix[:n]
+            self._prefix = self._prefix[n:]
+            return n
         if self._failed:
             return 0
         import zlib
 
         try:
             data = self._inner.read(len(b))
-        except (OSError, EOFError, zlib.error, lzma.LZMAError) as _:
+        except (
+            OSError,
+            EOFError,
+            zlib.error,
+            lzma.LZMAError,
+            zipfile.BadZipFile,
+            tarfile.ReadError,
+        ):
+            # note: zipfile raises BadZipFile on a CRC mismatch while
+            # READING a member — reachable from the sniff peek, outside
+            # _walk_zip's zf.open guard
             self._failed = True
             return 0
         if not data:
             return 0
         b[: len(data)] = data
         return len(data)
+
+
+def _read_exact(stream, n: int) -> bytes:
+    """Read exactly n bytes unless EOF — a single .read(n) may return
+    fewer on short-read streams (HTTP bodies, zstd stream_reader), which
+    previously made 262-byte container sniffing silently misdetect."""
+    chunks: list[bytes] = []
+    got = 0
+    while got < n:
+        data = stream.read(n - got)
+        if not data:
+            break
+        chunks.append(data)
+        got += len(data)
+    return b"".join(chunks)
 
 
 def _as_raw(obj) -> io.RawIOBase:

@@ -46,6 +46,15 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_groups == 8
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    left, right = _skewed_frames(spark)
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="left-oriented"):
+            salted_join(left, right, "k", 4, how=how)
+
+
 def test_hot_keys_detection(spark):
     left, _ = _skewed_frames(spark)
     hot = {r.k for r in hot_keys(left, "k", threshold_rows=100).collect()}

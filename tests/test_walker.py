@@ -189,6 +189,56 @@ def test_exe_without_flag_keeps_raw_bytes():
     assert rows[0].hash == hashlib.sha256(FAKE_ELF).digest()
 
 
+def test_corrupt_zip_member_never_crashes():
+    # a STORED member with flipped payload bytes triggers BadZipFile
+    # (CRC mismatch) during member read — must degrade to truncated/
+    # skipped rows, not crash the walk
+    import zipfile as zf_mod
+
+    buf = io.BytesIO()
+    with zf_mod.ZipFile(buf, "w", compression=zf_mod.ZIP_STORED) as zf:
+        zf.writestr("ok.txt", b"fine content here")
+        zf.writestr("bad.txt", b"payload-to-corrupt")
+    blob = bytearray(buf.getvalue())
+    idx = bytes(blob).find(b"payload-to-corrupt")
+    blob[idx : idx + 7] = b"XXXXXXX"  # corrupt payload → CRC mismatch
+    rows = _walk_bytes("corrupt.zip", bytes(blob))
+    # ok.txt must survive; bad.txt may appear truncated/corrupt or not at
+    # all — but nothing raises
+    assert any(r.path == "ok.txt" and r.content == b"fine content here" for r in rows)
+    for r in rows:
+        assert r.hash == hashlib.sha256(r.content).digest()
+
+
+class _ShortReadStream(io.RawIOBase):
+    """Returns at most 100 bytes per read — models HTTP bodies and
+    zstd stream_reader short reads."""
+
+    def __init__(self, data: bytes):
+        self._b = io.BytesIO(data)
+
+    def readable(self):
+        return True
+
+    def readinto(self, b):
+        data = self._b.read(min(len(b), 100))
+        b[: len(data)] = data
+        return len(data)
+
+
+def test_short_read_stream_still_detects_tar():
+    # tar magic sits at offset 257; a single short read must not make
+    # the sniffer misclassify the archive as an opaque leaf
+    data = tar_archive({"m1.txt": b"member one", "m2.txt": b"member two"})
+    rows = list(
+        walk_stream("short.tar", _ShortReadStream(data), len(data))
+    )
+    assert [(r.path, r.content) for r in rows] == [
+        ("m1.txt", b"member one"),
+        ("m2.txt", b"member two"),
+    ]
+
+
 def test_zip_inside_gzip_inside_tar():
     inner_zip = zip_archive({"n.txt": b"nested content"})
     gz = gzip_data(inner_zip)
