@@ -65,6 +65,40 @@ def get_paths(raw_paths: list[str]) -> list[str]:
     return raw_paths
 
 
+def _start_progress_reporter(spark, interval: float = 2.0):
+    """Background task-progress lines on stderr (the reference's
+    indicatif progress bars, reference src/converter/progress.rs) —
+    driven by the status-tracker poll in observability.stage_snapshot.
+    Returns a stop() callable."""
+    import threading
+
+    from archive_to_parquet_spark.observability import stage_snapshot
+
+    stop_event = threading.Event()
+
+    def loop():
+        while not stop_event.wait(interval):
+            snap = stage_snapshot(spark)
+            if snap.active_jobs:
+                print(
+                    f"\r[progress] jobs={snap.active_jobs} "
+                    f"stages={snap.active_stages} "
+                    f"tasks {snap.completed_tasks} done / {snap.active_tasks} running",
+                    end="",
+                    file=sys.stderr,
+                )
+
+    thread = threading.Thread(target=loop, daemon=True)
+    thread.start()
+
+    def stop():
+        stop_event.set()
+        thread.join(timeout=1)
+        print("", file=sys.stderr)
+
+    return stop
+
+
 def main(argv: list[str] | None = None) -> int:
     import logging
     import os
@@ -105,6 +139,9 @@ def main(argv: list[str] | None = None) -> int:
     from archive_to_parquet_spark.session import get_spark
 
     spark = get_spark("archive_to_parquet_cli")
+    progress_stop = None
+    if not args.no_progress and sys.stderr.isatty():
+        progress_stop = _start_progress_reporter(spark)
     try:
         if args.incremental:
             counters = convert_incremental(
@@ -116,6 +153,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
     finally:
+        if progress_stop is not None:
+            progress_stop()
         spark.stop()
     if not args.no_progress:
         print(

@@ -82,6 +82,54 @@ def extract_image_features(
     return df.select(id_col, data_col).mapInPandas(batches, IMAGE_FEATURES_DDL)
 
 
+AUDIO_FEATURES_DDL = (
+    "media_id long, sample_rate int, n_samples long, duration_s double, "
+    "mfcc array<float>"
+)
+
+
+def _fake_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
+    """Deterministic stand-in for a real audio decoder (librosa/soundfile
+    absent): sample rate / length / a 13-d MFCC-shaped feature derived
+    from the byte hash."""
+    h = hashlib.sha256(data or b"").digest()
+    sample_rate = (8000, 16000, 22050, 44100)[h[0] % 4]
+    n_samples = 1000 + int.from_bytes(h[1:4], "big") % 1_000_000
+    duration = n_samples / sample_rate
+    mfcc = [((b / 255.0) * 40.0 - 20.0) for b in h[4:17]]
+    return sample_rate, n_samples, duration, mfcc
+
+
+def extract_audio_features(
+    df: DataFrame, data_col: str = "data", id_col: str = "media_id",
+    decode: str = "fake",
+) -> DataFrame:
+    """audio binary → (sample_rate, n_samples, duration, mfcc-shaped
+    feature) via mapInPandas. Same partitioning/batch contract as
+    extract_image_features; real path would call soundfile + librosa."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real audio decode requires soundfile/librosa (not in this container)"
+        )
+    if decode != "fake":
+        raise ValueError(f"unknown decode mode {decode!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_fake_decode_audio(d) for d in pdf[data_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_samples": [d[1] for d in decoded],
+                    "duration_s": [d[2] for d in decoded],
+                    "mfcc": [d[3] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, AUDIO_FEATURES_DDL)
+
+
 def sample_video_frames(
     df: DataFrame, data_col: str = "data", id_col: str = "media_id",
     every_n: int = 30, decode: str = "fake",

@@ -205,3 +205,11 @@ def test_multimodal_plumbing(spark):
     frames = sample_video_frames(df, every_n=30).collect()
     assert len(frames) >= 8
     assert all(len(r.frame) == 32 for r in frames)
+    from archive_to_parquet_spark.operators.multimodal import extract_audio_features
+
+    audio = extract_audio_features(df).collect()
+    assert len(audio) == 8
+    for r in audio:
+        assert r.sample_rate in (8000, 16000, 22050, 44100)
+        assert abs(r.duration_s - r.n_samples / r.sample_rate) < 1e-9
+        assert len(r.mfcc) == 13
