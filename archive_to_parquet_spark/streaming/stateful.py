@@ -77,3 +77,59 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same operator on Spark 4's transformWithStateInPandas API —
+    typed value state in the new state-store processor model (the
+    successor to applyInPandasWithState; composable state variables,
+    timers, TTL).
+
+    NOTE: the runtime path requires the ``protobuf`` Python package
+    (state serialization uses it); in environments without a working
+    ``google.protobuf``, the query fails at stream start — use
+    ``running_user_stats`` (applyInPandasWithState) there. Declared and
+    plan-checked regardless; executed in tests only when protobuf
+    imports."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                n, total, vmin, vmax = self._state.get()
+            else:
+                n, total, vmin, vmax = 0, 0.0, float("inf"), float("-inf")
+            for pdf in rows:
+                values = pdf["value"].astype(float)
+                n += len(values)
+                total += float(values.sum())
+                if len(values):
+                    vmin = min(vmin, float(values.min()))
+                    vmax = max(vmax, float(values.max()))
+            self._state.update((n, total, vmin, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "min_value": [vmin],
+                    "max_value": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserStatsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
