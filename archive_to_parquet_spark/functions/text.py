@@ -158,12 +158,21 @@ def fingerprint64_col(text: Column | str) -> Column:
     return F.xxhash64(normalized)
 
 
-# -- SimHash (pandas UDF — bit voting over shingle hashes) ---------------------
+# -- SimHash (pandas UDF — numpy bit-matrix voting) ----------------------------
+#
+# NOTE: the dedup pipeline no longer uses this — operators/dedup.py
+# computes SimHash fully JVM-side (md5 nibble bit-votes, oracle-checkable
+# against DuckDB). This stays as a standalone utility for callers who
+# want a single int64 signature column; the bit voting is vectorized
+# (one (n_grams, 64) unpacked bit matrix per row, column-summed) so the
+# only per-gram Python work is the blake2b call itself.
 
 
 def _simhash64_py(text: str, shingle: int = 3) -> int:
     """64-bit SimHash over word shingles using Python's stable blake2b."""
     import hashlib
+
+    import numpy as np
 
     words = text.lower().split()
     if not words:
@@ -173,17 +182,19 @@ def _simhash64_py(text: str, shingle: int = 3) -> int:
         if len(words) >= shingle
         else [" ".join(words)]
     )
-    counts = [0] * 64
-    for g in grams:
-        h = int.from_bytes(
-            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "big"
-        )
-        for bit in range(64):
-            counts[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if counts[bit] > 0:
-            out |= 1 << bit
+    hashes = np.frombuffer(
+        b"".join(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest() for g in grams
+        ),
+        dtype=">u8",
+    )
+    # bits[i, b] = bit b of hash i; votes = Σ(2·bit − 1) per column
+    bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    weights = np.where(votes > 0, np.uint64(1), np.uint64(0)) << np.arange(
+        64, dtype=np.uint64
+    )
+    out = int(weights.sum(dtype=np.uint64))
     # two's-complement into signed int64 for Spark LongType
     return out - (1 << 64) if out >= (1 << 63) else out
 

@@ -12,14 +12,24 @@ Near-dup operators (MinHash+LSH, SimHash, n-gram Jaccard, embedding
 cosine) are the standard large-corpus family; all are shuffle-on-bucket
 designs: candidate generation never compares all pairs, only rows that
 collide in a band/bucket, so cost scales with collisions rather than n².
+
+Degenerate hot buckets (e.g. millions of empty documents hashing to one
+band) are bounded by ``max_bucket_size``: rows in buckets above the cap
+are excluded from the self-join (a windowed count on the same shuffle
+key the join uses — no extra pass). Truncation is never silent: pass an
+``Observation`` and the query reports ``rows_in_hot_buckets`` /
+``max_bucket_size`` after any action on the result.
+
+SimHash is computed entirely JVM-side: md5 nibbles of each shingle are
+bit-vote aggregated (64 map-side-combinable sums), so the whole pipeline
+stays in whole-stage codegen and — because md5 is engine-independent —
+the operator is oracle-checkable bit-for-bit against DuckDB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
-
-from archive_to_parquet_spark.functions.text import simhash64
 
 
 def dedup_exact(df: DataFrame, key: str = "hash") -> DataFrame:
@@ -39,6 +49,40 @@ def dedup_exact_deterministic(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# -- hot-bucket capping --------------------------------------------------------
+
+
+def cap_hot_buckets(
+    df: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Drop rows in candidate buckets larger than ``max_bucket_size``
+    before a bucket self-join, preventing the quadratic pair explosion a
+    degenerate bucket (e.g. hash-identical empty docs) would cause.
+
+    Implemented as a windowed count over the bucket key — the window
+    shuffle is the same partitioning the subsequent self-join needs, so
+    no extra pass over the data. When ``observation`` is given the
+    truncation is reported (``rows_in_hot_buckets``, ``max_bucket_size``)
+    after the caller's first action — capping is never silent.
+    """
+    if max_bucket_size is None:
+        return df
+    w = Window.partitionBy(*keys)
+    counted = df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+    if observation is not None:
+        counted = counted.observe(
+            observation,
+            F.sum(
+                F.when(F.col("__bucket_n") > max_bucket_size, 1).otherwise(0)
+            ).alias("rows_in_hot_buckets"),
+            F.max("__bucket_n").alias("max_bucket_size"),
+        )
+    return counted.filter(F.col("__bucket_n") <= max_bucket_size).drop("__bucket_n")
 
 
 # -- shingling ----------------------------------------------------------------
@@ -81,26 +125,24 @@ def minhash_signatures(
     return exploded.groupBy("id").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
-def minhash_near_duplicates(
+def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = 100_000,
+    observation: Observation | None = None,
 ) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs.
+    """LSH candidate pairs: band collision only, no similarity filter —
+    maximum recall for a given banding. Returns (id_a, id_b, sig_a,
+    sig_b) with id_a < id_b, deduplicated across bands.
 
-    shingle → minhash signature → band (rows = num_hashes/bands) → bucket
-    join on (band_idx, band_hash) → estimate Jaccard from full signatures
-    → filter by threshold. Returns (id_a, id_b, est_jaccard) with
-    id_a < id_b, deduplicated across bands.
-
-    Scale: the only join is the self-equi-join on band buckets — a shuffle
-    on the band hash; genuinely similar docs collide, others don't. At
-    100 TB, band-hash buckets are the unit of work; skewed buckets (e.g.
-    empty docs) are bounded by dropping buckets above a size cap upstream.
+    Scale: the only join is the self-equi-join on band buckets — a
+    shuffle on the band hash; genuinely similar docs collide, others
+    don't. At 100 TB, band-hash buckets are the unit of work; degenerate
+    buckets are bounded by ``max_bucket_size`` (see cap_hot_buckets).
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -130,10 +172,13 @@ def minhash_near_duplicates(
             )
         ).alias("band"),
     ).select("id", "sig", "band.band_idx", "band.band_hash")
+    banded = cap_hot_buckets(
+        banded, ["band_idx", "band_hash"], max_bucket_size, observation
+    )
 
     left = banded.alias("a")
     right = banded.alias("b")
-    pairs = (
+    return (
         left.join(
             right,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -149,6 +194,29 @@ def minhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = 100_000,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle → minhash signature → band (rows = num_hashes/bands) → bucket
+    join on (band_idx, band_hash) → estimate Jaccard from full signatures
+    → filter by threshold. Returns (id_a, id_b, est_jaccard) with
+    id_a < id_b, deduplicated across bands.
+    """
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n,
+        max_bucket_size, observation,
+    )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         .cast("double")
@@ -161,41 +229,159 @@ def minhash_near_duplicates(
     )
 
 
+def _exact_jaccard_on_pairs(
+    candidates: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs given per-doc
+    distinct shingle sets ``sh`` (id, sh). Cost is O(candidates), never
+    O(n²) — candidates came from a bucketed generator."""
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            shared.cast("double") / (F.size("sh_a") + F.size("sh_b") - shared),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates_confirmed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = 100_000,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """MinHash+LSH candidates confirmed by EXACT Jaccard — the
+    production near-dup shape (cheap approximate candidate generation,
+    exact verification on the surviving pairs only). Returns (id_a,
+    id_b, jaccard) with true Jaccard ≥ threshold.
+
+    Because verification is exact, false positives are impossible; the
+    only approximation left is recall (a pair below the banding's
+    collision reach is missed). This is what makes the operator
+    driver-checkable: when LSH recall is 1.0 on a corpus — as it is for
+    the synthetic near-dup sets, whose duplicate pairs collide in at
+    least one of the 8 bands — the output EQUALS the exact-Jaccard pair
+    set, which a SQL oracle computes independently.
+    """
+    candidates = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n,
+        max_bucket_size, observation,
+    ).select("id_a", "id_b")
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(text_col, shingle_n)).alias("sh"),
+    )
+    return _exact_jaccard_on_pairs(candidates, sh, jaccard_threshold)
+
+
+# -- SimHash (JVM-side md5 bit voting) ----------------------------------------
+
+
+def simhash_chunk_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_chunks: int = 4,
+) -> DataFrame:
+    """64-bit SimHash per document, returned as ``num_chunks`` integer
+    chunk columns (c_0..c_{k-1}, 64/k bits each, c_0 = least-significant
+    chunk) — the exact shape the pigeonhole bucketing needs.
+
+    Entirely JVM-side: explode shingles (NON-distinct — repeated
+    shingles vote repeatedly, standard SimHash weighting) → md5 → parse
+    the 16 nibbles of the 64-bit hex prefix with ``conv`` → 64
+    map-side-combinable ``sum(±1)`` bit votes per doc → reassemble chunk
+    ints from vote signs. md5 (unlike xxhash64) is engine-independent,
+    so a DuckDB oracle reproduces the signature bit-for-bit.
+
+    Bit addressing: bit b of the 64-bit value is nibble ``16 - b//4`` of
+    the hex string (1-based, big-endian nibbles), bit ``b % 4``.
+    """
+    assert 64 % num_chunks == 0, "num_chunks must divide 64"
+    chunk_bits = 64 // num_chunks
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, shingle_n)).alias("g"),
+    )
+    hexed = grams.select("id", F.md5(F.col("g").cast("binary")).alias("h"))
+    nibbles = hexed.select(
+        "id",
+        *[
+            F.conv(F.substring("h", pos, 1), 16, 10).cast("int").alias(f"nb_{pos}")
+            for pos in range(1, 17)
+        ],
+    )
+
+    def bit(b: int) -> Column:
+        pos = 16 - b // 4
+        return F.shiftright(F.col(f"nb_{pos}"), b % 4).bitwiseAND(F.lit(1))
+
+    votes = nibbles.groupBy("id").agg(
+        *[F.sum(bit(b) * 2 - 1).alias(f"v_{b}") for b in range(64)]
+    )
+    chunk_cols = []
+    for t in range(num_chunks):
+        c: Column = F.lit(0)
+        for r in range(chunk_bits):
+            b = t * chunk_bits + r
+            c = c + F.when(F.col(f"v_{b}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
+        chunk_cols.append(c.cast("int").alias(f"c_{t}"))
+    return votes.select("id", *chunk_cols)
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     num_tables: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 100_000,
+    observation: Observation | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit simhash, split into ``num_tables``
-    16-bit chunks; by pigeonhole, any pair within ``max_hamming <
-    num_tables`` bits collides on at least one chunk. Bucket-join per
-    chunk, then exact Hamming check via bit_count(xor)."""
-    sig = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
-    )
-    chunk_bits = 64 // num_tables
+    """SimHash near-dup pairs: 64-bit simhash split into ``num_tables``
+    chunks; by pigeonhole, any pair within ``max_hamming < num_tables``
+    bits collides on at least one chunk (candidate generation is then
+    EXACT, not approximate — the approximation is simhash≈similarity).
+    Bucket-join per chunk, exact Hamming via bit_count(xor) over chunks.
+    Returns (id_a, id_b, hamming:int)."""
+    sig = simhash_chunk_signatures(df, id_col, text_col, shingle_n, num_tables)
+    chunk_cols = [f"c_{t}" for t in range(num_tables)]
     chunked = sig.select(
         "id",
-        "sim",
+        *chunk_cols,
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.shiftrightunsigned(F.col("sim"), t * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("chunk"),
+                        F.lit(t).alias("tbl"), F.col(f"c_{t}").alias("chunk")
                     )
                     for t in range(num_tables)
                 ]
             )
-        ).alias("c"),
-    ).select("id", "sim", "c.tbl", "c.chunk")
+        ).alias("b"),
+    ).select("id", *chunk_cols, "b.tbl", "b.chunk")
+    chunked = cap_hot_buckets(chunked, ["tbl", "chunk"], max_bucket_size, observation)
 
     a, b = chunked.alias("a"), chunked.alias("b")
-    pairs = (
+    hamming: Column = F.lit(0)
+    for t in range(num_tables):
+        hamming = hamming + F.bit_count(
+            F.col(f"a.c_{t}").bitwiseXOR(F.col(f"b.c_{t}"))
+        )
+    return (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -205,12 +391,11 @@ def simhash_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+            hamming.cast("int").alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -275,19 +460,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    shared = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            shared.cast("double") / (F.size("sh_a") + F.size("sh_b") - shared),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _exact_jaccard_on_pairs(candidates, sh, threshold)
 
 
 def connected_components(
@@ -303,10 +476,13 @@ def connected_components(
     smallest label among itself and its neighbors; converges in
     O(component diameter) rounds — near-dup clusters are shallow (stars
     around a few hubs), so a handful of rounds suffices. Each round is
-    one join + one agg, both shuffling on node id; lineage is truncated
-    with localCheckpoint so the plan doesn't grow per iteration. For
-    galaxy-scale graphs swap in alternating large-star/small-star — the
-    driver loop is the same shape.
+    one join + one agg, both shuffling on node id. Edges are
+    materialized ONCE with localCheckpoint before the loop — otherwise
+    every round's join would re-derive them through the full upstream
+    candidate-generation lineage — and labels are re-checkpointed per
+    round so the plan doesn't grow. For galaxy-scale graphs swap in
+    alternating large-star/small-star — the driver loop is the same
+    shape.
 
     Raises RuntimeError if not converged within max_iterations.
     """
@@ -314,6 +490,7 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -355,13 +532,19 @@ def near_duplicate_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.7,
+    confirm_exact: bool = False,
     **minhash_kwargs,
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash+LSH candidate pairs →
     connected components → (id, component, is_representative) where the
     representative is the min id per cluster. Singletons (no near-dup)
-    are their own representative."""
-    pairs = minhash_near_duplicates(
+    are their own representative. With ``confirm_exact`` the pair graph
+    is the exact-Jaccard graph (LSH candidates verified by true Jaccard)
+    — deterministic and oracle-checkable."""
+    pair_fn = (
+        minhash_near_duplicates_confirmed if confirm_exact else minhash_near_duplicates
+    )
+    pairs = pair_fn(
         df, id_col, text_col, jaccard_threshold=jaccard_threshold, **minhash_kwargs
     )
     comp = connected_components(pairs)
@@ -383,26 +566,42 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     num_planes: int = 8,
     seed: int = 42,
+    planes: list[list[float]] | None = None,
+    max_bucket_size: int | None = 100_000,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH.
 
     Sign-of-dot-product against ``num_planes`` fixed pseudo-random
-    hyperplanes → bucket byte → candidate pairs within a bucket → exact
-    cosine filter. Deterministic planes derived from xxhash64(seed,i,dim)
-    so no driver-side randomness ships to executors.
+    hyperplanes → bucket int → candidate pairs within a bucket → exact
+    cosine filter. Identical vectors always share a bucket, so recall
+    for exact/near-exact duplicates is structural, not probabilistic.
+
+    ``planes`` (literal plane matrix, see similarity.fixed_hyperplanes)
+    keeps the bucketing engine-independent for oracle checks; default is
+    the xxhash64-derived on-the-fly planes (no driver state shipped).
     """
     from archive_to_parquet_spark.functions.vectors import (
         cosine_from_norms,
         l2_norm_col,
     )
-    from archive_to_parquet_spark.operators.similarity import hyperplane_bucket_col
+    from archive_to_parquet_spark.operators.similarity import (
+        hyperplane_bucket_col,
+        hyperplane_bucket_literal,
+    )
 
+    bucket = (
+        hyperplane_bucket_literal(vec_col, planes)
+        if planes is not None
+        else hyperplane_bucket_col(vec_col, num_planes, seed)
+    )
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         l2_norm_col(vec_col).alias("norm"),
-        hyperplane_bucket_col(vec_col, num_planes, seed).alias("bucket"),
+        bucket.alias("bucket"),
     )
+    bucketed = cap_hot_buckets(bucketed, ["bucket"], max_bucket_size, observation)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(

@@ -26,6 +26,49 @@ from archive_to_parquet_spark.functions.vectors import (
 )
 
 
+def fixed_hyperplanes(
+    num_planes: int, dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic hyperplane matrix derived from md5 — identical in
+    any engine/language, so an external oracle (DuckDB) can reproduce
+    the exact same buckets. component[p][d] = first 60 bits of
+    md5("hp{seed}_{p}_{d}") mapped to [-1, 1). The planes are embedded
+    in the plan as LITERALS (constant-folded; nothing hashed per row),
+    which also makes literal-plane bucketing cheaper than the
+    hash-on-the-fly variant."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hp{seed}_{p}_{d}".encode()).hexdigest()[:15], 16)
+            / float(1 << 59)
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def hyperplane_bucket_literal(vec_col, planes: list[list[float]]):
+    """LSH bucket id from a literal plane matrix (see fixed_hyperplanes):
+    bit p = sign(dot(v, planes[p])). Pure column expression — the plane
+    arrays are plan literals, the dot is a zip_with/aggregate fold."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
 def hyperplane_bucket_col(vec_col, num_planes: int = 8, seed: int = 42):
     """LSH bucket id: sign bits of dot(v, plane_i) for deterministic
     pseudo-random hyperplanes. plane_i[d] = hash-derived value in [-1, 1),
@@ -196,6 +239,8 @@ def lsh_top_k(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    planes: list[list[float]] | None = None,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via hyperplane LSH with multi-probe.
 
@@ -204,18 +249,29 @@ def lsh_top_k(
     the int bucket id — at scale, bucket the corpus table by this column
     (``write.bucketBy``) and the probe join is shuffle-free on the corpus
     side.
+
+    ``planes`` switches to a literal md5-derived plane matrix (see
+    fixed_hyperplanes) — engine-independent, so the whole query is
+    reproducible by an external SQL oracle. ``round_to`` rounds the
+    cosine BEFORE ranking (cross-engine float-order stability, same as
+    brute_force_top_k).
     """
+    if planes is not None:
+        num_planes = len(planes)
+        bucket_of = lambda col: hyperplane_bucket_literal(col, planes)  # noqa: E731
+    else:
+        bucket_of = lambda col: hyperplane_bucket_col(col, num_planes, seed)  # noqa: E731
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("cv"),
         l2_norm_col(corpus_vec).alias("cn"),
-        hyperplane_bucket_col(corpus_vec, num_planes, seed).alias("bucket"),
+        bucket_of(corpus_vec).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
         l2_norm_col(query_vec).alias("qn"),
-        hyperplane_bucket_col(query_vec, num_planes, seed).alias("bucket0"),
+        bucket_of(query_vec).alias("bucket0"),
     )
     # multi-probe: home bucket + single-bit flips (and optionally 2-bit)
     probes = [F.col("bucket0")]
@@ -233,10 +289,115 @@ def lsh_top_k(
         "query_id", "qv", "qn", F.explode(F.array(*probes)).alias("bucket")
     ).dropDuplicates(["query_id", "bucket"])
 
+    score = cosine_from_norms("cv", "qv", "cn", "qn")
+    if round_to is not None:
+        score = F.round(score, round_to)
     scored = c.join(F.broadcast(q_probed), "bucket").select(
         "query_id",
         "vec_id",
-        cosine_from_norms("cv", "qv", "cn", "qn").alias("cosine"),
+        score.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_top_k_fixed_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    centroid_id: str = "cid",
+    centroid_vec: str = "centroid",
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF top-k with an EXPLICIT centroid table (any coarse quantizer:
+    k-means output, a deterministic corpus sample, a product quantizer's
+    codebook). Fully deterministic given the centroids — and, unlike the
+    k-means variant, reproducible by a SQL oracle.
+
+    Plan shape: corpus × broadcast(centroids) → per-row argmin (groupBy
+    min(struct) — map-side combinable, no window shuffle) assigns each
+    corpus vector its inverted list; queries rank the same broadcast
+    centroid table to pick ``n_probe`` lists; probe join on the list id;
+    exact cosine re-rank inside probed lists. At scale, persist the
+    assignment once (bucketBy on ``bucket``) and amortize across query
+    batches. Distances are rounded before ranking so float summation
+    order can't flip a bucket choice across engines.
+    """
+    cent = F.broadcast(
+        centroids.select(
+            F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cent_v")
+        )
+    )
+
+    def _dist(vec_col: str):
+        d = F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("cent_v"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        return F.round(d, round_to) if round_to is not None else d
+
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("cv"),
+        l2_norm_col(corpus_vec).alias("cn"),
+    )
+    # per-corpus-row argmin centroid: min(struct(dist, cid)) is
+    # lexicographic → nearest centroid, ties to the smaller cid; a
+    # map-side-combinable agg, not a global window
+    assigned = (
+        c.join(cent)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(_dist("cv").alias("d"), F.col("cid").alias("cid"))).alias(
+                "best"
+            ),
+            F.first("cv").alias("cv"),
+            F.first("cn").alias("cn"),
+        )
+        .select("vec_id", "cv", "cn", F.col("best.cid").alias("bucket"))
+    )
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        l2_norm_col(query_vec).alias("qn"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    q_probes = (
+        q.join(cent)
+        .select("query_id", "qv", "qn", "cid", _dist("qv").alias("d"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "qn", F.col("cid").alias("bucket"))
+    )
+
+    score = cosine_from_norms("cv", "qv", "cn", "qn")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = assigned.join(F.broadcast(q_probes), "bucket").select(
+        "query_id", "vec_id", score.alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()

@@ -18,8 +18,12 @@ Groups:
   Spark provides natively (SURVEY.md §2.8).
 - ``dedup_*``, ``text_*``, ``ann_*`` — training-data pipeline operators
   (exact + near dedup, quality/langid/tokens/fingerprint, similarity
-  search). Approximate operators (minhash/simhash/LSH) have no SQL
-  oracle — the driver records a rows-only check for those.
+  search). The approximate family is made oracle-checkable by
+  construction: hash material is engine-independent (md5, literal
+  md5-derived hyperplanes, deterministic sampled IVF centroids) and
+  candidates are confirmed with exact math, so DuckDB reproduces each
+  result bit-for-bit — candidate generation stays bucketed/LSH on the
+  Spark side, and the oracle proves recall, not just shape.
 
 Floats are rounded on BOTH sides before comparison (sums to 2dp, ratios
 and cosines to 6dp) because Spark and DuckDB may accumulate doubles in
@@ -39,11 +43,15 @@ from archive_to_parquet_spark.functions.text import (
     token_count_col,
 )
 from archive_to_parquet_spark.operators.dedup import (
-    minhash_near_duplicates,
-    simhash_near_duplicates,
     embedding_near_duplicates,
+    minhash_near_duplicates_confirmed,
+    simhash_near_duplicates,
 )
-from archive_to_parquet_spark.operators.similarity import lsh_top_k
+from archive_to_parquet_spark.operators.similarity import (
+    fixed_hyperplanes,
+    ivf_top_k_fixed_centroids,
+    lsh_top_k,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1025,50 +1033,194 @@ WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (approximate — rows-only check;
-    the exact-Jaccard twin ``dedup_ngram_jaccard`` is the oracle-checked
-    ground truth)."""
+    """MinHash+LSH candidate pairs confirmed by exact Jaccard.
+
+    The Spark plan is the approximate one — 32 minhashes, 8 LSH bands,
+    band-bucket self-join — but every candidate is verified with true
+    Jaccard, so the output is provably a subset of the exact pair set.
+    The oracle computes the exact pair set independently (inverted
+    index, no LSH); equality therefore checks LSH RECALL = 1.0 on this
+    corpus (every true pair ≥ 0.5 collides in at least one band —
+    deterministic, since minhashes are seeded xxhash64), not just shape.
+    """
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(
+    pairs = minhash_near_duplicates_confirmed(
         docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
     )
-    return pairs.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (approximate — rows-only check)."""
+    """SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures).
+
+    Oracle-checked bit-for-bit: the signature is md5-nibble bit voting
+    (engine-independent), and for max_hamming=3 < 4 chunk tables the
+    pigeonhole bucketing is EXACT — so DuckDB's brute-force all-pairs
+    twin must produce the identical pair set with identical distances.
+    """
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
 
 
+def _simhash_oracle_sql(max_hamming: int = 3, num_chunks: int = 4) -> str:
+    """Generated DuckDB twin of the JVM md5 SimHash: same shingles, same
+    md5-nibble bit votes, same chunk assembly — but brute-force all-pairs
+    instead of pigeonhole buckets (exactness of the pigeonhole candidate
+    generation is exactly what the equality then proves)."""
+    chunk_bits = 64 // num_chunks
+
+    def nib_bit(b: int) -> str:
+        pos = 16 - b // 4
+        return f"(('0x' || substr(h, {pos}, 1))::INT >> {b % 4}) & 1"
+
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN {nib_bit(b)} = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(64)
+    )
+    chunks = ",\n         ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN v_{t * chunk_bits + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(chunk_bits)
+        )
+        + f" AS INT) AS c_{t}"
+        for t in range(num_chunks)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.c_{t}::BIGINT, b.c_{t}::BIGINT))" for t in range(num_chunks)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         [array_to_string(words[i:i+2], ' ')
+          for i in generate_series(1, greatest(len(words) - 2, 1))] AS grams
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), hx AS (
+  SELECT doc_id, md5(g) AS h FROM e
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hx GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+         {chunks}
+  FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_oracle_sql()
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via hyperplane LSH (approximate —
-    rows-only check)."""
+    """Embedding-cosine near-dup via hyperplane LSH.
+
+    The synthetic embeddings have no natural near-dups (max pairwise
+    cosine ≈0.51), so the query plants them deterministically: every
+    50th vector is unioned back under ``vec_id + 1000000``. Identical
+    vectors ALWAYS share an LSH bucket (same input → same sign bits), so
+    at threshold 0.99 recall is structural, and the oracle's brute-force
+    all-pairs-cosine twin must match exactly — checking the bucketing,
+    the in-bucket exact re-rank, and the cosine math in one go.
+    """
     emb = _t(spark, sf_dir, "embeddings")
-    # the synthetic embeddings have no true near-dups (max pairwise cosine
-    # ≈0.51), so demonstrate with a loose threshold and wider buckets
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
     pairs = embedding_near_duplicates(
-        emb, "vec_id", "embedding", threshold=0.35, num_planes=4
+        corpus, "vec_id", "embedding", threshold=0.99, num_planes=8
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+DEDUP_EMBEDDING_LSH_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+"""
+
+
 def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: MinHash pairs → connected components → one
-    representative per cluster (iterative label propagation — not
-    SQL-expressible, rows-only check; exactness of the component
-    algorithm is unit-tested on known graphs)."""
+    """Near-dup clustering: LSH candidates → exact-Jaccard-confirmed
+    pairs → connected components → one representative per cluster.
+
+    With exact confirmation the pair graph IS the exact-Jaccard graph,
+    so the whole iterative label-propagation result is checkable against
+    a recursive-CTE transitive closure in DuckDB (components = min
+    reachable id; representatives = the component's min id)."""
     from archive_to_parquet_spark.operators.dedup import near_duplicate_clusters
 
     docs = _t(spark, sf_dir, "documents")
     labeled = near_duplicate_clusters(
-        docs, "doc_id", "text", jaccard_threshold=0.5, num_hashes=32, bands=8
+        docs, "doc_id", "text", jaccard_threshold=0.5,
+        confirm_exact=True, num_hashes=32, bands=8,
     )
     return labeled.select(
         F.col("id").alias("doc_id"),
         "component",
         F.col("is_representative").cast("int").alias("is_rep"),
     )
+
+
+# Exact-Jaccard pair graph (same machinery as DEDUP_NGRAM_SQL) → edges →
+# transitive closure via recursive CTE → component = min reachable id.
+DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(words) - 2, 1))]) AS grams
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), sizes AS (
+  SELECT doc_id, len(grams) AS n FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s
+), comp AS (
+  SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s
+)
+SELECT doc.doc_id AS doc_id,
+       COALESCE(c.component, doc.doc_id) AS component,
+       CAST(CASE WHEN COALESCE(c.component, doc.doc_id) = doc.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS is_rep
+FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
+"""
 
 
 def rel_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1162,23 +1314,73 @@ FROM ranked WHERE rank <= 10
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (k-means buckets + n_probe nearest lists;
-    approximate — rows-only check, recall measured vs brute force in
-    tests)."""
-    from archive_to_parquet_spark.operators.similarity import ivf_top_k
-
+    """IVF approximate top-k with a deterministic coarse quantizer:
+    every 31st corpus vector is a centroid (inverted-list id), queries
+    probe their 4 nearest lists, exact cosine re-rank inside probed
+    lists. Oracle-checked end-to-end — DuckDB reproduces assignment,
+    probing, and re-rank exactly (distances/cosines rounded before
+    ranking on both sides). The k-means-trained variant (``ivf_top_k``)
+    shares the probe/re-rank machinery and is recall-tested vs brute
+    force in tests/test_operators.py."""
     emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_top_k(emb, q, k=10, n_list=16, n_probe=4)
+    return ivf_top_k_fixed_centroids(emb, cent, q, k=10, n_probe=4, round_to=6)
+
+
+ANN_IVF_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0
+), assigned AS (
+  SELECT vec_id, embedding, cid AS bucket
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) ASC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), qp AS (
+  SELECT query_id, qv, cid AS bucket
+  FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_distance(q.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) ASC,
+                      c.cid ASC) AS rn
+    FROM embeddings q CROSS JOIN cent c
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT qp.query_id, a.vec_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], qp.qv::DOUBLE[]), 6) AS cosine
+  FROM assigned a JOIN qp ON a.bucket = qp.bucket
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
 
 
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window agg driven to completion over
-    the bounded events table (memory sink, processAllAvailable). Append
-    mode emits only watermark-finalized windows, so this is a rows-only
-    check — its batch twin rel_events_hourly is the oracle-checked one."""
+    the bounded events table (memory sink, processAllAvailable).
+
+    Oracle-checked: append mode emits exactly the watermark-finalized
+    windows — those with window_end ≤ max(event_time) − 2 h, since
+    processAllAvailable runs a final batch after the watermark advances
+    to cover all input. The batch oracle reproduces that cutoff with
+    plain SQL (boundary semantics pinned by
+    tests/test_streaming.py::test_append_mode_watermark_boundary)."""
     import tempfile
     import uuid
 
@@ -1207,19 +1409,104 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.processAllAvailable()
             finally:
                 q.stop()
-        return spark.table(name)
+        return spark.table(name).select(
+            F.col("window_start").cast("long").alias("hour_sec"),
+            "event_type",
+            "n",
+            F.round("total_value", 4).alias("total_value"),
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+STREAM_EVENTS_HOURLY_SQL = """
+WITH b AS (
+  SELECT epoch_ns(ts) // 1000000000 AS ts_sec, event_type, value FROM events
+), agg AS (
+  SELECT ts_sec - ts_sec % 3600 AS hour_sec, event_type,
+         COUNT(*) AS n, round(SUM(value), 4) AS total_value
+  FROM b GROUP BY 1, 2
+)
+SELECT hour_sec, event_type, n, total_value FROM agg
+WHERE hour_sec + 3600 <= (SELECT max(ts_sec) - 7200 FROM b)
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (approximate — rows-only check;
-    recall is measured against ann_cosine_topk in tests)."""
+    """Hyperplane-LSH approximate top-k with 2-bit multi-probe,
+    oracle-checked end-to-end: the 8 planes are md5-derived LITERALS
+    (identical in any engine), so DuckDB reproduces bucket assignment,
+    probe expansion, and the in-bucket exact re-rank — equality checks
+    the approximate algorithm itself, not a relaxed summary."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_top_k(emb, q, k=10, num_planes=8, multi_probe_bits=2)
+    planes = fixed_hyperplanes(num_planes=8, dim=64)
+    return lsh_top_k(
+        emb, q, k=10, multi_probe_bits=2, planes=planes, round_to=6
+    )
+
+
+def _ann_lsh_oracle_sql(
+    num_planes: int = 8, dim: int = 64, multi_probe_bits: int = 2, k: int = 10
+) -> str:
+    """Generated DuckDB twin of the literal-plane LSH top-k: the plane
+    matrix is embedded as double literals (md5-derived, identical to the
+    Spark plan's), buckets are sign-bit sums, probes are the same
+    xor-mask expansion, re-rank the same rounded cosine."""
+    planes = fixed_hyperplanes(num_planes, dim)
+    plane_cols = ",\n         ".join(
+        "[" + ", ".join(repr(x) for x in pl) + "]::DOUBLE[] AS p" + str(p)
+        for p, pl in enumerate(planes)
+    )
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_inner_product({v}::DOUBLE[], p{p}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+
+    masks = [0] + [1 << b for b in range(num_planes)]
+    if multi_probe_bits >= 2:
+        masks += [
+            (1 << b1) | (1 << b2)
+            for b1 in range(num_planes)
+            for b2 in range(b1 + 1, num_planes)
+        ]
+    mask_list = ", ".join(str(m) for m in masks)
+    return f"""
+WITH planes AS (
+  SELECT {plane_cols}
+), c AS (
+  SELECT vec_id, embedding, {bucket('embedding')} AS bucket
+  FROM embeddings CROSS JOIN planes
+), q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv, {bucket('embedding')} AS b0
+  FROM embeddings CROSS JOIN planes
+  WHERE vec_id % 50 = 0
+), probes AS (
+  SELECT DISTINCT query_id, CAST(xor(b0::BIGINT, mask::BIGINT) AS INT) AS bucket
+  FROM q0 CROSS JOIN (SELECT unnest([{mask_list}]) AS mask) m
+), scored AS (
+  SELECT p.query_id, c.vec_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], q0.qv::DOUBLE[]), 6) AS cosine
+  FROM probes p
+  JOIN c ON c.bucket = p.bucket
+  JOIN q0 ON q0.query_id = p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1268,18 +1555,18 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_bigram_topk": (text_bigram_topk, TEXT_BIGRAM_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
-    "dedup_minhash": (dedup_minhash, None),
-    "dedup_simhash": (dedup_simhash, None),
-    "dedup_embedding_lsh": (dedup_embedding_lsh, None),
-    "dedup_near_clusters": (dedup_near_clusters, None),
+    "dedup_minhash": (dedup_minhash, DEDUP_NGRAM_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMBEDDING_LSH_SQL),
+    "dedup_near_clusters": (dedup_near_clusters, DEDUP_CLUSTERS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
-    "ann_lsh_topk": (ann_lsh_topk, None),
-    "ann_ivf_topk": (ann_ivf_topk, None),
-    "stream_events_hourly": (stream_events_hourly, None),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "stream_events_hourly": (stream_events_hourly, STREAM_EVENTS_HOURLY_SQL),
 }
 
 

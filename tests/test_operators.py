@@ -73,6 +73,97 @@ def test_simhash_finds_near_dups(spark, docs_with_dups):
     assert hamming[(1, 2)] == 0
 
 
+def test_minhash_confirmed_equals_exact_pairs(spark, docs_with_dups):
+    """Exact-confirmation contract: LSH candidates verified by true
+    Jaccard produce a subset of (here: exactly) the exact pair set."""
+    from archive_to_parquet_spark.operators.dedup import (
+        minhash_near_duplicates_confirmed,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs_with_dups, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    confirmed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_duplicates_confirmed(
+            docs_with_dups, "doc_id", "text", num_hashes=32, bands=16,
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert set(confirmed) <= set(exact)
+    for pair, j in confirmed.items():
+        assert j == pytest.approx(exact[pair])
+    assert (1, 2) in confirmed  # exact dup always collides
+
+
+def test_hot_bucket_capping(spark):
+    """A degenerate bucket (300 identical docs) is excluded from the
+    self-join by max_bucket_size — no quadratic pair explosion — and the
+    truncation is reported through the Observation, never silent."""
+    from pyspark.sql import Observation
+
+    from archive_to_parquet_spark.operators.dedup import (
+        minhash_near_duplicates_confirmed,
+    )
+
+    rows = [(i, "all the same text repeated here for everyone") for i in range(300)]
+    rows += [
+        (1000, "a unique document about something else entirely today"),
+        (1001, "a unique document about something else entirely tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("lsh_cap")
+    pairs = minhash_near_duplicates_confirmed(
+        df, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.5,
+        max_bucket_size=50, observation=obs,
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert found == {(1000, 1001)}  # clone pairs suppressed, real pair kept
+    assert obs.get["rows_in_hot_buckets"] == 300 * 16  # 300 clones × 16 bands
+    assert obs.get["max_bucket_size"] == 300
+
+
+def test_simhash_chunk_signatures_match_python_reference(spark):
+    """The JVM md5 SimHash equals an independent pure-Python
+    reimplementation of the same spec (md5 of utf-8 shingle, bit votes,
+    sign), chunk for chunk."""
+    import hashlib
+
+    from archive_to_parquet_spark.operators.dedup import simhash_chunk_signatures
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "pack my box with five dozen liquor jugs today",
+        3: "single",
+        4: "Ünïcode wörds über αβγ 中文 分词 here now",
+    }
+
+    def py_simhash_chunks(text: str, n: int = 3) -> tuple[int, ...]:
+        words = [w for w in text.lower().split() if w]
+        n_sh = max(len(words) - n + 1, 1)
+        grams = [" ".join(words[i : i + n]) for i in range(n_sh)]
+        votes = [0] * 64
+        for g in grams:
+            h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        bits = [1 if v > 0 else 0 for v in votes]
+        return tuple(
+            sum(bits[t * 16 + r] << r for r in range(16)) for t in range(4)
+        )
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.id: (r.c_0, r.c_1, r.c_2, r.c_3)
+        for r in simhash_chunk_signatures(df, "doc_id", "text").collect()
+    }
+    for doc_id, text in texts.items():
+        assert got[doc_id] == py_simhash_chunks(text), doc_id
+
+
 def test_ngram_jaccard_exact_values(spark, docs_with_dups):
     pairs = ngram_jaccard_pairs(
         docs_with_dups, "doc_id", "text", shingle_n=3, threshold=0.1

@@ -47,6 +47,47 @@ def test_windowed_counts_stream(spark, event_stream_dir):
         assert (r.window_end.hour - r.window_start.hour) % 24 in (0, 1)
 
 
+def test_append_mode_watermark_boundary(spark, tmp_path):
+    """Pins the append-mode emission predicate that the
+    stream_events_hourly oracle encodes: a window whose end equals
+    max(event_time) − delay exactly IS emitted (window_end ≤ watermark,
+    not <)."""
+    from archive_to_parquet_spark.streaming.events import windowed_event_counts
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    rows = [
+        # one event in hour 2 → window [base+2h, base+3h)
+        (1, (base + 2 * 3600 + 5) * 1_000_000_000, "u1", "click", 1.0),
+        # max event at EXACTLY base+5h → watermark lands on base+3h,
+        # exactly the end of the hour-2 window
+        (2, (base + 5 * 3600) * 1_000_000_000, "u2", "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id string, event_type string, value double"
+    )
+    src = str(tmp_path / "boundary_in")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_boundary")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM wm_boundary").collect()
+    finally:
+        q.stop()
+    ends = {int(r.window_end.timestamp()) for r in out}
+    assert base + 3 * 3600 in ends, (
+        f"window ending exactly at the watermark was not emitted: {sorted(ends)}"
+    )
+    # the max event's own window stays open
+    assert base + 6 * 3600 not in ends
+
+
 def test_session_window_stream(spark, event_stream_dir):
     from archive_to_parquet_spark.streaming.events import sessionized_counts_stream
 

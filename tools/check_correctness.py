@@ -96,7 +96,7 @@ def main() -> int:
         if name not in oracles:
             print(f"ok?   {name}: rows={len(rows)} (rows-only, no oracle) "
                   f"[{spark_secs:.1f}s]")
-            if not rows and name not in ("dedup_embedding_lsh",):
+            if not rows:
                 print(f"      WARNING: zero rows")
             continue
         try:
