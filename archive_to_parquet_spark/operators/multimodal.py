@@ -5,16 +5,23 @@ the engine's ``content`` column. Decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes never
 take the row-at-a-time Python path.
 
-The decode kernels themselves are STUBBED (no image/audio libs in this
-container): ``decode=fake`` produces a deterministic fake decode from the
-bytes (so the Spark-side plumbing — schema, partitioning, UDF signature,
-batch shape — is real and testable); ``decode=real`` raises
-NotImplementedError where PIL/librosa/av would be called.
+Decode tiers (no image/audio libs exist in this container):
+
+- ``decode="real"`` — REAL header parsing, pure Python: PNG (IHDR),
+  JPEG (SOFn), GIF, BMP, PPM/PGM dimensions+channels; WAV/RIFF sample
+  rate / sample count / duration. The *feature* vectors remain
+  hash-derived content fingerprints (a real embedding needs pixel/PCM
+  decode → PIL/librosa); ``NotImplementedError`` is raised only for
+  codec-requiring inputs the header parsers don't cover (e.g. video
+  frame extraction, mp3/ogg audio).
+- ``decode="fake"`` — fully deterministic stand-in decode from the byte
+  hash; keeps schema/batch shape real for plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,16 +43,128 @@ IMAGE_FEATURES_DDL = (
     "media_id long, width int, height int, channels int, feature array<float>"
 )
 
+# JPEG start-of-frame markers that carry dimensions (C4/C8/CC are
+# huffman/arithmetic tables, not frames)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(data: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from pure-header parsing of PNG / JPEG /
+    GIF / BMP / PPM-PGM bytes; None when the magic isn't one of those.
+    No codec work — only fixed offsets and marker walks."""
+    d = data or b""
+    # PNG: 8-byte signature, IHDR chunk at fixed offset (spec: first chunk)
+    if d[:8] == b"\x89PNG\r\n\x1a\n" and len(d) >= 26 and d[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", d[16:24])
+        color_type = d[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return w, h, channels
+    # JPEG: walk marker segments to the first SOFn
+    if d[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < len(d):
+            if d[i] != 0xFF:
+                i += 1
+                continue
+            marker = d[i + 1]
+            if marker in (0xD8, 0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > len(d):
+                return None
+            seg_len = struct.unpack(">H", d[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                if i + 10 > len(d):
+                    return None
+                h, w = struct.unpack(">HH", d[i + 5 : i + 9])
+                return w, h, d[i + 9]
+            i += 2 + seg_len
+        return None
+    # GIF: little-endian logical screen size right after the magic
+    if d[:6] in (b"GIF87a", b"GIF89a") and len(d) >= 10:
+        w, h = struct.unpack("<HH", d[6:10])
+        return w, h, 3
+    # BMP: BITMAPINFOHEADER at offset 14
+    if d[:2] == b"BM" and len(d) >= 30:
+        w, h, _planes, bpp = struct.unpack("<iiHH", d[18:30])
+        return w, abs(h), max(1, bpp // 8)
+    # PPM/PGM (ascii or binary): whitespace/comment-tolerant token scan
+    if len(d) >= 2 and d[0:1] == b"P" and d[1:2] in b"2356":
+        toks: list[int] = []
+        i = 2
+        limit = min(len(d), 4096)
+        while i < limit and len(toks) < 2:
+            c = d[i]
+            if c == 0x23:  # '#' comment to end of line
+                while i < limit and d[i] != 0x0A:
+                    i += 1
+            elif 0x30 <= c <= 0x39:
+                j = i
+                while j < limit and 0x30 <= d[j] <= 0x39:
+                    j += 1
+                toks.append(int(d[i:j]))
+                i = j
+            else:
+                i += 1
+        if len(toks) == 2:
+            return toks[0], toks[1], 3 if d[1:2] in b"36" else 1
+    return None
+
+
+def parse_wav_header(data: bytes) -> tuple[int, int, float] | None:
+    """(sample_rate, n_samples, duration_s) from a RIFF/WAVE header —
+    fmt chunk for rate/channels/bits, data chunk size for the sample
+    count. None for non-WAV bytes."""
+    d = data or b""
+    if len(d) < 36 or d[:4] != b"RIFF" or d[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = bits = None
+    data_size = None
+    while i + 8 <= len(d):
+        cid = d[i : i + 4]
+        size = struct.unpack("<I", d[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(d):
+            channels, rate = struct.unpack("<HI", d[i + 10 : i + 16])
+            bits = struct.unpack("<H", d[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate and channels and bits and data_size is not None:
+        bytes_per_frame = channels * max(bits // 8, 1)
+        n = data_size // bytes_per_frame
+        return rate, n, n / rate
+    return None
+
+
+def _hash_feature(data: bytes, dim: int = 16) -> list[float]:
+    """Deterministic content-fingerprint feature in [-1, 1] — the
+    embedding stand-in used by both decode tiers (a real embedding needs
+    pixel/PCM decode, which needs the heavy libs)."""
+    h = hashlib.sha256(data or b"").digest()
+    return [((b / 255.0) * 2.0 - 1.0) for b in h[:dim]]
+
 
 def _fake_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for a real decoder: dims and a 16-d feature
-    derived from the sha256 of the bytes. Replace with PIL + model when
-    the libs exist."""
+    derived from the sha256 of the bytes."""
     h = hashlib.sha256(data or b"").digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64
-    feature = [((b / 255.0) * 2.0 - 1.0) for b in h[:16]]
-    return width, height, 3, feature
+    return width, height, 3, _hash_feature(data)
+
+
+def _real_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
+    parsed = parse_image_header(data)
+    if parsed is None:
+        magic = (data or b"")[:4].hex()
+        raise NotImplementedError(
+            f"image header parse supports PNG/JPEG/GIF/BMP/PPM; bytes with "
+            f"magic {magic!r} need a codec library (PIL) for decode"
+        )
+    w, h, channels = parsed
+    return w, h, channels, _hash_feature(data)
 
 
 def extract_image_features(
@@ -54,21 +173,25 @@ def extract_image_features(
 ) -> DataFrame:
     """binary → (dims, feature vector) via mapInPandas (Arrow batches).
 
+    ``decode="real"`` parses true dimensions/channels from PNG/JPEG/GIF/
+    BMP/PPM headers (pure Python, no codec libs) and raises
+    NotImplementedError for formats that require one.
+
     Partitioning: rows are processed in-place per input partition — no
     shuffle. At 100 TB, upstream should repartition by size so a batch of
     large blobs doesn't exceed executor memory (same per-task byte budget
     as the ingest walker).
     """
     if decode == "real":
-        raise NotImplementedError(
-            "real image decode requires PIL/torchvision (not in this container)"
-        )
-    if decode != "fake":
+        kernel = _real_decode_image
+    elif decode == "fake":
+        kernel = _fake_decode_image
+    else:
         raise ValueError(f"unknown decode mode {decode!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_fake_decode_image(d) for d in pdf[data_col]]
+            decoded = [kernel(d) for d in pdf[data_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].values,
@@ -89,9 +212,8 @@ AUDIO_FEATURES_DDL = (
 
 
 def _fake_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
-    """Deterministic stand-in for a real audio decoder (librosa/soundfile
-    absent): sample rate / length / a 13-d MFCC-shaped feature derived
-    from the byte hash."""
+    """Deterministic stand-in for a real audio decoder: sample rate /
+    length / a 13-d MFCC-shaped feature derived from the byte hash."""
     h = hashlib.sha256(data or b"").digest()
     sample_rate = (8000, 16000, 22050, 44100)[h[0] % 4]
     n_samples = 1000 + int.from_bytes(h[1:4], "big") % 1_000_000
@@ -100,23 +222,39 @@ def _fake_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
     return sample_rate, n_samples, duration, mfcc
 
 
+def _real_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
+    parsed = parse_wav_header(data)
+    if parsed is None:
+        magic = (data or b"")[:4].hex()
+        raise NotImplementedError(
+            f"audio header parse supports WAV/RIFF; bytes with magic "
+            f"{magic!r} (mp3/ogg/flac…) need a codec library (soundfile)"
+        )
+    rate, n, duration = parsed
+    h = hashlib.sha256(data or b"").digest()
+    mfcc = [((b / 255.0) * 40.0 - 20.0) for b in h[4:17]]
+    return rate, n, duration, mfcc
+
+
 def extract_audio_features(
     df: DataFrame, data_col: str = "data", id_col: str = "media_id",
     decode: str = "fake",
 ) -> DataFrame:
     """audio binary → (sample_rate, n_samples, duration, mfcc-shaped
-    feature) via mapInPandas. Same partitioning/batch contract as
-    extract_image_features; real path would call soundfile + librosa."""
+    feature) via mapInPandas. ``decode="real"`` reads true rate/length/
+    duration from the WAV/RIFF header (no codec needed for PCM metadata);
+    compressed formats raise NotImplementedError. Same partitioning/batch
+    contract as extract_image_features."""
     if decode == "real":
-        raise NotImplementedError(
-            "real audio decode requires soundfile/librosa (not in this container)"
-        )
-    if decode != "fake":
+        kernel = _real_decode_audio
+    elif decode == "fake":
+        kernel = _fake_decode_audio
+    else:
         raise ValueError(f"unknown decode mode {decode!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_fake_decode_audio(d) for d in pdf[data_col]]
+            decoded = [kernel(d) for d in pdf[data_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].values,
@@ -136,8 +274,11 @@ def sample_video_frames(
 ) -> DataFrame:
     """video binary → exploded frame rows (frame_idx, frame binary).
 
-    Fake decode: derives a deterministic pseudo-frame count from the blob
-    and emits sha256-derived 'frames'; the real path would use PyAV.
+    Frame extraction is genuinely codec-bound (no header shortcut), so
+    ``decode="real"`` raises NotImplementedError until PyAV exists; the
+    fake path derives a deterministic pseudo-frame count from the blob
+    and emits sha256-derived 'frames' so the explode/batch plumbing is
+    real and tested.
     """
     if decode == "real":
         raise NotImplementedError("real video decode requires PyAV")
@@ -163,13 +304,23 @@ def sample_video_frames(
 
 def media_table_from_entries(entries: DataFrame) -> DataFrame:
     """Adapt the canonical entries table into the media schema (content →
-    data), classifying kind from magic bytes JVM-side."""
-    magic = F.substring("content", 1, 12)
+    data), classifying kind from magic bytes JVM-side. RIFF is a
+    container, not a format — the tag at bytes 9-12 decides (WAVE=audio,
+    'AVI '=video, WEBP=image)."""
+    content = F.col("content")
+
+    def magic(pos: int, value: bytes):
+        return content.substr(pos, len(value)) == F.lit(value)
+
     kind = (
-        F.when(magic.startswith(bytes([0x89]) + b"PNG"), "image")
-        .when(magic.substr(1, 3) == F.lit(b"\xff\xd8\xff"), "image")
-        .when(magic.substr(1, 4) == F.lit(b"RIFF"), "audio")
-        .when(magic.substr(5, 4) == F.lit(b"ftyp"), "video")
+        F.when(magic(1, b"\x89PNG"), "image")
+        .when(magic(1, b"\xff\xd8\xff"), "image")
+        .when(magic(1, b"GIF87a") | magic(1, b"GIF89a"), "image")
+        .when(magic(1, b"BM"), "image")
+        .when(magic(1, b"RIFF") & magic(9, b"WAVE"), "audio")
+        .when(magic(1, b"RIFF") & magic(9, b"AVI "), "video")
+        .when(magic(1, b"RIFF") & magic(9, b"WEBP"), "image")
+        .when(magic(5, b"ftyp"), "video")
         .otherwise("unknown")
     )
     return entries.select(

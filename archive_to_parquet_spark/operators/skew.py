@@ -40,9 +40,11 @@ def salted_join(
         raise ValueError("num_salts must be >= 1")
     # right/full outer would emit every unmatched right row once PER SALT
     # (the replicated copies have no matching bucket) — reject rather
-    # than silently corrupt
+    # than silently corrupt. 'cross' is rejected too: the salting rewrite
+    # only preserves EQUI-join semantics (a cross join with using-columns
+    # would silently degrade to an inner join on (key, salt)).
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "left_anti",
-               "leftsemi", "leftanti", "semi", "anti", "cross"}
+               "leftsemi", "leftanti", "semi", "anti"}
     if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
         raise ValueError(
             f"salted_join supports left-oriented joins only, got how={how!r}: "

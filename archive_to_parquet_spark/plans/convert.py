@@ -130,7 +130,21 @@ def convert(
         output_bytes=int(obs.get["output_bytes"]),
     )
     if counters.output_rows == 0:
+        # the reference errors WITHOUT producing output (src/main.rs:129-132);
+        # remove the empty dataset the sink just committed so a failed run
+        # leaves nothing behind (local/file URIs only — for remote
+        # filesystems the empty dataset is left and named in the error)
+        from urllib.parse import urlparse
+
+        parsed = urlparse(output)
+        detail = ""
+        if parsed.scheme in ("", "file"):
+            import shutil
+
+            shutil.rmtree(parsed.path or output, ignore_errors=True)
+        else:
+            detail = f" (empty dataset left at {output})"
         raise RuntimeError(
-            "no rows converted from input files"  # reference src/main.rs:131
+            "no rows converted from input files" + detail  # reference src/main.rs:131
         )
     return counters

@@ -106,23 +106,18 @@ def read_archives(
     options.validate()
     if not paths:
         raise ValueError("no input paths")
-    paths_df = spark.createDataFrame(
-        [(p, urls) for p in paths], "input_path string, is_url boolean"
-    )
     n_tasks = min(len(paths), max(options.threads, 1) * 4)
     # Exactly-even input spread: hash/round-robin repartition of a small
     # path list clumps several archives into one task (measured 3-4× skew
-    # on 16 paths); range-partitioning a dense row index yields one
-    # contiguous, equal slice per task. The path list is driver-side
-    # metadata (≤ millions of rows), so the window sort is negligible.
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    w = Window.orderBy("input_path")
-    entries = (
-        paths_df.withColumn("__rn", F.row_number().over(w))
-        .repartitionByRange(n_tasks, "__rn")
-        .drop("__rn")
-        .mapInPandas(_make_walk_partition(options), ENTRY_SCHEMA_DDL)
+    # on 16 paths). The path list is a driver-side Python list already,
+    # so slice it HERE: parallelize(n_tasks) hands each task one
+    # contiguous equal slice — no shuffle, no global Window sort at the
+    # head of the ingest DAG (the previous row_number-over-everything
+    # approach would funnel a 10M-path manifest through a single
+    # WindowExec partition before any work started).
+    rows = [(p, urls) for p in sorted(paths)]
+    paths_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_tasks),
+        "input_path string, is_url boolean",
     )
-    return entries
+    return paths_df.mapInPandas(_make_walk_partition(options), ENTRY_SCHEMA_DDL)

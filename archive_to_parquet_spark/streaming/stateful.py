@@ -56,13 +56,16 @@ def _update_user_state(
             vmin = min(vmin, float(values.min()))
             vmax = max(vmax, float(values.max()))
     state.update((n, total, vmin, vmax))
+    # a group invoked with only empty batches (or a future
+    # timeout-triggered call) has n == 0 — emit null min/max rather than
+    # leaking the ±inf accumulator sentinels into the sink
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
             "total_value": [total],
-            "min_value": [vmin],
-            "max_value": [vmax],
+            "min_value": [vmin if n else None],
+            "max_value": [vmax if n else None],
         }
     )
 
@@ -114,13 +117,14 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
                     vmin = min(vmin, float(values.min()))
                     vmax = max(vmax, float(values.max()))
             self._state.update((n, total, vmin, vmax))
+            # see _update_user_state: never emit the ±inf sentinels
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "n_events": [n],
                     "total_value": [total],
-                    "min_value": [vmin],
-                    "max_value": [vmax],
+                    "min_value": [vmin if n else None],
+                    "max_value": [vmax if n else None],
                 }
             )
 

@@ -304,3 +304,105 @@ def test_multimodal_plumbing(spark):
         assert r.sample_rate in (8000, 16000, 22050, 44100)
         assert abs(r.duration_s - r.n_samples / r.sample_rate) < 1e-9
         assert len(r.mfcc) == 13
+
+
+def _tiny_png(w=320, h=240, color_type=6):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", w, h)
+        + bytes([8, color_type, 0, 0, 0])
+    )
+
+
+def _tiny_jpeg(w=320, h=240):
+    import struct
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", h, w) + b"\x03"
+    return b"\xff\xd8" + app0 + sof0 + b"\x00" * 8
+
+
+def _tiny_wav(rate=44100, n_frames=44100, channels=2, bits=16):
+    import struct
+
+    data_size = n_frames * channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", data_size)
+    )
+
+
+def test_real_header_decoders(spark):
+    """decode='real' reads true dimensions / sample metadata from PNG,
+    JPEG, GIF, BMP, PPM, and WAV headers — pure parsing, no codec."""
+    import struct
+
+    from archive_to_parquet_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    gif = b"GIF89a" + struct.pack("<HH", 100, 50)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<iiHH", 64, -32, 1, 24)
+    ppm = b"P6\n# a comment\n320 240\n255\n"
+    pgm = b"P5 8 4 255 "
+    rows = [
+        (1, _tiny_png()), (2, _tiny_jpeg()), (3, gif), (4, bmp),
+        (5, ppm), (6, pgm),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    feats = {
+        r.media_id: r for r in extract_image_features(df, decode="real").collect()
+    }
+    assert (feats[1].width, feats[1].height, feats[1].channels) == (320, 240, 4)
+    assert (feats[2].width, feats[2].height, feats[2].channels) == (320, 240, 3)
+    assert (feats[3].width, feats[3].height) == (100, 50)
+    assert (feats[4].width, feats[4].height, feats[4].channels) == (64, 32, 3)
+    assert (feats[5].width, feats[5].height, feats[5].channels) == (320, 240, 3)
+    assert (feats[6].width, feats[6].height, feats[6].channels) == (8, 4, 1)
+
+    wav_df = spark.createDataFrame([(10, _tiny_wav())], "media_id long, data binary")
+    audio = extract_audio_features(wav_df, decode="real").collect()[0]
+    assert audio.sample_rate == 44100
+    assert audio.n_samples == 44100
+    assert audio.duration_s == pytest.approx(1.0)
+
+    # codec-requiring bytes fail loudly, not silently
+    bad = spark.createDataFrame([(9, b"\x00\x01junk")], "media_id long, data binary")
+    with pytest.raises(Exception, match="codec library"):
+        extract_image_features(bad, decode="real").collect()
+    with pytest.raises(Exception, match="codec library"):
+        extract_audio_features(bad, decode="real").collect()
+
+
+def test_media_table_classification(spark):
+    """media_table_from_entries: magic-byte kind classification, with
+    RIFF disambiguated by its format tag (WAVE/AVI/WEBP)."""
+    from archive_to_parquet_spark.operators.multimodal import (
+        media_table_from_entries,
+    )
+
+    blobs = {
+        "png": _tiny_png(),
+        "jpeg": _tiny_jpeg(),
+        "wav": _tiny_wav(),
+        "avi": b"RIFF\x00\x00\x00\x00AVI LIST",
+        "webp": b"RIFF\x00\x00\x00\x00WEBPVP8 ",
+        "mp4": b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00",
+        "text": b"hello plain text",
+    }
+    rows = [("src", name, blob) for name, blob in blobs.items()]
+    entries = spark.createDataFrame(rows, "source string, path string, content binary")
+    kinds = {r.meta["path"]: r.kind for r in media_table_from_entries(entries).collect()}
+    assert kinds == {
+        "png": "image", "jpeg": "image", "wav": "audio", "avi": "video",
+        "webp": "image", "mp4": "video", "text": "unknown",
+    }

@@ -90,13 +90,13 @@ def test_size_filter_exclusive_max(spark, fixture_archives):
 
 
 def test_zero_rows_is_error(spark, fixture_archives, tmp_path):
+    out = str(tmp_path / "none.parquet")
     with pytest.raises(RuntimeError, match="no rows"):
-        convert(
-            spark,
-            fixture_archives,
-            str(tmp_path / "none.parquet"),
-            ConvertOptions(min_size=10**9),
-        )
+        convert(spark, fixture_archives, out, ConvertOptions(min_size=10**9))
+    # reference parity: a failed conversion leaves NO output behind
+    import os
+
+    assert not os.path.exists(out)
 
 
 def test_reference_column_mode(spark, fixture_archives):
@@ -156,3 +156,31 @@ def test_deterministic_dedup_winner(spark, fixture_archives):
     # both share source nested.tar, "dup.txt" < "inner.zip/z1.txt"
     assert "dup.txt" in rows
     assert "inner.zip/z1.txt" not in rows
+
+
+def test_read_archives_even_spread_no_global_window(spark, tmp_path):
+    """Input fan-out: one contiguous equal slice of archives per task,
+    with no global Window/sort at the head of the ingest DAG (the dense
+    row-index approach warned 'WindowExec: No Partition Defined' and
+    would single-partition a huge manifest)."""
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.sources.archive_source import read_archives
+
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"a{i}.tar"
+        p.write_bytes(tar_archive({f"f{i}.txt": f"content {i}".encode()}))
+        paths.append(str(p))
+    entries = read_archives(spark, paths, ConvertOptions(threads=2))
+    plan = entries._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan
+    # threads=2 → 8 tasks; 8 archives → exactly one archive per task
+    per_task = (
+        entries.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.countDistinct("source").alias("n_sources"))
+        .collect()
+    )
+    assert len(per_task) == 8
+    assert all(r.n_sources == 1 for r in per_task)
