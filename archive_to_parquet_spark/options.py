@@ -57,6 +57,11 @@ class ConvertOptions:
     max_depth: int = 16  # recursion guard alongside the quine check (S11)
     emit_format_column: bool = True
     single_file: bool = False  # coalesce(1) for byte-level output parity
+    # Row-group byte budget (parquet.block.size). Spark/parquet-java caps
+    # row groups by BYTES where the reference caps by 1,048,576 ROWS
+    # (src/sink.rs:38); 128 MiB approximates that cap at the reference's
+    # typical ~100-byte metadata rows and bounds memory per writer task.
+    row_group_bytes: int = 128 * 1024 * 1024
     deterministic_dedup: bool = False  # min-(source,path) winner instead of
     # the reference's nondeterministic first-arrival winner (SURVEY §2.11.1)
 

@@ -21,10 +21,9 @@ from archive_to_parquet_spark.options import ConvertOptions
 # reference src/sink.rs:35-38
 _PAGE_SIZE = 1024 * 1024
 _PAGE_ROW_LIMIT = 2000
-_ROW_GROUP_ROWS = 1_048_576
-# Spark's parquet.block.size is bytes; the reference caps row groups by
-# rows instead — approximate with the default 128 MB block plus the
-# page limits, which dominate layout at our row sizes.
+_ROW_GROUP_ROWS = 1_048_576  # the reference's per-group ROW cap; Spark's
+# parquet.block.size is a BYTE cap — ConvertOptions.row_group_bytes
+# approximates it (and tests assert the resulting group geometry).
 
 
 def write_parquet(
@@ -66,6 +65,9 @@ def write_parquet(
         # page limits (reference src/sink.rs:35-37)
         .option("parquet.page.size", str(_PAGE_SIZE))
         .option("parquet.page.row.count.limit", str(_PAGE_ROW_LIMIT))
+        # row-group cap (reference src/sink.rs:38 caps ROWS; parquet-java
+        # caps bytes — see ConvertOptions.row_group_bytes)
+        .option("parquet.block.size", str(options.row_group_bytes))
         .option("parquet.writer.version", "v2")
     )
     writer.parquet(output)

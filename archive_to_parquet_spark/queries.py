@@ -121,6 +121,36 @@ WHERE regexp_matches(text, '{ASCII_TEXT_FULL}')
 """
 
 
+def q2b_utf8_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/X2 on REAL binary content with genuinely invalid UTF-8.
+
+    q2's oracle table stores text as strings, where UTF-8 validity is
+    vacuous — so this twin BUILDS a binary column deterministically:
+    even doc_ids get valid bytes (text + a multibyte 'é'), odd ids get
+    the same bytes corrupted two ways (id%4==1 → a truncated 2-byte
+    sequence, lone 0xC3; id%4==3 → the never-valid byte 0xFF). The F1
+    operator (JVM ``is_valid_utf8``) must recover exactly the even ids;
+    the oracle states the ground truth the construction implies."""
+    from archive_to_parquet_spark.operators.filters import apply_include_filter
+    from archive_to_parquet_spark.options import IncludeType
+
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 2 == 0, F.encode(F.lit("é"), "UTF-8"))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("C3")))
+        .otherwise(F.unhex(F.lit("FF")))
+    )
+    blobs = docs.select(
+        "doc_id", F.concat(F.encode("text", "UTF-8"), suffix).alias("content")
+    )
+    return apply_include_filter(blobs, IncludeType.TEXT).select("doc_id")
+
+
+Q2B_SQL = """
+SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+"""
+
+
 def q3_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: size in [min, max) — max exclusive (reference src/lib.rs:55-62)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1517,6 +1547,7 @@ ANN_LSH_SQL = _ann_lsh_oracle_sql()
 _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q1_projection_hash": (q1_projection_hash, Q1_SQL),
     "q2_include_text": (q2_include_text, Q2_SQL),
+    "q2b_utf8_binary": (q2b_utf8_binary, Q2B_SQL),
     "q3_size_filter": (q3_size_filter, Q3_SQL),
     "q4_dedup_hash_groups": (q4_dedup_hash_groups, Q4_SQL),
     "q4b_distinct_hash_count": (q4b_distinct_hash_count, Q4B_SQL),

@@ -33,9 +33,11 @@ import gzip
 import hashlib
 import io
 import lzma
+import struct
 import tarfile
 import tempfile
 import zipfile
+import zlib
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -206,6 +208,169 @@ def _hashed_copy(stream) -> tuple[bytes, bytes, int]:
     return b"".join(chunks), hasher.digest(), total
 
 
+# -- streaming-zip machinery ---------------------------------------------------
+
+
+class _PushbackStream:
+    """Sequential reader with a pushback buffer (for bytes the deflate
+    scanner over-read past a member's end)."""
+
+    __slots__ = ("_inner", "_buf")
+
+    def __init__(self, inner):
+        self._inner = inner
+        self._buf = b""
+
+    def read(self, n: int) -> bytes:
+        out: list[bytes] = []
+        got = 0
+        while got < n:
+            if self._buf:
+                take = self._buf[: n - got]
+                self._buf = self._buf[len(take):]
+                out.append(take)
+                got += len(take)
+                continue
+            data = self._inner.read(n - got)
+            if not data:
+                break
+            out.append(data)
+            got += len(data)
+        return b"".join(out)
+
+    def push(self, data: bytes) -> None:
+        if data:
+            self._buf = data + self._buf
+
+    def drain_pushback(self) -> bytes:
+        buf, self._buf = self._buf, b""
+        return buf
+
+
+def _skip_bytes(s: _PushbackStream, n: int) -> bool:
+    left = n
+    while left > 0:
+        d = s.read(min(65536, left))
+        if not d:
+            return False
+        left -= len(d)
+    return True
+
+
+def _consume_descriptor(s: _PushbackStream, zip64: bool) -> None:
+    """Consume a data descriptor: optional PK\\x07\\x08 signature, then
+    crc + compressed size + uncompressed size (8-byte sizes if zip64)."""
+    body_len = 16 if zip64 else 12
+    head = s.read(4)
+    if head == b"PK\x07\x08":
+        s.read(body_len)
+    else:
+        s.read(body_len - 4)
+
+
+class _BoundedReader:
+    """Exactly ``size`` bytes of a STORED member from the sequential
+    stream."""
+
+    def __init__(self, s: _PushbackStream, size: int):
+        self._s = s
+        self._left = size
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._left
+        if self._left <= 0 or n <= 0:
+            return b""
+        data = self._s.read(min(n, self._left))
+        self._left -= len(data)
+        return data
+
+    def drain(self) -> None:
+        while self._left > 0:
+            d = self._s.read(min(65536, self._left))
+            if not d:
+                break
+            self._left -= len(d)
+
+
+class _DeflateReader:
+    """Streaming inflate of a member with KNOWN compressed size."""
+
+    def __init__(self, s: _PushbackStream, csize: int):
+        self._s = s
+        self._left = csize
+        self._z = zlib.decompressobj(-15)
+        self._buf = bytearray()
+        self._eof = False
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = 1 << 62
+        while len(self._buf) < n and not self._eof:
+            if self._z.eof or self._left <= 0:
+                self._eof = True
+                break
+            chunk = self._s.read(min(65536, self._left))
+            if not chunk:
+                self._eof = True
+                break
+            self._left -= len(chunk)
+            try:
+                self._buf += self._z.decompress(chunk)
+            except zlib.error:
+                self._eof = True  # truncated content is emitted as-is
+                break
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+    def drain(self) -> None:
+        while self._left > 0:
+            d = self._s.read(min(65536, self._left))
+            if not d:
+                break
+            self._left -= len(d)
+
+
+class _DeflateDescReader:
+    """Streaming inflate of a data-descriptor member (compressed size
+    unknown): the inflater detects the deflate stream's end, and the
+    bytes it over-read (``unused_data``) are pushed back for the next
+    header parse."""
+
+    def __init__(self, s: _PushbackStream):
+        self._s = s
+        self._z = zlib.decompressobj(-15)
+        self._buf = bytearray()
+        self._eof = False
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = 1 << 62
+        while len(self._buf) < n and not self._eof:
+            chunk = self._s.read(65536)
+            if not chunk:
+                self._eof = True
+                break
+            try:
+                self._buf += self._z.decompress(chunk)
+            except zlib.error:
+                self._eof = True
+                break
+            if self._z.eof:
+                self._s.push(self._z.unused_data)
+                self._eof = True
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+    def drain(self) -> None:
+        while not self._eof:
+            self.read(1 << 20)
+            self._buf.clear()
+        self._buf.clear()
+
+
 class Walker:
     """Overridable visitor (the library extension surface, mirroring the
     reference's AnyWalker trait — src/anyreader_walker/stack.rs:7-24).
@@ -219,6 +384,10 @@ class Walker:
         self.source = source
         self.options = options or ConvertOptions()
         self.stack: list[_StackFrame] = []
+        # diagnostic: how many zips could NOT be streamed and fell back
+        # to the spooled zipfile path (data-descriptor+stored, encrypted,
+        # exotic method) — asserted on in tests
+        self.zip_spool_fallbacks = 0
 
     # -- hooks ---------------------------------------------------------
 
@@ -316,13 +485,104 @@ class Walker:
                 pass
 
     def _walk_zip(self, stream) -> Iterator[EntryRow]:
-        """Zip iteration. Python's zipfile needs a seekable input, so the
-        (already decompressed) zip bytes are spooled — memory below
-        _SPOOL_MAX, disk above — preserving bounded memory per task.
-        Skip non-file and empty entries; stop silently on the first bad
-        entry (walkers/zipfile.rs:21-32)."""
+        """TRUE streaming zip walk: sequential local-file-header parse
+        (PK\\x03\\x04 records, no central directory — reference
+        read_zipfile_from_stream, walkers/zipfile.rs:21-32). Stored and
+        deflate members stream straight through — including
+        deflate+data-descriptor (the inflater detects its own end) — so
+        the common docker-layer-style nested zip pays NO spool.
+
+        The spooled zipfile path remains only as a first-member fallback
+        for genuinely non-streamable zips (stored+data-descriptor,
+        encryption, exotic methods); hitting such a member after earlier
+        ones have been emitted stops the walk silently, matching the
+        stop-at-first-bad-entry contract. Member CRCs are not verified —
+        the spool path's observable behavior is the same (zipfile's CRC
+        error is swallowed by the infallable-copy contract and the bytes
+        are emitted as-is).
+
+        Skip predicate parity (zipfile.rs:23): directories and empty
+        members are skipped — for descriptor members (size unknown
+        upfront) via a one-byte decompressed peek."""
+        s = _PushbackStream(stream)
+        emitted_any = False
+        while True:
+            sig = s.read(4)
+            if sig != b"PK\x03\x04":
+                return  # central directory / EOF / garbage → stop
+            hdr = s.read(26)
+            if len(hdr) < 26:
+                return
+            (_ver, flags, method, _mt, _md, _crc, csize, usize, nlen, elen) = (
+                struct.unpack("<HHHHHIIIHH", hdr)
+            )
+            raw_name = s.read(nlen)
+            extra = s.read(elen)
+            if len(raw_name) < nlen or len(extra) < elen:
+                return
+            # name encoding parity with zipfile: utf-8 iff flag bit 11
+            name = (
+                raw_name.decode("utf-8", "replace")
+                if flags & 0x800
+                else raw_name.decode("cp437")
+            )
+            zip64 = False
+            if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
+                i = 0
+                while i + 4 <= len(extra):
+                    tag, ln = struct.unpack("<HH", extra[i : i + 4])
+                    if tag == 0x0001 and ln >= 16:
+                        usize, csize = struct.unpack("<QQ", extra[i + 4 : i + 20])
+                        zip64 = True
+                        break
+                    i += 4 + ln
+            has_desc = bool(flags & 0x08)
+            encrypted = bool(flags & 0x01)
+            if encrypted or method not in (0, 8) or (has_desc and method == 0):
+                if emitted_any:
+                    return  # stop silently (zipfile.rs:22)
+                self.zip_spool_fallbacks += 1
+                prefix = sig + hdr + raw_name + extra + s.drain_pushback()
+                yield from self._walk_zip_spool(stream, prefix=prefix)
+                return
+            is_dir = name.endswith("/")
+            if not has_desc:
+                if is_dir or usize == 0:
+                    if not _skip_bytes(s, csize):
+                        return
+                    continue  # skip predicate (zipfile.rs:23)
+                reader = (
+                    _BoundedReader(s, csize)
+                    if method == 0
+                    else _DeflateReader(s, csize)
+                )
+                yield from self.walk(name, reader, usize)
+                emitted_any = True
+                reader.drain()
+            else:
+                # deflate + data descriptor: the inflater finds its own
+                # end; leftover compressed-side bytes are pushed back for
+                # the next header parse
+                reader = _DeflateDescReader(s)
+                first = reader.read(1)
+                if is_dir or not first:
+                    reader.drain()
+                    _consume_descriptor(s, zip64)
+                    continue
+                yield from self.walk(name, _RawAdapter(reader, prefix=first), usize)
+                emitted_any = True
+                reader.drain()
+                _consume_descriptor(s, zip64)
+
+    def _walk_zip_spool(self, stream, prefix: bytes = b"") -> Iterator[EntryRow]:
+        """Fallback zip path: spool the whole archive (memory below
+        _SPOOL_MAX, disk above) and read via zipfile with its central
+        directory. ``prefix`` restores bytes the streaming parser already
+        consumed so central-directory offsets stay valid."""
         spool = tempfile.SpooledTemporaryFile(max_size=_SPOOL_MAX)
         try:
+            if prefix:
+                spool.write(prefix)
             while True:
                 chunk = stream.read(_COPY_BUF)
                 if not chunk:

@@ -147,3 +147,33 @@ def test_sink_writes_tuned_parquet(spark, tmp_path):
     # statistics exist for the indexed columns
     assert by_name["size"].statistics is not None
     assert by_name["hash"].statistics is not None
+
+
+def test_sink_row_group_geometry(spark, tmp_path):
+    """K2 row-group parity: parquet.block.size bounds bytes (and thus
+    rows) per group — a forced-large write with a small budget must
+    produce ≥2 groups, each well under the total row count (reference
+    src/sink.rs:38 caps groups at 1,048,576 rows; Spark's knob is
+    bytes)."""
+    from archive_to_parquet_spark.plans.convert import convert
+
+    # ~200 members × ~5 KB ≈ 1 MB of content against a 256 KB group budget
+    archive = tmp_path / "big.tar"
+    archive.write_bytes(
+        tar_archive(
+            {f"f{i:03d}.bin": (f"row {i} ".encode() * 700) for i in range(200)}
+        )
+    )
+    out = str(tmp_path / "grouped.parquet")
+    convert(
+        spark, [str(archive)], out,
+        ConvertOptions(single_file=True, row_group_bytes=256 * 1024),
+    )
+    import glob
+
+    meta = pq.ParquetFile(glob.glob(f"{out}/*.parquet")[0]).metadata
+    assert meta.num_rows == 200
+    assert meta.num_row_groups >= 2
+    assert all(
+        meta.row_group(i).num_rows < 200 for i in range(meta.num_row_groups)
+    )

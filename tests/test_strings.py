@@ -51,3 +51,31 @@ def test_runs_span_buffer_boundaries():
 def test_joined_form():
     data = b"first-long-run\x00second-long-run"
     assert joined_ascii_strings(data, 10) == b"first-long-run\nsecond-long-run"
+
+
+def test_strings_cli_twin(tmp_path, capsys):
+    """CLI drive of the strings(1) twin (reference
+    crates/extract-strings/src/bin/strings.rs): runs ≥ min-len printed
+    one per line plus a total."""
+    from archive_to_parquet_spark.strings_cli import main
+
+    blob = (
+        b"\x00\x01short\x02"
+        + b"this is a long printable run" + b"\xff"
+        + b"another printable sequence!" + b"\x00"
+    )
+    p = tmp_path / "blob.bin"
+    p.write_bytes(blob)
+    assert main([str(p)]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == [
+        "this is a long printable run",
+        "another printable sequence!",
+        "Total strings: 2",
+    ]
+    # min-len extension
+    assert main([str(p), "--min-len", "5"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[-1] == "Total strings: 3"
+    # missing file → exit 1
+    assert main([str(tmp_path / "nope.bin")]) == 1
