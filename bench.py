@@ -36,6 +36,7 @@ HEADLINE = [
     "rel_sessionize",
     "dedup_exact_docs",
     "dedup_minhash",
+    "dedup_simhash",
     "dedup_ngram_jaccard",
     "text_quality",
     "text_lang_id",
