@@ -528,12 +528,96 @@ def connected_components(
     )
 
 
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): every node links its
+    larger/smaller neighbors to the minimum of its neighborhood.
+    ``edges`` and the result are undirected edge sets held as (u, v)
+    rows; each round is one groupBy(min) + one join, both shuffling on
+    the node id."""
+    adj = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    m = (
+        adj.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", F.col("u")).alias("m"))
+    )
+    joined = adj.join(m, "u")
+    if large:
+        out = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = joined.filter(F.col("v") < F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).union(m.select("u", F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    galaxy-scale path ``connected_components`` promises: O(log² n)
+    rounds REGARDLESS of component diameter (min-label propagation needs
+    O(diameter) rounds, pathological for chain-shaped components), with
+    every round a bucketed shuffle on node id.
+
+    Same contract as connected_components: (id, component = min
+    reachable id) for every node appearing in ``pairs``. Convergence is
+    detected by an edge-set signature (count + hash sum) going stable;
+    lineage is truncated per round with localCheckpoint.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_ids = edges.select(F.col("u").alias("id")).union(
+        edges.select(F.col("v").alias("id"))
+    ).distinct().localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iterations):
+        edges = _star_round(edges, large=True)
+        edges = _star_round(edges, large=False).localCheckpoint()
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # xor-fold of row hashes: order-insensitive, can't overflow
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("sig"),
+        ).collect()[0]
+        sig = (row["n"], row["sig"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} rounds"
+        )
+    # at convergence the edge set is a star forest: (child, root) rows
+    labels = edges.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    ).distinct()
+    return all_ids.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
 def near_duplicate_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.7,
     confirm_exact: bool = False,
+    method: str = "label",
     **minhash_kwargs,
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash+LSH candidate pairs →
@@ -541,14 +625,22 @@ def near_duplicate_clusters(
     representative is the min id per cluster. Singletons (no near-dup)
     are their own representative. With ``confirm_exact`` the pair graph
     is the exact-Jaccard graph (LSH candidates verified by true Jaccard)
-    — deterministic and oracle-checkable."""
+    — deterministic and oracle-checkable. ``method``: 'label'
+    (min-label propagation, O(diameter) rounds — right for shallow
+    near-dup star graphs) or 'star' (large-star/small-star, O(log² n)
+    rounds — right for deep/chained components)."""
     pair_fn = (
         minhash_near_duplicates_confirmed if confirm_exact else minhash_near_duplicates
     )
     pairs = pair_fn(
         df, id_col, text_col, jaccard_threshold=jaccard_threshold, **minhash_kwargs
     )
-    comp = connected_components(pairs)
+    if method == "star":
+        comp = connected_components_star(pairs)
+    elif method == "label":
+        comp = connected_components(pairs)
+    else:
+        raise ValueError(f"unknown components method {method!r}")
     ids = df.select(F.col(id_col).alias("id"))
     labeled = ids.join(comp, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")

@@ -1462,6 +1462,83 @@ WHERE hour_sec + 3600 <= (SELECT max(ts_sec) - 7200 FROM b)
 """
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-min inactivity gap) driven to
+    completion — the streaming twin of rel_sessionize, at full session
+    granularity.
+
+    Oracle-checked: append mode emits sessions finalized by the
+    watermark (session_end = last event + gap ≤ max event time − 2 h).
+    The SQL twin sessionizes with lag+cumsum using session_window's
+    INCLUSIVE merge semantics — an event exactly ``gap`` seconds after
+    the previous one still merges (pinned by a sf0.1 pair at exactly
+    1800 s; the ``>=`` variant splits it and diverges) — then applies
+    the same cutoff."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from archive_to_parquet_spark.streaming.events import sessionized_counts_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="stream_sessionize_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", stage)
+        stream = spark.readStream.schema(schema).parquet(stage)
+        agg = sessionized_counts_stream(stream, gap="30 minutes", watermark="2 hours")
+        name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        return spark.table(name).select(
+            "user_id",
+            F.col("session_start").cast("long").alias("session_start"),
+            F.col("session_end").cast("long").alias("session_end"),
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAM_SESSIONIZE_SQL = """
+WITH b AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec, value FROM events
+), flagged AS (
+  SELECT user_id, ts_sec, value, event_id,
+         CASE WHEN ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id
+                                              ORDER BY ts_sec, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM b
+), sess AS (
+  SELECT user_id, ts_sec, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id,
+         min(ts_sec) AS session_start,
+         max(ts_sec) + 1800 AS session_end,
+         COUNT(*) AS n_events,
+         round(SUM(value), 4) AS total_value
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM agg
+WHERE session_end <= (SELECT max(ts_sec) - 7200 FROM b)
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k with 2-bit multi-probe,
     oracle-checked end-to-end: the 8 planes are md5-derived LITERALS
@@ -1598,6 +1675,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "stream_events_hourly": (stream_events_hourly, STREAM_EVENTS_HOURLY_SQL),
+    "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
 }
 
 

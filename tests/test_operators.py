@@ -406,3 +406,39 @@ def test_media_table_classification(spark):
         "png": "image", "jpeg": "image", "wav": "audio", "avi": "video",
         "webp": "image", "mp4": "video", "text": "unknown",
     }
+
+
+def test_connected_components_star_known_graphs(spark):
+    """large-star/small-star agrees with the reference result on known
+    graphs, including the deep-chain shape that is label propagation's
+    worst case."""
+    from archive_to_parquet_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r.id: r.component for r in connected_components_star(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # 40-node chain (diameter 39): star converges in O(log² n) rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "id_a long, id_b long"
+    )
+    star = {r.id: r.component for r in connected_components_star(chain).collect()}
+    assert set(star.values()) == {100}
+    assert len(star) == 41
+
+    # equivalence with label propagation on a mixed random-ish graph
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    g = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r.id: r.component for r in connected_components(g).collect()}
+    b = {r.id: r.component for r in connected_components_star(g).collect()}
+    assert a == b
