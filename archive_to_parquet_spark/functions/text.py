@@ -147,6 +147,120 @@ def quality_score_cols(text: Column | str) -> dict[str, Column]:
     }
 
 
+# -- Gopher / C4 quality heuristics -------------------------------------------
+
+# Gopher's required-stopword gate (Rae et al. 2021, Table A1): a document
+# must contain at least 2 of these to pass.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# '#' and ellipsis (three dots or the unicode char) are Gopher's "symbol"
+# set for the symbol-to-word gate. Shared verbatim with the DuckDB oracle.
+GOPHER_SYMBOL_REGEX = r"#|\.\.\.|…"
+
+
+def gopher_quality_cols(text: Column | str) -> dict[str, Column]:
+    """Gopher/C4-style repetition + quality signals as pure column
+    expressions (whole-stage codegen, zero Python).
+
+    Word signals: word count, mean word length (sum of word chars /
+    words — Gopher's definition, not chars/tokens), fraction of words
+    containing an alphabetic char, symbol-to-word ratio, count of
+    distinct Gopher required stopwords present.
+
+    Line signals (over non-blank lines): bullet-start fraction,
+    ellipsis-end fraction, terminal-punctuation-end fraction (C4), and
+    duplicate-line fractions by occurrence and by character mass.
+    Duplicate detection sorts the line array once and compares each
+    element to its shifted neighbors (arrays_zip of pre-shifted slices —
+    the nested ``filter(lines, ...)`` form would re-evaluate the outer
+    array per element, O(L²) splits per row).
+
+    ``gopher_pass`` combines the standard thresholds (50..100k words,
+    mean word len 3..10, symbol ratio < 0.1, bullet < 0.9,
+    ellipsis < 0.3, alpha-word fraction > 0.8, ≥2 required stopwords,
+    dup-line occurrence fraction < 0.3, dup-line char fraction < 0.2).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    words = F.array_remove(F.split(col, r"\s+"), "")
+    n_words = F.size(words)
+    safe_words = F.greatest(n_words, F.lit(1))
+    word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = word_chars.cast("double") / safe_words
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    frac_alpha_words = alpha_words.cast("double") / safe_words
+    n_symbols = F.regexp_count(col, F.lit(GOPHER_SYMBOL_REGEX))
+    symbol_word_ratio = n_symbols.cast("double") / safe_words
+    req_stopwords = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    )
+
+    lines = F.filter(
+        F.split(col, "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1))
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    endpunct_lines = F.size(F.filter(lines, lambda l: l.rlike("[.!?\"']\\s*$")))
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+
+    # duplicate lines: sort once, then an occurrence is "duplicated" iff
+    # it equals its predecessor or successor in the sorted array
+    s = F.array_sort(lines)
+    tail_len = F.greatest(n_lines - F.lit(1), F.lit(0))
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")), F.slice(s, 1, tail_len)
+    )
+    nxt = F.concat(
+        F.slice(s, 2, tail_len), F.array(F.lit(None).cast("string"))
+    )
+    z = F.arrays_zip(s, prev, nxt)
+    dup_occ = F.filter(z, lambda e: (e["0"] == e["1"]) | (e["0"] == e["2"]))
+    n_dup_lines = F.size(dup_occ)
+    dup_line_chars = F.aggregate(
+        dup_occ, F.lit(0), lambda acc, e: acc + F.length(e["0"])
+    )
+    frac_dup_lines = n_dup_lines.cast("double") / safe_lines
+    frac_chars_dup_lines = dup_line_chars.cast("double") / F.greatest(
+        line_chars, F.lit(1)
+    )
+
+    frac_bullet = bullet_lines.cast("double") / safe_lines
+    frac_ellipsis = ellipsis_lines.cast("double") / safe_lines
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+        & (symbol_word_ratio < 0.1)
+        & (frac_bullet < 0.9)
+        & (frac_ellipsis < 0.3)
+        & (frac_alpha_words > 0.8)
+        & (req_stopwords >= 2)
+        & (frac_dup_lines < 0.3)
+        & (frac_chars_dup_lines < 0.2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "frac_alpha_words": frac_alpha_words,
+        "symbol_word_ratio": symbol_word_ratio,
+        "req_stopwords": req_stopwords,
+        "n_lines": n_lines,
+        "frac_dup_lines": frac_dup_lines,
+        "frac_chars_dup_lines": frac_chars_dup_lines,
+        "frac_bullet_lines": frac_bullet,
+        "frac_ellipsis_lines": frac_ellipsis,
+        "frac_lines_end_punct": endpunct_lines.cast("double") / safe_lines,
+        "gopher_pass": gopher_pass,
+    }
+
+
 # -- document fingerprinting ---------------------------------------------------
 
 

@@ -1022,6 +1022,181 @@ FROM documents
 """
 
 
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 quality-filter signals per document (Rae et al. 2021
+    §A1.1; Raffel et al. 2020 §2.2): word/line repetition, symbol and
+    bullet ratios, required-stopword gate, and the combined
+    ``gopher_pass`` verdict. Pure JVM expressions — one scan, no
+    shuffle, no Python."""
+    from archive_to_parquet_spark.functions.text import gopher_quality_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    q = gopher_quality_cols("text")
+    return docs.select(
+        "doc_id",
+        q["n_words"].alias("n_words"),
+        F.round(q["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(q["frac_alpha_words"], 6).alias("frac_alpha_words"),
+        F.round(q["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        q["req_stopwords"].alias("req_stopwords"),
+        q["n_lines"].alias("n_lines"),
+        F.round(q["frac_dup_lines"], 6).alias("frac_dup_lines"),
+        F.round(q["frac_chars_dup_lines"], 6).alias("frac_chars_dup_lines"),
+        F.round(q["frac_bullet_lines"], 6).alias("frac_bullet_lines"),
+        F.round(q["frac_ellipsis_lines"], 6).alias("frac_ellipsis_lines"),
+        F.round(q["frac_lines_end_punct"], 6).alias("frac_lines_end_punct"),
+        q["gopher_pass"].cast("int").alias("gopher_pass"),
+    )
+
+
+TEXT_GOPHER_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(len(words) AS INT) AS n_words,
+         greatest(len(words), 1) AS safe_words,
+         coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS word_chars,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbols,
+         CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+              ['the','be','to','of','and','that','have','with'])) AS INT)
+           AS req_stopwords
+  FROM w
+), l AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+  ) WHERE trim(line) <> ''
+), lagg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         sum(length(line)) AS line_chars,
+         sum(CASE WHEN regexp_matches(line, '^\s*[-*•]') THEN 1 ELSE 0 END)
+           AS bullet_lines,
+         sum(CASE WHEN regexp_matches(line, '(\.\.\.|…)\s*$') THEN 1 ELSE 0 END)
+           AS ellipsis_lines,
+         sum(CASE WHEN regexp_matches(line, '[.!?"'']\s*$') THEN 1 ELSE 0 END)
+           AS endpunct_lines
+  FROM l GROUP BY doc_id
+), ldup AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_line_occ,
+         sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_line_chars
+  FROM (SELECT doc_id, line, count(*) AS c FROM l GROUP BY doc_id, line)
+  GROUP BY doc_id
+), j AS (
+  SELECT b.doc_id, b.n_words, b.safe_words, b.word_chars, b.alpha_words,
+         b.n_symbols, b.req_stopwords,
+         coalesce(g.n_lines, 0) AS n_lines,
+         greatest(coalesce(g.n_lines, 0), 1) AS safe_lines,
+         greatest(coalesce(g.line_chars, 0), 1) AS safe_line_chars,
+         coalesce(g.bullet_lines, 0) AS bullet_lines,
+         coalesce(g.ellipsis_lines, 0) AS ellipsis_lines,
+         coalesce(g.endpunct_lines, 0) AS endpunct_lines,
+         coalesce(d.dup_line_occ, 0) AS dup_line_occ,
+         coalesce(d.dup_line_chars, 0) AS dup_line_chars
+  FROM base b
+  LEFT JOIN lagg g ON b.doc_id = g.doc_id
+  LEFT JOIN ldup d ON b.doc_id = d.doc_id
+)
+SELECT doc_id, n_words,
+       round(word_chars * 1.0 / safe_words, 6) AS mean_word_len,
+       round(alpha_words * 1.0 / safe_words, 6) AS frac_alpha_words,
+       round(n_symbols * 1.0 / safe_words, 6) AS symbol_word_ratio,
+       req_stopwords,
+       CAST(n_lines AS INT) AS n_lines,
+       round(dup_line_occ * 1.0 / safe_lines, 6) AS frac_dup_lines,
+       round(dup_line_chars * 1.0 / safe_line_chars, 6) AS frac_chars_dup_lines,
+       round(bullet_lines * 1.0 / safe_lines, 6) AS frac_bullet_lines,
+       round(ellipsis_lines * 1.0 / safe_lines, 6) AS frac_ellipsis_lines,
+       round(endpunct_lines * 1.0 / safe_lines, 6) AS frac_lines_end_punct,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND word_chars * 1.0 / safe_words BETWEEN 3 AND 10
+            AND n_symbols * 1.0 / safe_words < 0.1
+            AND bullet_lines * 1.0 / safe_lines < 0.9
+            AND ellipsis_lines * 1.0 / safe_lines < 0.3
+            AND alpha_words * 1.0 / safe_words > 0.8
+            AND req_stopwords >= 2
+            AND dup_line_occ * 1.0 / safe_lines < 0.3
+            AND dup_line_chars * 1.0 / safe_line_chars < 0.2 AS INT)
+         AS gopher_pass
+FROM j
+"""
+
+
+def text_topgram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's top-n-gram repetition signal: the fraction of document
+    characters covered by occurrences of the most frequent word 2-gram
+    (count × gram length / doc chars). Ties break toward the
+    lexicographically smallest gram (deterministic).
+
+    Plan: explode 2-gram shingles → two-level hash agg (doc_id, gram)
+    then (doc_id) with min_by — both map-side partial, shuffle keyed on
+    (doc_id, gram) / doc_id only — then a broadcast-eligible join back
+    to doc lengths. No window over unpartitioned data; scales linearly
+    in total shingle count."""
+    from archive_to_parquet_spark.functions.text import word_ngrams_col
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams_col("text", 2)).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    top = counts.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct(F.col("gram"), F.col("c")),
+            F.struct((-F.col("c")).alias("nc"), F.col("gram").alias("g")),
+        ).alias("t")
+    )
+    return (
+        docs.select("doc_id", F.length("text").alias("n_chars"))
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("t.gram"), F.lit("")).alias("top_gram"),
+            F.coalesce(F.col("t.c"), F.lit(0)).cast("long").alias("top_count"),
+            F.round(
+                F.coalesce(F.col("t.c") * F.length("t.gram"), F.lit(0)).cast(
+                    "double"
+                )
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+                6,
+            ).alias("frac_chars_top_2gram"),
+        )
+    )
+
+
+TEXT_TOPGRAM_SQL = r"""
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), wo AS (
+  SELECT doc_id, unnest(words) AS word, generate_subscripts(words, 1) AS ord
+  FROM w WHERE len(words) >= 2
+), grams AS (
+  SELECT a.doc_id, a.word || ' ' || b.word AS gram
+  FROM wo a JOIN wo b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  UNION ALL
+  SELECT doc_id, words[1] AS gram FROM w WHERE len(words) = 1
+), cnt AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+), top AS (
+  SELECT doc_id, gram, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+  FROM cnt
+)
+SELECT w.doc_id,
+       coalesce(t.gram, '') AS top_gram,
+       coalesce(t.c, 0) AS top_count,
+       round(coalesce(t.c * length(t.gram), 0) * 1.0
+             / greatest(w.n_chars, 1), 6) AS frac_chars_top_2gram
+FROM w LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON w.doc_id = t.doc_id
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted shingle index
     (no all-pairs compare; shuffle key = shingle)."""
@@ -1671,6 +1846,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_gopher_quality": (text_gopher_quality, TEXT_GOPHER_SQL),
+    "text_topgram_repetition": (text_topgram_repetition, TEXT_TOPGRAM_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),

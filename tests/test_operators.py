@@ -442,3 +442,45 @@ def test_connected_components_star_known_graphs(spark):
     a = {r.id: r.component for r in connected_components(g).collect()}
     b = {r.id: r.component for r in connected_components_star(g).collect()}
     assert a == b
+
+
+def test_gopher_quality_multiline_signals(spark):
+    """Line-level Gopher signals on real multi-line text (the synthetic
+    documents corpus is single-line, so the oracle check only exercises
+    the degenerate case — dup/bullet/ellipsis logic is pinned here)."""
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.functions.text import gopher_quality_cols
+
+    text = (
+        "dup line\ndup line\nunique one\ndup line\n"
+        "- bullet item\nends with...\nGood sentence."
+    )
+    good = "the cat sat and that have with be to of more words here " * 5
+    df = spark.createDataFrame(
+        [(1, text), (2, good), (3, ""), (4, "# # # # #")],
+        "id long, text string",
+    )
+    q = gopher_quality_cols("text")
+    out = {
+        r.id: r.asDict()
+        for r in df.select(
+            "id", *[v.alias(k) for k, v in q.items()]
+        ).collect()
+    }
+    r = out[1]
+    assert r["n_lines"] == 7
+    assert abs(r["frac_dup_lines"] - 3 / 7) < 1e-9
+    # dup chars = 3 * len('dup line') = 24; line chars total = 73
+    assert abs(r["frac_chars_dup_lines"] - 24 / 73) < 1e-9
+    assert abs(r["frac_bullet_lines"] - 1 / 7) < 1e-9
+    assert abs(r["frac_ellipsis_lines"] - 1 / 7) < 1e-9
+    assert abs(r["frac_lines_end_punct"] - 2 / 7) < 1e-9
+    assert not r["gopher_pass"]
+    # clean repeated-stopword doc: passes every gate
+    assert out[2]["gopher_pass"]
+    assert out[2]["req_stopwords"] == 8
+    # empty + symbol-only docs fail closed, no div-by-zero
+    assert not out[3]["gopher_pass"]
+    assert out[4]["symbol_word_ratio"] == 1.0
+    assert not out[4]["gopher_pass"]
