@@ -261,6 +261,42 @@ def gopher_quality_cols(text: Column | str) -> dict[str, Column]:
     }
 
 
+# -- PII detection / redaction -------------------------------------------------
+
+# Patterns are kept in the common Java-regex / RE2 subset (no backrefs,
+# no lookaround) so the DuckDB oracle can share them verbatim.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+}
+
+# Redaction order matters: emails first (their local parts can contain
+# digit runs), then phones, then IPs (phone hits are gone by then, so
+# dotted quads can't be half-eaten by the phone pattern).
+PII_REDACTION_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_count_cols(text: Column | str) -> dict[str, Column]:
+    """Match counts per PII class — pure regexp_count expressions."""
+    col = F.col(text) if isinstance(text, str) else text
+    return {
+        f"n_{name}": F.regexp_count(col, F.lit(pattern))
+        for name, (pattern, _) in PII_PATTERNS.items()
+    }
+
+
+def redact_pii_col(text: Column | str) -> Column:
+    """Replace every PII match with its class tag (<EMAIL>/<PHONE>/<IP>).
+    Spark regexp_replace is replace-all by default; the DuckDB twin needs
+    the 'g' flag."""
+    col = F.col(text) if isinstance(text, str) else text
+    for name in PII_REDACTION_ORDER:
+        pattern, tag = PII_PATTERNS[name]
+        col = F.regexp_replace(col, pattern, tag)
+    return col
+
+
 # -- document fingerprinting ---------------------------------------------------
 
 

@@ -1197,6 +1197,67 @@ FROM w LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON w.doc_id = t.doc_id
 """
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (email / phone / dotted-quad IP) as
+    pure regex column expressions. The synthetic corpus contains no PII,
+    so the query first augments each document with deterministic
+    doc_id-derived PII strings — built identically in the DuckDB oracle
+    — making the hash compare exercise real matches and the exact
+    redacted output, not just zeros."""
+    from archive_to_parquet_spark.functions.text import (
+        pii_count_cols,
+        redact_pii_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    augmented = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 tel 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 31) % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select("doc_id", augmented.alias("aug"))
+    counts = pii_count_cols("aug")
+    return aug.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        redact_pii_col("aug").alias("redacted"),
+    )
+
+
+TEXT_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 10.'
+              || (doc_id % 256) || '.0.1 tel 555-'
+              || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0') AS aug
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(aug, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT)
+         AS n_phone,
+       CAST(len(regexp_extract_all(aug, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT)
+         AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+FROM aug
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted shingle index
     (no all-pairs compare; shuffle key = shingle)."""
@@ -1848,6 +1909,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "text_gopher_quality": (text_gopher_quality, TEXT_GOPHER_SQL),
     "text_topgram_repetition": (text_topgram_repetition, TEXT_TOPGRAM_SQL),
+    "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),

@@ -484,3 +484,32 @@ def test_gopher_quality_multiline_signals(spark):
     assert not out[3]["gopher_pass"]
     assert out[4]["symbol_word_ratio"] == 1.0
     assert not out[4]["gopher_pass"]
+
+
+def test_pii_detect_and_redact(spark):
+    from archive_to_parquet_spark.functions.text import (
+        pii_count_cols,
+        redact_pii_col,
+    )
+
+    rows = [
+        (1, "mail a.b+c_1@sub.example.org now"),
+        (2, "call 555-123-4567 or visit 192.168.1.254 today"),
+        (3, "no pii here, just 1.2 numbers and v1.2.3.4.5 garbage"),
+        (4, "edge 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    c = pii_count_cols("text")
+    out = {
+        r.id: r.asDict()
+        for r in df.select(
+            "id", *[v.alias(k) for k, v in c.items()],
+            redact_pii_col("text").alias("red"),
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1 and out[1]["red"] == "mail <EMAIL> now"
+    assert out[2]["n_phone"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[2]["red"] == "call <PHONE> or visit <IP> today"
+    # 1.2.3.4.5 contains a dotted-quad prefix; \b boundaries still match it
+    assert out[3]["n_email"] == 0 and out[3]["n_phone"] == 0
+    assert out[4]["red"] == "edge <IP>"
