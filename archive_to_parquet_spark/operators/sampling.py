@@ -1,0 +1,105 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Everything keys off an md5-derived uniform: the first 8 hex chars of
+md5(seed || key) are a uniform 32-bit value, and comparing that hex
+string LEXICOGRAPHICALLY against a precomputed hex threshold implements
+``u < rate`` without any hex→int conversion — lowercase-hex string
+order equals numeric order, and md5 is bit-identical in Spark and
+DuckDB, so every sample/split decision is reproducible across engines,
+runs, and cluster sizes (unlike ``df.sample``, whose output depends on
+partitioning).
+
+All operators are pure column expressions: a sample is one scan with a
+pushdown-eligible filter; no shuffle, no RNG state, no Python. At 100 TB
+the decision cost is one md5 per row — and membership is re-derivable
+(drop the sample, keep the recipe).
+
+Reference parity: the reference engine has no sampling surface; these
+are the training-data-pipeline extensions (stratified rates per class,
+train/val/test splits) a 100 TB corpus build needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hex_threshold(rate: float) -> str:
+    """8-hex-digit threshold t such that P[uniform-hex8 < t] == rate
+    (quantized to 1/2^32)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return "g" * 8  # sorts above every hex string: keep everything
+    return format(int(rate * 2**32), "08x")
+
+
+def uniform_hex_col(key: Column | str, seed: str = "") -> Column:
+    """First 8 hex chars of md5(seed || key): a uniform 32-bit value as
+    a lexicographically comparable lowercase-hex string. Different seeds
+    give independent uniforms from the same key."""
+    col = F.col(key) if isinstance(key, str) else key
+    keyed = F.concat(F.lit(seed), col.cast("string"))
+    return F.substring(F.md5(keyed.cast("binary")), 1, 8)
+
+
+def hash_sample(
+    df: DataFrame, key: Column | str, rate: float, seed: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key``: the same
+    row is kept in every run and on every engine."""
+    return df.filter(uniform_hex_col(key, seed) < F.lit(hex_threshold(rate)))
+
+
+def hash_split_col(
+    key: Column | str, splits: dict[str, float], seed: str = "split"
+) -> Column:
+    """Assign each row to a named split with the given probabilities
+    (must sum to ≤ 1; remainder falls into the LAST split). Cumulative
+    hex thresholds ensure the assignment is a partition: each row lands
+    in exactly one split, stable under resampling of the others."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    u = uniform_hex_col(key, seed)
+    names = list(splits)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = u < F.lit(hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    strata: Column | str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "strata",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (the reproducible twin of
+    ``df.sampleBy``): each stratum value keeps its own rate; unlisted
+    strata keep ``default_rate``. One scan, filter pushdown-eligible."""
+    s = F.col(strata) if isinstance(strata, str) else strata
+    u = uniform_hex_col(key, seed)
+    threshold = None
+    for value, rate in rates.items():
+        t = F.lit(hex_threshold(rate))
+        threshold = (
+            F.when(s == value, t)
+            if threshold is None
+            else threshold.when(s == value, t)
+        )
+    threshold = (
+        F.lit(hex_threshold(default_rate))
+        if threshold is None
+        else threshold.otherwise(F.lit(hex_threshold(default_rate)))
+    )
+    return df.filter(u < threshold)

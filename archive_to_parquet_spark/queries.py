@@ -1258,6 +1258,69 @@ FROM aug
 """
 
 
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) plus a stratified
+    per-language sample over documents — both keyed on md5-hex-prefix
+    uniforms, so the oracle reproduces every per-row decision exactly
+    (operators/sampling.py; the engine-portable twin of df.sample /
+    df.sampleBy, which are partitioning-dependent)."""
+    from archive_to_parquet_spark.operators.sampling import (
+        hash_split_col,
+        hex_threshold,
+        uniform_hex_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    u_strata = uniform_hex_col("doc_id", "strata")
+    threshold = (
+        F.when(F.col("lang") == "en", F.lit(hex_threshold(rates["en"])))
+        .when(F.col("lang") == "de", F.lit(hex_threshold(rates["de"])))
+        .when(F.col("lang") == "fr", F.lit(hex_threshold(rates["fr"])))
+        .otherwise(F.lit(hex_threshold(0.0)))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        hash_split_col("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias(
+            "split"
+        ),
+        (u_strata < threshold).cast("int").alias("kept_stratified"),
+    )
+
+
+SAMPLE_SPLIT_SQL = """
+WITH u AS (
+  SELECT doc_id, lang,
+         substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS u_split,
+         substring(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8) AS u_strata
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN u_split < '{t80}' THEN 'train'
+            WHEN u_split < '{t90}' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(u_strata < CASE lang WHEN 'en' THEN '{ten}'
+                                 WHEN 'de' THEN '{tde}'
+                                 WHEN 'fr' THEN '{tfr}'
+                                 ELSE '{tzero}' END AS INT) AS kept_stratified
+FROM u
+"""
+
+
+def _sample_split_oracle_sql() -> str:
+    from archive_to_parquet_spark.operators.sampling import hex_threshold
+
+    return SAMPLE_SPLIT_SQL.format(
+        t80=hex_threshold(0.8),
+        t90=hex_threshold(0.9),
+        ten=hex_threshold(0.5),
+        tde=hex_threshold(0.25),
+        tfr=hex_threshold(0.1),
+        tzero=hex_threshold(0.0),
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted shingle index
     (no all-pairs compare; shuffle key = shingle)."""
@@ -1910,6 +1973,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_gopher_quality": (text_gopher_quality, TEXT_GOPHER_SQL),
     "text_topgram_repetition": (text_topgram_repetition, TEXT_TOPGRAM_SQL),
     "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
+    "sample_split": (sample_split, _sample_split_oracle_sql()),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),

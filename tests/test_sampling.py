@@ -1,0 +1,62 @@
+"""Deterministic sampling/split operators."""
+
+from pyspark.sql import functions as F
+
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    from archive_to_parquet_spark.operators.sampling import hash_sample
+
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    a = hash_sample(df, "k", 0.3, seed="s1")
+    n = a.count()
+    assert abs(n / 20000 - 0.3) < 0.02
+    # identical membership regardless of partitioning
+    b = hash_sample(df.repartition(7), "k", 0.3, seed="s1")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # independent seeds give (nearly) independent samples
+    c = hash_sample(df, "k", 0.3, seed="s2")
+    inter = a.join(c, "k", "semi").count()
+    assert abs(inter / 20000 - 0.09) < 0.02
+
+
+def test_hash_split_partitions_rows(spark):
+    from archive_to_parquet_spark.operators.sampling import hash_split_col
+
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    out = df.select(
+        "k", hash_split_col("k", {"train": 0.8, "val": 0.1, "test": 0.1}).alias("s")
+    )
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+
+
+def test_stratified_sample_rates(spark):
+    from archive_to_parquet_spark.operators.sampling import stratified_sample
+
+    df = spark.range(30000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = stratified_sample(df, "k", "g", {"0": 0.5, "1": 0.1}, default_rate=0.0)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["0"] / 10000 - 0.5) < 0.03
+    assert abs(counts["1"] / 10000 - 0.1) < 0.02
+    assert "2" not in counts  # default rate 0 drops the stratum entirely
+
+
+def test_rate_edges(spark):
+    import pytest
+
+    from archive_to_parquet_spark.operators.sampling import (
+        hash_sample,
+        hex_threshold,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    assert hash_sample(df, "k", 1.0).count() == 100
+    assert hash_sample(df, "k", 0.0).count() == 0
+    assert hex_threshold(0.0) == "00000000"
+    with pytest.raises(ValueError):
+        hex_threshold(1.5)
