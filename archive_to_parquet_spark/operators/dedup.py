@@ -710,3 +710,51 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Train/benchmark decontamination: flag every training document
+    sharing ≥ ``min_overlap`` distinct word n-grams with the benchmark
+    corpus (the GPT-3-style 13-gram containment check; pick smaller n
+    for short documents).
+
+    Plan shape for 100 TB: the benchmark gram set is tiny (benchmarks
+    are MBs) → distinct it and BROADCAST it; the training side streams
+    once through explode → broadcast hash join (no shuffle of corpus
+    grams) → per-doc count, shuffling only the matched (doc, gram)
+    survivors on doc_id. Every training doc is returned with its
+    overlap count (left join; zero = clean).
+    """
+    from archive_to_parquet_spark.functions.text import word_ngrams_col
+
+    grams = lambda df: df.select(  # noqa: E731 - tiny local helper
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams_col(text_col, shingle_n))).alias(
+            "gram"
+        ),
+    )
+    bench_grams = grams(bench_df).select("gram").distinct()
+    overlap = (
+        grams(train_df)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap_grams"))
+    )
+    return (
+        train_df.select(F.col(id_col).alias("id"))
+        .join(overlap, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_overlap_grams", F.lit(0)).alias("n_overlap_grams"),
+            (F.coalesce("n_overlap_grams", F.lit(0)) >= min_overlap)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

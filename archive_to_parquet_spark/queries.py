@@ -1321,6 +1321,48 @@ def _sample_split_oracle_sql() -> str:
     )
 
 
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination over documents: the "benchmark"
+    is the deterministic doc_id % 20 == 0 slice; every document is
+    flagged with its count of distinct 5-gram overlaps with that slice
+    (operators/dedup.py decontaminate — broadcast the benchmark gram
+    set, stream the corpus once)."""
+    from archive_to_parquet_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, bench, "doc_id", "text", shingle_n=5).orderBy(
+        "doc_id"
+    )
+
+
+DECONTAMINATE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+4], ' ')
+                        for i in generate_series(1, greatest(len(words) - 4, 1))])
+           AS grams
+  FROM w WHERE len(words) > 0
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), bg AS (
+  SELECT DISTINCT gram FROM e WHERE doc_id % 20 = 0
+), ov AS (
+  SELECT e.doc_id, count(*) AS n_overlap FROM e JOIN bg USING (gram)
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       coalesce(ov.n_overlap, 0) AS n_overlap_grams,
+       CAST(coalesce(ov.n_overlap, 0) >= 1 AS INT) AS contaminated
+FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted shingle index
     (no all-pairs compare; shuffle key = shingle)."""
@@ -1974,6 +2016,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_topgram_repetition": (text_topgram_repetition, TEXT_TOPGRAM_SQL),
     "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
     "sample_split": (sample_split, _sample_split_oracle_sql()),
+    "decontaminate_ngrams": (decontaminate_ngrams, DECONTAMINATE_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),

@@ -513,3 +513,30 @@ def test_pii_detect_and_redact(spark):
     # 1.2.3.4.5 contains a dotted-quad prefix; \b boundaries still match it
     assert out[3]["n_email"] == 0 and out[3]["n_phone"] == 0
     assert out[4]["red"] == "edge <IP>"
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from archive_to_parquet_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words in this row entirely"),
+            (3, "prefix text then the quick brown fox appears here"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_overlap_grams, r.contaminated)
+        for r in decontaminate(train, bench, shingle_n=4).collect()
+    }
+    # 'the quick brown fox' is the shared 4-gram for docs 1 and 3
+    assert out[1][1] == 1 and out[1][0] >= 1
+    assert out[3][1] == 1
+    assert out[2] == (0, 0)
+    assert out[4] == (0, 0)
