@@ -1363,6 +1363,98 @@ ORDER BY d.doc_id
 """
 
 
+def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch operators with in-query self-validation: per order
+    priority, HyperLogLog++ distinct customers (approx_count_distinct,
+    rsd 2%) checked against the exact distinct count, and KLL-style
+    approximate percentiles (percentile_approx, accuracy 10k) checked
+    against exact interpolated percentiles — each emitted as an ``ok``
+    flag with the exact value, so the oracle (which computes only the
+    exact side and asserts the flags are 1) deterministically certifies
+    the sketches' error bounds. Both sketches are mergeable partial
+    aggregates: map-side partial, one shuffle on the group key, no
+    second pass over the data for the approximate path."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dist = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("hll"),
+    )
+    dist = dist.select(
+        F.col("o_orderpriority").alias("grp"),
+        "exact_distinct",
+        (
+            F.abs(F.col("hll") - F.col("exact_distinct"))
+            / F.greatest(F.col("exact_distinct"), F.lit(1))
+            <= 0.06  # 3x the requested rsd
+        )
+        .cast("int")
+        .alias("hll_ok"),
+    )
+    # percentile_disc returns ACTUAL data values (no interpolation), so
+    # the exact side is bit-identical to DuckDB's quantile_disc —
+    # interpolated percentiles differ in the last ulp between engines
+    # and flip 2dp rounding at .xx5 boundaries
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p50_exact"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p95_exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_a"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_a"),
+    )
+    pct = pct.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round("p50_exact", 2).alias("p50_exact"),
+        (F.abs(F.col("p50_a") - F.col("p50_exact")) / F.col("p50_exact") <= 0.01)
+        .cast("int")
+        .alias("p50_ok"),
+        F.round("p95_exact", 2).alias("p95_exact"),
+        (F.abs(F.col("p95_a") - F.col("p95_exact")) / F.col("p95_exact") <= 0.01)
+        .cast("int")
+        .alias("p95_ok"),
+    )
+    return (
+        dist.join(pct, "grp", "full")
+        .select(
+            "grp",
+            F.coalesce("exact_distinct", F.lit(-1)).alias("exact_distinct"),
+            F.coalesce("hll_ok", F.lit(-1)).alias("hll_ok"),
+            F.coalesce("p50_exact", F.lit(-1.0)).alias("p50_exact"),
+            F.coalesce("p50_ok", F.lit(-1)).alias("p50_ok"),
+            F.coalesce("p95_exact", F.lit(-1.0)).alias("p95_exact"),
+            F.coalesce("p95_ok", F.lit(-1)).alias("p95_ok"),
+        )
+    )
+
+
+SKETCH_ACCURACY_SQL = """
+WITH dist AS (
+  SELECT o_orderpriority AS grp,
+         count(DISTINCT o_custkey) AS exact_distinct,
+         1 AS hll_ok
+  FROM orders GROUP BY o_orderpriority
+), pct AS (
+  SELECT l_returnflag AS grp,
+         round(quantile_disc(l_extendedprice, 0.5), 2) AS p50_exact,
+         1 AS p50_ok,
+         round(quantile_disc(l_extendedprice, 0.95), 2) AS p95_exact,
+         1 AS p95_ok
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT coalesce(d.grp, p.grp) AS grp,
+       coalesce(d.exact_distinct, -1) AS exact_distinct,
+       coalesce(d.hll_ok, -1) AS hll_ok,
+       coalesce(p.p50_exact, -1.0) AS p50_exact,
+       coalesce(p.p50_ok, -1) AS p50_ok,
+       coalesce(p.p95_exact, -1.0) AS p95_exact,
+       coalesce(p.p95_ok, -1) AS p95_ok
+FROM dist d FULL OUTER JOIN pct p ON d.grp = p.grp
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted shingle index
     (no all-pairs compare; shuffle key = shingle)."""
@@ -2017,6 +2109,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
     "sample_split": (sample_split, _sample_split_oracle_sql()),
     "decontaminate_ngrams": (decontaminate_ngrams, DECONTAMINATE_SQL),
+    "sketch_accuracy": (sketch_accuracy, SKETCH_ACCURACY_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
