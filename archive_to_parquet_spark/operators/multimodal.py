@@ -8,12 +8,13 @@ take the row-at-a-time Python path.
 Decode tiers (no image/audio libs exist in this container):
 
 - ``decode="real"`` — REAL header parsing, pure Python: PNG (IHDR),
-  JPEG (SOFn), GIF, BMP, PPM/PGM dimensions+channels; WAV/RIFF sample
-  rate / sample count / duration. The *feature* vectors remain
-  hash-derived content fingerprints (a real embedding needs pixel/PCM
-  decode → PIL/librosa); ``NotImplementedError`` is raised only for
-  codec-requiring inputs the header parsers don't cover (e.g. video
-  frame extraction, mp3/ogg audio).
+  JPEG (SOFn), GIF, BMP, PPM/PGM dimensions+channels; WAV/RIFF, FLAC
+  STREAMINFO, and MP3 frame headers for sample rate / sample count /
+  duration; MP4/MOV mvhd and AVI avih for video duration / frame count
+  / dimensions. The *feature* vectors remain hash-derived content
+  fingerprints (a real embedding needs pixel/PCM decode → PIL/librosa);
+  ``NotImplementedError`` is raised only for codec-requiring inputs the
+  header parsers don't cover (e.g. frame extraction, ogg audio).
 - ``decode="fake"`` — fully deterministic stand-in decode from the byte
   hash; keeps schema/batch shape real for plumbing tests.
 """
@@ -138,6 +139,126 @@ def parse_wav_header(data: bytes) -> tuple[int, int, float] | None:
     return None
 
 
+# MPEG audio tables: sample rates per version, bitrates (kbps) for
+# Layer III, samples per frame for Layer III
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+
+def parse_flac_header(data: bytes) -> tuple[int, int, float] | None:
+    """(sample_rate, n_samples, duration_s) from a FLAC STREAMINFO block
+    (always the first metadata block per spec). Pure fixed-offset bit
+    unpacking, no codec."""
+    d = data or b""
+    if d[:4] != b"fLaC" or len(d) < 26:
+        return None
+    if d[4] & 0x7F != 0:  # first block must be STREAMINFO (type 0)
+        return None
+    # after 10 bytes of block/frame sizes: 64 bits holding
+    # rate(20) channels(3) bps(5) total_samples(36)
+    bits = int.from_bytes(d[18:26], "big")
+    rate = bits >> 44
+    total = bits & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    return rate, total, total / rate
+
+
+def parse_mp3_header(data: bytes) -> tuple[int, int, float] | None:
+    """(sample_rate, est_n_samples, est_duration_s) from the first MPEG
+    Layer III frame header (skipping any leading ID3v2 tag). Duration is
+    the CBR estimate: remaining bytes / byte rate."""
+    d = data or b""
+    start = 0
+    if d[:3] == b"ID3" and len(d) >= 10:
+        # syncsafe 28-bit tag size at bytes 6-9
+        size = (d[6] << 21) | (d[7] << 14) | (d[8] << 7) | d[9]
+        start = 10 + size
+    i = start
+    limit = min(len(d) - 4, start + 4096)
+    while i <= limit:
+        if d[i] == 0xFF and (d[i + 1] & 0xE0) == 0xE0:
+            version = (d[i + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (d[i + 1] >> 1) & 0x3  # 1 = Layer III
+            bitrate_idx = (d[i + 2] >> 4) & 0xF
+            rate_idx = (d[i + 2] >> 2) & 0x3
+            if version != 1 and layer == 1 and rate_idx != 3 and 0 < bitrate_idx < 15:
+                rate = _MP3_RATES[version][rate_idx]
+                table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+                kbps = table[bitrate_idx]
+                duration = (len(d) - i) * 8.0 / (kbps * 1000)
+                return rate, int(duration * rate), duration
+        i += 1
+    return None
+
+
+def parse_video_header(data: bytes) -> dict | None:
+    """Container-level video metadata without any codec: MP4/MOV walks
+    top-level boxes to moov→mvhd (timescale+duration, both mvhd
+    versions); AVI reads the avih chunk (frame period, frame count,
+    dimensions). Returns {duration_s, n_frames, width, height} with
+    None for fields the container doesn't carry; None overall for
+    unrecognized bytes."""
+    d = data or b""
+    # MP4 / MOV: size(4) type(4) boxes; mvhd lives inside moov
+    if len(d) >= 12 and d[4:8] == b"ftyp":
+
+        def find_box(buf: bytes, name: bytes, start: int, end: int) -> tuple[int, int] | None:
+            i = start
+            while i + 8 <= end:
+                size = struct.unpack(">I", buf[i : i + 4])[0]
+                if size < 8:
+                    return None
+                if buf[i + 4 : i + 8] == name:
+                    return i + 8, min(i + size, end)
+                i += size
+            return None
+
+        moov = find_box(d, b"moov", 0, len(d))
+        if moov is None:
+            return None
+        mvhd = find_box(d, b"mvhd", *moov)
+        if mvhd is None:
+            return None
+        p, _ = mvhd
+        version = d[p]
+        if version == 1 and p + 28 <= len(d):
+            timescale = struct.unpack(">I", d[p + 20 : p + 24])[0]
+            duration = struct.unpack(">Q", d[p + 24 : p + 32])[0]
+        elif p + 20 <= len(d):
+            timescale = struct.unpack(">I", d[p + 12 : p + 16])[0]
+            duration = struct.unpack(">I", d[p + 16 : p + 20])[0]
+        else:
+            return None
+        if not timescale:
+            return None
+        return {
+            "duration_s": duration / timescale,
+            "n_frames": None,
+            "width": None,
+            "height": None,
+        }
+    # AVI: RIFF container, avih (main header) inside LIST hdrl
+    if d[:4] == b"RIFF" and d[8:12] == b"AVI ":
+        i = d.find(b"avih")
+        if i < 0 or i + 48 > len(d):
+            return None
+        p = i + 8  # skip chunk id + size
+        usec_per_frame, _maxrate, _pad, _flags, n_frames = struct.unpack(
+            "<IIIII", d[p : p + 20]
+        )
+        width, height = struct.unpack("<II", d[p + 32 : p + 40])
+        duration = n_frames * usec_per_frame / 1e6 if usec_per_frame else None
+        return {
+            "duration_s": duration,
+            "n_frames": n_frames,
+            "width": width,
+            "height": height,
+        }
+    return None
+
+
 def _hash_feature(data: bytes, dim: int = 16) -> list[float]:
     """Deterministic content-fingerprint feature in [-1, 1] — the
     embedding stand-in used by both decode tiers (a real embedding needs
@@ -223,12 +344,16 @@ def _fake_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
 
 
 def _real_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
-    parsed = parse_wav_header(data)
+    parsed = (
+        parse_wav_header(data)
+        or parse_flac_header(data)
+        or parse_mp3_header(data)
+    )
     if parsed is None:
         magic = (data or b"")[:4].hex()
         raise NotImplementedError(
-            f"audio header parse supports WAV/RIFF; bytes with magic "
-            f"{magic!r} (mp3/ogg/flac…) need a codec library (soundfile)"
+            f"audio header parse supports WAV/FLAC/MP3; bytes with magic "
+            f"{magic!r} (ogg/opus…) need a codec library (soundfile)"
         )
     rate, n, duration = parsed
     h = hashlib.sha256(data or b"").digest()
@@ -302,6 +427,63 @@ def sample_video_frames(
     return df.select(id_col, data_col).mapInPandas(batches, out_ddl)
 
 
+VIDEO_META_DDL = (
+    "media_id long, duration_s double, n_frames long, width int, height int"
+)
+
+
+def _fake_video_meta(data: bytes) -> dict:
+    h = hashlib.sha256(data or b"").digest()
+    n_frames = 1 + h[0] % 240
+    fps = (24, 25, 30)[h[1] % 3]
+    return {
+        "duration_s": n_frames / fps,
+        "n_frames": n_frames,
+        "width": 160 + h[2] % 64,
+        "height": 120 + h[3] % 64,
+    }
+
+
+def extract_video_metadata(
+    df: DataFrame, data_col: str = "data", id_col: str = "media_id",
+    decode: str = "fake",
+) -> DataFrame:
+    """video binary → container metadata (duration, frame count, dims)
+    via mapInPandas. ``decode="real"`` parses MP4/MOV mvhd and AVI avih
+    headers (pure Python, no codec); unrecognized containers raise
+    NotImplementedError. Fields a container doesn't carry are null
+    (MP4 mvhd has duration but not dims/frames; AVI avih has all)."""
+    if decode == "real":
+        def kernel(data: bytes) -> dict:
+            meta = parse_video_header(data)
+            if meta is None:
+                magic = (data or b"")[:8].hex()
+                raise NotImplementedError(
+                    f"video metadata parse supports MP4/MOV/AVI; bytes "
+                    f"with magic {magic!r} need a demuxer (PyAV)"
+                )
+            return meta
+    elif decode == "fake":
+        kernel = _fake_video_meta
+    else:
+        raise ValueError(f"unknown decode mode {decode!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [kernel(d) for d in pdf[data_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "duration_s": [m["duration_s"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, VIDEO_META_DDL)
+
+
 def media_table_from_entries(entries: DataFrame) -> DataFrame:
     """Adapt the canonical entries table into the media schema (content →
     data), classifying kind from magic bytes JVM-side. RIFF is a
@@ -321,6 +503,8 @@ def media_table_from_entries(entries: DataFrame) -> DataFrame:
         .when(magic(1, b"RIFF") & magic(9, b"AVI "), "video")
         .when(magic(1, b"RIFF") & magic(9, b"WEBP"), "image")
         .when(magic(5, b"ftyp"), "video")
+        .when(magic(1, b"fLaC"), "audio")
+        .when(magic(1, b"ID3"), "audio")
         .otherwise("unknown")
     )
     return entries.select(

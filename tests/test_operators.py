@@ -540,3 +540,98 @@ def test_decontaminate_flags_overlapping_docs(spark):
     assert out[3][1] == 1
     assert out[2] == (0, 0)
     assert out[4] == (0, 0)
+
+
+def _make_flac(rate=44100, total=44100 * 3, channels=2, bps=16):
+    import struct
+
+    bits = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096) + b"\x00" * 6 + struct.pack(">Q", bits)
+        + b"\x00" * 16  # md5 of raw audio
+    )
+    return b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+
+def _make_mp3(rate_idx=0, bitrate_idx=9, n_frames=10):
+    # MPEG1 Layer III header: sync=0x7FF, version=3 (MPEG1), layer=1 (III)
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (rate_idx << 2), 0x00])
+    frame = hdr + b"\x00" * 413  # 128 kbps @ 44100: frame ≈ 417 bytes
+    return b"ID3" + b"\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10 + frame * n_frames
+
+
+def _make_mp4(timescale=1000, duration=5500):
+    import struct
+
+    mvhd_body = b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", timescale, duration) + b"\x00" * 80
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def _make_avi(usec_per_frame=40000, n_frames=250, width=640, height=480):
+    import struct
+
+    avih_body = struct.pack("<IIIII", usec_per_frame, 0, 0, 0, n_frames)
+    avih_body += b"\x00" * 12 + struct.pack("<II", width, height) + b"\x00" * 16
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+def test_flac_mp3_header_decoders():
+    from archive_to_parquet_spark.operators.multimodal import (
+        parse_flac_header,
+        parse_mp3_header,
+    )
+
+    rate, total, dur = parse_flac_header(_make_flac(rate=48000, total=96000))
+    assert (rate, total) == (48000, 96000) and abs(dur - 2.0) < 1e-9
+
+    mp3 = _make_mp3()
+    rate, n, dur = parse_mp3_header(mp3)
+    assert rate == 44100
+    # CBR estimate: 4170 audio bytes at 128 kbps ≈ 0.26 s
+    assert abs(dur - (len(mp3) - 20) * 8 / 128000) < 1e-6
+    assert parse_flac_header(b"fLaC") is None
+    assert parse_mp3_header(b"\x00" * 100) is None
+
+
+def test_video_container_metadata():
+    from archive_to_parquet_spark.operators.multimodal import parse_video_header
+
+    mp4 = parse_video_header(_make_mp4(timescale=1000, duration=5500))
+    assert abs(mp4["duration_s"] - 5.5) < 1e-9
+    assert mp4["width"] is None  # mvhd carries no dims
+
+    avi = parse_video_header(_make_avi())
+    assert avi == {
+        "duration_s": 10.0, "n_frames": 250, "width": 640, "height": 480,
+    }
+    assert parse_video_header(b"nonsense bytes here") is None
+
+
+def test_real_audio_video_decode_via_spark(spark):
+    from archive_to_parquet_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_video_metadata,
+    )
+
+    audio = spark.createDataFrame(
+        [(1, bytearray(_make_flac(rate=48000, total=96000))),
+         (2, bytearray(_make_mp3()))],
+        "media_id long, data binary",
+    )
+    rows = {r.media_id: r for r in extract_audio_features(audio, decode="real").collect()}
+    assert rows[1].sample_rate == 48000 and rows[1].n_samples == 96000
+    assert rows[2].sample_rate == 44100
+    assert len(rows[1].mfcc) == 13
+
+    video = spark.createDataFrame(
+        [(1, bytearray(_make_mp4())), (2, bytearray(_make_avi()))],
+        "media_id long, data binary",
+    )
+    out = {r.media_id: r for r in extract_video_metadata(video, decode="real").collect()}
+    assert abs(out[1].duration_s - 5.5) < 1e-9 and out[1].width is None
+    assert out[2].n_frames == 250 and out[2].width == 640
