@@ -1972,6 +1972,70 @@ WHERE session_end <= (SELECT max(ts_sec) - 7200 FROM b)
 """
 
 
+def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join driven to completion:
+    every (click, purchase) pair for the same user with the purchase
+    within 1 hour of the click. Both sides are watermarked and the join
+    carries a two-sided time-range predicate, so state stays bounded on
+    a real stream; over the bounded input the inner join emits exactly
+    the batch join result, so the SQL twin is an exact oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from archive_to_parquet_spark.streaming.events import interval_join_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="stream_cp_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", stage)
+        stream = spark.readStream.schema(schema).parquet(stage)
+        clicks = stream.filter(F.col("event_type") == "click")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        joined = interval_join_stream(clicks, purchases, within="1 hour")
+        name = f"stream_cp_{uuid.uuid4().hex[:8]}"
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        return spark.table(name).select(
+            F.col("l_id").alias("click_id"),
+            F.col("r_id").alias("purchase_id"),
+            F.col("l_user").alias("user_id"),
+            (F.col("r_time").cast("long") - F.col("l_time").cast("long")).alias(
+                "gap_sec"
+            ),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAM_CLICK_PURCHASE_SQL = """
+WITH b AS (
+  SELECT event_id, user_id, event_type,
+         epoch_ns(ts) // 1000000000 AS ts_sec
+  FROM events
+)
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       p.ts_sec - c.ts_sec AS gap_sec
+FROM b c JOIN b p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts_sec >= c.ts_sec AND p.ts_sec <= c.ts_sec + 3600
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k with 2-bit multi-probe,
     oracle-checked end-to-end: the 8 planes are md5-derived LITERALS
@@ -2115,6 +2179,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "stream_events_hourly": (stream_events_hourly, STREAM_EVENTS_HOURLY_SQL),
     "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
+    "stream_click_purchase": (stream_click_purchase, STREAM_CLICK_PURCHASE_SQL),
 }
 
 

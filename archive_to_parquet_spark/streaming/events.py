@@ -86,3 +86,47 @@ def dedup_stream(
     return ev.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join: every (left,
+    right) pair for the same user with right.event_time in
+    [left.event_time, left.event_time + within].
+
+    Both sides carry watermarks and the join has a two-sided time-range
+    condition, so Spark bounds each side's state buffer to the interval
+    + watermark — the canonical scalable stream-stream join shape
+    (without the range condition state grows unboundedly). Inner join
+    emits a pair as soon as both sides arrive; driven to completion over
+    a bounded input it yields exactly the batch join result.
+    """
+    l = (
+        with_event_time(left)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("event_time").alias("l_time"),
+        )
+    )
+    r = (
+        with_event_time(right)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("event_time").alias("r_time"),
+        )
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_user = r_user AND r_time >= l_time "
+            f"AND r_time <= l_time + interval {within}"
+        ),
+    )

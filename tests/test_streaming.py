@@ -217,3 +217,47 @@ def test_stream_convert_watches_directory(spark, tmp_path):
     assert sorted(r["path"] for r in table.to_pylist()) == ["f1.txt", "f2.txt"]
     contents = {r["path"]: r["content"] for r in table.to_pylist()}
     assert contents["f1.txt"] == b"stream me"
+
+
+def test_interval_join_stream_pairs(spark, tmp_path):
+    """Stream-stream interval join: in-window pairs emitted, out-of-window
+    and cross-user pairs excluded."""
+    import pandas as pd
+
+    from archive_to_parquet_spark.streaming.events import interval_join_stream
+
+    base = 1_700_000_000
+    rows = [
+        # user 1: click at t0; purchases at +30min (in) and +2h (out)
+        (1, base, 10, "click", 1.0),
+        (2, base + 1800, 10, "purchase", 5.0),
+        (3, base + 7200, 10, "purchase", 6.0),
+        # user 2: purchase 10 s BEFORE the click — excluded (one-sided)
+        (4, base + 10, 20, "click", 1.0),
+        (5, base, 20, "purchase", 2.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pdf["ts"] * 1_000_000_000  # int64 nanos like the driver data
+    src = str(tmp_path / "events")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = interval_join_stream(
+        stream.filter("event_type = 'click'"),
+        stream.filter("event_type = 'purchase'"),
+        within="1 hour",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = [(r.l_id, r.r_id) for r in spark.sql("SELECT * FROM ij_test").collect()]
+    finally:
+        q.stop()
+    assert sorted(out) == [(1, 2)]
