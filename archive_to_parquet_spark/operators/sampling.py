@@ -21,7 +21,7 @@ train/val/test splits) a 100 TB corpus build needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,3 +103,50 @@ def stratified_sample(
         else threshold.otherwise(F.lit(hex_threshold(default_rate)))
     )
     return df.filter(u < threshold)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens: Column | str,
+    context_len: int,
+    shard: Column | str,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the standard LLM
+    pretraining layout): within each shard, documents are laid end to
+    end in id order and cut into fixed ``context_len`` chunks; a doc
+    whose tokens straddle a cut is split across chunks.
+
+    Returns per-doc placement: global token offset within the shard,
+    first/last chunk index, offset inside the first chunk, and whether
+    the doc spans a chunk boundary.
+
+    Scale shape: ONE window partitioned by shard (each shard's cumsum is
+    independent — no global ordering, no single-partition WindowExec);
+    shard count should be ≥ cluster parallelism. Deterministic given
+    (shard, id) — re-runs and engines agree, so packing is reproducible
+    and resumable.
+    """
+    tok = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    s = F.col(shard) if isinstance(shard, str) else shard
+    w = (
+        Window.partitionBy(s)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum(tok).over(w)
+    start = end - tok
+    c = F.lit(context_len)
+    return df.select(
+        F.col(id_col),
+        s.alias("shard"),
+        tok.cast("long").alias("n_tokens"),
+        start.cast("long").alias("token_offset"),
+        F.floor(start / c).cast("long").alias("start_chunk"),
+        # empty docs occupy no tokens: end_chunk = start_chunk
+        F.floor((F.greatest(end - 1, start)) / c).cast("long").alias("end_chunk"),
+        (start % c).cast("long").alias("offset_in_chunk"),
+        (F.floor(start / c) != F.floor(F.greatest(end - 1, start) / c))
+        .cast("int")
+        .alias("spans_boundary"),
+    )

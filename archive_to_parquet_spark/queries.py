@@ -1455,6 +1455,78 @@ FROM dist d FULL OUTER JOIN pct p ON d.grp = p.grp
 """
 
 
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing of documents into
+    1024-token contexts, sharded by source (operators/sampling.py
+    pack_sequences): per-doc placement (offset, chunk span, boundary
+    straddle). The window is PARTITIONED by shard — per-shard cumsums
+    are independent, so there is no global sort and no
+    single-partition WindowExec at any scale."""
+    from archive_to_parquet_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", token_count_col("text", "whitespace").alias("nt")
+    )
+    return pack_sequences(with_tokens, "doc_id", "nt", 1024, "source")
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\S+')) AS nt
+  FROM documents
+), c AS (
+  SELECT doc_id, source AS shard, nt,
+         sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM t
+)
+SELECT doc_id, shard, nt AS n_tokens,
+       cum_end - nt AS token_offset,
+       (cum_end - nt) // 1024 AS start_chunk,
+       greatest(cum_end - 1, cum_end - nt) // 1024 AS end_chunk,
+       (cum_end - nt) % 1024 AS offset_in_chunk,
+       CAST((cum_end - nt) // 1024 <> greatest(cum_end - 1, cum_end - nt) // 1024
+            AS INT) AS spans_boundary
+FROM c
+"""
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling operator (the data-quality report a pipeline
+    runs before training): per numeric column of lineitem — nulls,
+    distinct count, min/max/avg — computed in ONE pass (one shuffle-free
+    partial-agg reduction; countDistinct forces one expand+shuffle,
+    still a single scan of the table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            F.round(F.min(c), 2).alias(f"{c}_min"),
+            F.round(F.max(c), 2).alias(f"{c}_max"),
+            F.round(F.avg(c), 2).alias(f"{c}_avg"),
+        ]
+    return li.agg(*aggs)
+
+
+def _profile_oracle_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = []
+    for c in cols:
+        parts += [
+            f"count(CASE WHEN {c} IS NULL THEN 1 END) AS {c}_nulls",
+            f"count(DISTINCT {c}) AS {c}_distinct",
+            f"round(min({c}), 2) AS {c}_min",
+            f"round(max({c}), 2) AS {c}_max",
+            f"round(avg({c}), 2) AS {c}_avg",
+        ]
+    return "SELECT " + ",\n       ".join(parts) + " FROM lineitem"
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted shingle index
     (no all-pairs compare; shuffle key = shingle)."""
@@ -2174,6 +2246,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "sample_split": (sample_split, _sample_split_oracle_sql()),
     "decontaminate_ngrams": (decontaminate_ngrams, DECONTAMINATE_SQL),
     "sketch_accuracy": (sketch_accuracy, SKETCH_ACCURACY_SQL),
+    "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),
+    "profile_table": (profile_table, _profile_oracle_sql()),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),

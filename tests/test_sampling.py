@@ -60,3 +60,32 @@ def test_rate_edges(spark):
     assert hex_threshold(0.0) == "00000000"
     with pytest.raises(ValueError):
         hex_threshold(1.5)
+
+
+def test_pack_sequences_layout(spark):
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.operators.sampling import pack_sequences
+
+    rows = [
+        (1, "a", 600), (2, "a", 600), (3, "a", 900),   # shard a: 0,600,1200
+        (4, "b", 2100), (5, "b", 0), (6, "b", 50),     # shard b: big doc + empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, nt long")
+    out = {
+        r.doc_id: r.asDict()
+        for r in pack_sequences(df, "doc_id", "nt", 1000, "shard").collect()
+    }
+    # doc 2 starts at 600, ends at 1199 -> straddles the 1000 cut
+    assert out[2]["token_offset"] == 600
+    assert (out[2]["start_chunk"], out[2]["end_chunk"]) == (0, 1)
+    assert out[2]["spans_boundary"] == 1
+    # doc 3 starts exactly at 1200 in chunk 1, ends 2099 -> chunks 1..2
+    assert out[3]["offset_in_chunk"] == 200
+    assert (out[3]["start_chunk"], out[3]["end_chunk"]) == (1, 2)
+    # shards are independent: doc 4 starts at 0 despite shard a's totals
+    assert out[4]["token_offset"] == 0
+    assert (out[4]["start_chunk"], out[4]["end_chunk"]) == (0, 2)
+    # empty doc occupies no tokens: start == end chunk, no straddle
+    assert out[5]["spans_boundary"] == 0
+    assert out[5]["start_chunk"] == out[5]["end_chunk"] == 2
