@@ -42,6 +42,14 @@ HEADLINE = [
     "text_lang_id",
     "ann_cosine_topk",
     "rel_asof_click_before_purchase",
+    # round-2 training-pipeline operators
+    "text_gopher_quality",
+    "text_topgram_repetition",
+    "text_pii_redact",
+    "sample_split",
+    "pack_sequences",
+    "decontaminate_ngrams",
+    "sketch_accuracy",
 ]
 
 _INGEST_MEMBERS = 512
