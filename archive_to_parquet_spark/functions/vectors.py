@@ -53,3 +53,32 @@ def cosine_from_norms(
     nb = _c(norm_b)
     denom = na * nb
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_col(a, b) / denom)
+
+
+def quantize_int8_cols(emb: Column | str) -> dict[str, Column]:
+    """Symmetric int8 quantization of an embedding column — the 4×
+    memory/IO reduction an ANN corpus wants at 100 TB (int8 + one
+    float scale per vector instead of float32 per dim).
+
+    scale = max|x| / 127; q_i = clamp(floor(x_i/scale + 0.5), ±127).
+    ``floor(x + 0.5)`` is used instead of round() because round-half
+    modes differ across engines while floor is universal — every q_i is
+    a small EXACT integer, so checksums over q compare bit-identically
+    between Spark and any oracle. Inputs are widened float32→double
+    first (exact) so both engines do identical double arithmetic.
+    Zero vectors quantize to all-zero with scale 0.
+    """
+    e = F.transform(_c(emb), lambda x: x.cast("double"))
+    scale = (
+        F.aggregate(e, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v)))
+        / 127.0
+    )
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    q = F.transform(
+        e,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / safe + 0.5).cast("int")),
+        ),
+    )
+    return {"scale": scale, "q": q}

@@ -2044,6 +2044,71 @@ WHERE session_end <= (SELECT max(ts_sec) - 7200 FROM b)
 """
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with exact cross-engine
+    verification: per vector — the scale, integer L1 mass and
+    position-weighted checksum of the quantized codes (exact ints, so
+    the hash compare proves bit-identical quantization), plus an
+    in-plan certification that dequantized cosine vs the original stays
+    ≥ 0.99. Pure JVM higher-order functions; at 100 TB this is the 4×
+    corpus-memory reduction step before ANN indexing."""
+    from archive_to_parquet_spark.functions.vectors import (
+        cosine_similarity_col,
+        quantize_int8_cols,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = quantize_int8_cols("embedding")
+    dequant = F.transform(
+        qz["q"],
+        lambda x: x.cast("double")
+        * F.when(qz["scale"] == 0.0, F.lit(1.0)).otherwise(qz["scale"]),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(qz["scale"], 6).alias("scale"),
+        F.aggregate(
+            qz["q"], F.lit(0), lambda acc, v: acc + F.abs(v)
+        ).alias("q_l1"),
+        F.aggregate(
+            F.zip_with(
+                qz["q"],
+                F.sequence(F.lit(1), F.size(qz["q"])),
+                lambda x, i: x * i,
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).alias("q_checksum"),
+        (cosine_similarity_col("embedding", dequant) >= 0.99)
+        .cast("int")
+        .alias("cos_ok"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(emb, x -> greatest(-127, least(127,
+           CAST(floor(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END) + 0.5)
+                AS INT)))) AS qv
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS INT) AS q_l1,
+       CAST(list_sum([qv[i] * i for i in generate_series(1, len(qv))]) AS INT)
+         AS q_checksum,
+       1 AS cos_ok
+FROM q
+"""
+
+
 def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join driven to completion:
     every (click, purchase) pair for the same user with the purchase
@@ -2248,6 +2313,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "sketch_accuracy": (sketch_accuracy, SKETCH_ACCURACY_SQL),
     "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),
     "profile_table": (profile_table, _profile_oracle_sql()),
+    "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),

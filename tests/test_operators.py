@@ -635,3 +635,26 @@ def test_real_audio_video_decode_via_spark(spark):
     out = {r.media_id: r for r in extract_video_metadata(video, decode="real").collect()}
     assert abs(out[1].duration_s - 5.5) < 1e-9 and out[1].width is None
     assert out[2].n_frames == 250 and out[2].width == 640
+
+
+def test_quantize_int8_edges(spark):
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.functions.vectors import quantize_int8_cols
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 2.0]),     # scale = 2/127
+            (2, [0.0, 0.0]),                 # zero vector
+            (3, [127.0]),                    # max maps exactly to 127
+        ],
+        "id long, embedding array<float>",
+    )
+    qz = quantize_int8_cols("embedding")
+    out = {
+        r.id: (r.scale, r.q)
+        for r in df.select("id", qz["scale"].alias("scale"), qz["q"].alias("q")).collect()
+    }
+    assert out[1][1] == [64, -127, 32, 127]  # round(63.5)=64 via floor(x+.5)
+    assert out[2] == (0.0, [0, 0])
+    assert out[3][1] == [127]
