@@ -2109,6 +2109,88 @@ FROM q
 """
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data
+    build actually runs, as ONE declarative plan: Gopher-style quality
+    gate (word count / mean word length / alpha fraction / required
+    stopwords) → deterministic near-dup collapse on a 5-word prefix
+    fingerprint (keep min doc_id per key; one shuffle) → deterministic
+    train/val/test split. Every stage is the oracle-checked operator
+    from its own catalog entry; this entry proves they compose without
+    semantic drift. Catalyst fuses the gate into the scan and the split
+    into the dedup output — 2 stages total."""
+    from archive_to_parquet_spark.functions.text import gopher_quality_cols
+    from archive_to_parquet_spark.operators.dedup import (
+        dedup_exact_deterministic,
+    )
+    from archive_to_parquet_spark.operators.sampling import hash_split_col
+
+    docs = _t(spark, sf_dir, "documents")
+    q = gopher_quality_cols("text")
+    gated = docs.select(
+        "doc_id",
+        "text",
+        q["n_words"].alias("n_words"),
+        q["mean_word_len"].alias("mwl"),
+        q["frac_alpha_words"].alias("faw"),
+        q["req_stopwords"].alias("rsw"),
+    ).filter(
+        (F.col("n_words") >= 30)
+        & (F.col("mwl") >= 3)
+        & (F.col("mwl") <= 10)
+        & (F.col("faw") > 0.7)
+        & (F.col("rsw") >= 1)
+    )
+    words = F.array_remove(F.split(F.lower("text"), r"\s+"), "")
+    keyed = gated.withColumn(
+        "fp", F.md5(F.concat_ws(" ", F.slice(words, 1, 5)).cast("binary"))
+    )
+    deduped = dedup_exact_deterministic(keyed, key="fp", order_cols=("doc_id",))
+    return deduped.select(
+        "doc_id",
+        "n_words",
+        hash_split_col("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias(
+            "split"
+        ),
+    )
+
+
+def _curation_pipeline_oracle_sql() -> str:
+    from archive_to_parquet_spark.operators.sampling import hex_threshold
+
+    return r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS lwords
+  FROM documents
+), gated AS (
+  SELECT doc_id, lwords,
+         CAST(len(words) AS INT) AS n_words,
+         md5(array_to_string(lwords[1:5], ' ')) AS fp
+  FROM w
+  WHERE len(words) >= 30
+    AND list_sum(list_transform(words, x -> length(x))) * 1.0
+        / greatest(len(words), 1) BETWEEN 3 AND 10
+    AND len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+        / greatest(len(words), 1) > 0.7
+    AND len(list_intersect(list_transform(words, x -> lower(x)),
+            ['the','be','to','of','and','that','have','with'])) >= 1
+), deduped AS (
+  SELECT doc_id, n_words,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, n_words,
+       CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '{t80}' THEN 'train'
+            WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '{t90}' THEN 'val'
+            ELSE 'test' END AS split
+FROM deduped WHERE rn = 1
+""".format(t80=hex_threshold(0.8), t90=hex_threshold(0.9))
+
+
 def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join driven to completion:
     every (click, purchase) pair for the same user with the purchase
@@ -2314,6 +2396,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),
     "profile_table": (profile_table, _profile_oracle_sql()),
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
+    "curation_pipeline": (curation_pipeline, _curation_pipeline_oracle_sql()),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
