@@ -1376,9 +1376,18 @@ def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass over the data for the approximate path."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    dist = orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("exact_distinct"),
-        F.approx_count_distinct("o_custkey", 0.02).alias("hll"),
+    # pre-distinct then count: HLL over the distinct set is the same
+    # estimate as over the multiset, and this avoids the Expand node
+    # countDistinct-plus-other-aggs plans (which doubles scan output) —
+    # one distinct shuffle with map-side partials, then a tiny agg
+    dist = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("exact_distinct"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("hll"),
+        )
     )
     dist = dist.select(
         F.col("o_orderpriority").alias("grp"),
