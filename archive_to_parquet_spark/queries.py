@@ -2282,6 +2282,48 @@ FROM b c JOIN b p
 """
 
 
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) driven to
+    completion: the surviving KEY SET is deterministic (first-arrival
+    winners are not, so only keys are emitted), and over a bounded
+    input it equals batch DISTINCT — the SQL twin is exact. State is
+    watermark-bounded on a real stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from archive_to_parquet_spark.streaming.events import dedup_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", stage)
+        stream = spark.readStream.schema(schema).parquet(stage)
+        deduped = dedup_stream(stream, ["user_id", "event_type"], "2 hours")
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        return spark.table(name).select("user_id", "event_type")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAM_DEDUP_KEYS_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k with 2-bit multi-probe,
     oracle-checked end-to-end: the 8 planes are md5-derived LITERALS
@@ -2430,6 +2472,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "stream_events_hourly": (stream_events_hourly, STREAM_EVENTS_HOURLY_SQL),
     "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
     "stream_click_purchase": (stream_click_purchase, STREAM_CLICK_PURCHASE_SQL),
+    "stream_dedup_keys": (stream_dedup_keys, STREAM_DEDUP_KEYS_SQL),
 }
 
 
