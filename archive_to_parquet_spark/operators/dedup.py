@@ -758,3 +758,55 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def crossdoc_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document span repetition (the signal behind substring-level
+    train-set dedup, Lee et al. 2022): for every document, how many of
+    its distinct word n-grams also occur in ≥ ``min_df`` documents
+    corpus-wide, and what fraction of its gram set that is.
+
+    Plan: distinct grams per doc (explode) → global gram document
+    frequency (count per gram — grams are pre-distinct per doc, so
+    count = doc frequency; map-side partials apply) → join back and
+    count shared grams per doc. Shuffles key on gram then doc id; there
+    is no pairwise doc×doc work anywhere, so cost is linear in corpus
+    gram volume. Hot grams ARE the shared ones — at extreme scale cap
+    the join fan-in with cap_hot_buckets on gram before the join-back.
+    """
+    from archive_to_parquet_spark.functions.text import word_ngrams_col
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams_col(text_col, shingle_n))).alias(
+            "gram"
+        ),
+    )
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    shared = (
+        grams.join(dfreq.filter(F.col("df") >= min_df), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(word_ngrams_col(text_col, shingle_n))).alias(
+            "n_grams"
+        ),
+    )
+    return totals.join(shared, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        F.round(
+            F.coalesce("n_shared_grams", F.lit(0)).cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)),
+            6,
+        ).alias("frac_shared_grams"),
+    )

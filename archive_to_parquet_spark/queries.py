@@ -1363,6 +1363,48 @@ ORDER BY d.doc_id
 """
 
 
+def crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span repetition over documents: per doc, the
+    count and fraction of its distinct 5-gram set occurring in ≥2 docs
+    corpus-wide (operators/dedup.py crossdoc_span_stats — inverted
+    gram index, no doc×doc pairs)."""
+    from archive_to_parquet_spark.operators.dedup import crossdoc_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return crossdoc_span_stats(docs, "doc_id", "text", shingle_n=5, min_df=2)
+
+
+CROSSDOC_SPANS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+4], ' ')
+                        for i in generate_series(1, greatest(len(words) - 4, 1))])
+           AS grams
+  FROM w WHERE len(words) > 0
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), dfreq AS (
+  SELECT gram, count(*) AS df FROM e GROUP BY gram
+), shared AS (
+  SELECT e.doc_id, count(*) AS n_shared
+  FROM e JOIN dfreq USING (gram) WHERE dfreq.df >= 2
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(g.grams), 0) AS INT) AS n_grams,
+       coalesce(s.n_shared, 0) AS n_shared_grams,
+       round(coalesce(s.n_shared, 0) * 1.0
+             / greatest(coalesce(len(g.grams), 0), 1), 6) AS frac_shared_grams
+FROM documents d
+LEFT JOIN g ON d.doc_id = g.doc_id
+LEFT JOIN shared s ON d.doc_id = s.doc_id
+"""
+
+
 def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch operators with in-query self-validation: per order
     priority, HyperLogLog++ distinct customers (approx_count_distinct,
@@ -2466,6 +2508,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "profile_table": (profile_table, _profile_oracle_sql()),
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_oracle_sql()),
+    "crossdoc_spans": (crossdoc_spans, CROSSDOC_SPANS_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),

@@ -658,3 +658,26 @@ def test_quantize_int8_edges(spark):
     assert out[1][1] == [64, -127, 32, 127]  # round(63.5)=64 via floor(x+.5)
     assert out[2] == (0.0, [0, 0])
     assert out[3][1] == [127]
+
+
+def test_crossdoc_span_stats(spark):
+    from archive_to_parquet_spark.operators.dedup import crossdoc_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta shared tail one two"),
+            (2, "alpha beta gamma delta different ending here now"),
+            (3, "totally unrelated content in this document row"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in crossdoc_span_stats(df, shingle_n=4, min_df=2).collect()
+    }
+    # docs 1/2 share the 4-gram 'alpha beta gamma delta'; doc 3 shares none
+    assert out[1]["n_shared_grams"] == 1
+    assert out[2]["n_shared_grams"] == 1
+    assert out[3]["n_shared_grams"] == 0
+    assert out[1]["n_grams"] == 5  # 8 words -> 5 distinct 4-grams
+    assert abs(out[1]["frac_shared_grams"] - 0.2) < 1e-9
