@@ -1,0 +1,48 @@
+"""Physical-plan shape discipline for the round-2 catalog queries:
+single-scan ops must plan with zero shuffle exchanges, joins must
+broadcast the intended side, windows must be partitioned. These pin the
+scale properties SCALING.md claims — a regression that adds a shuffle
+or de-broadcasts a join fails here long before it shows up at 100 TB.
+"""
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_only_queries_have_no_exchange(spark):
+    from archive_to_parquet_spark import queries as q
+    from archive_to_parquet_spark.plans.bucketing import plan_has_exchange
+
+    for name in ("text_gopher_quality", "text_pii_redact", "sample_split",
+                 "text_quality", "text_lang_id", "text_fingerprint"):
+        df = q.queries()[name](spark, SF_DIR)
+        assert not plan_has_exchange(df), f"{name} gained a shuffle"
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["decontaminate_ngrams"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["pack_sequences"](spark, SF_DIR))
+    assert "Window" in plan
+    # the window spec must carry a partition key (source), never a
+    # global single-partition sort
+    spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert spec_lines
+    assert all("windowspecdefinition(source" in l for l in spec_lines)
+
+
+def test_sketch_accuracy_has_no_expand(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["sketch_accuracy"](spark, SF_DIR))
+    assert "Expand" not in plan
