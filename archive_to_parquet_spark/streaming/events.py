@@ -19,7 +19,10 @@ def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     col = F.col(ts_col)
     if dict(events.dtypes)[ts_col] in ("bigint", "long"):
         col = F.timestamp_seconds(F.expr(f"{ts_col} div 1000000000"))
-    return events.withColumn("event_time", col)
+    # Parquet timestamps without isAdjustedToUTC load as TIMESTAMP_NTZ,
+    # which watermarks reject; session tz is pinned to UTC so this cast
+    # relabels without changing wall-clock values.
+    return events.withColumn("event_time", col.cast("timestamp"))
 
 
 def windowed_event_counts(
