@@ -68,17 +68,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as epoch-second long.
+    """events with ts_sec as epoch-second long, tolerant of both driver
+    testdata layouts.
 
-    The driver data stores ts as parquet TIMESTAMP(NANOS) which Spark
-    refuses natively; ``nanosAsLong`` (runtime-settable) reads the raw
-    int64, and integer division (never float — 1.7e18 doesn't fit a
-    double's mantissa) produces exact epoch seconds. DuckDB side:
-    ``epoch_ns(ts) // 1000000000``.
+    Older driver data stores ts as parquet TIMESTAMP(NANOS), which Spark
+    only reads with ``nanosAsLong`` (runtime-settable); integer division
+    (never float — 1.7e18 doesn't fit a double's mantissa) then produces
+    exact epoch seconds. Newer data uses timestamp[us], which loads as
+    TIMESTAMP_NTZ; the session tz is pinned UTC so the cast relabels
+    without shifting wall-clock values. DuckDB oracle side is layout-
+    independent: ``epoch_ns(ts) // 1000000000``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts_sec", F.expr("ts div 1000000000"))
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        return ev.withColumn("ts_sec", F.expr("ts div 1000000000"))
+    return ev.withColumn(
+        "ts_sec", F.unix_seconds(F.col("ts").cast("timestamp"))
+    )
 
 
 # ---------------------------------------------------------------------------
