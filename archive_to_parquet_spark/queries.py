@@ -2451,6 +2451,335 @@ ANN_LSH_SQL = _ann_lsh_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# Retrieval / language-model / mixing operators (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+# Fixed retrieval workload: terms drawn from the synthetic corpus vocab.
+_BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q_shuffle", ["spark", "shuffle", "join"]),
+    ("q_scan", ["hash", "table", "scan"]),
+    ("q_sort", ["window", "sort", "merge"]),
+]
+
+
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1=1.2, b=0.75) top-10 retrieval over documents.
+
+    Scale shape: the inverted index (per-doc term frequencies) is one
+    shuffle on (doc_id, term) with map-side combine; doc lengths derive
+    from that index (no second pass over tokens); query terms and their
+    document frequencies are broadcast, so the only doc-keyed join
+    carries rows for matched query terms only (AQE broadcasts the small
+    side). Ranking sorts on the ROUNDED score so cross-engine float
+    summation order cannot flip ranks; ties break on doc_id.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_counts = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    contrib = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_counts), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    values = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return rf"""
+WITH q(query_id, term) AS (VALUES {values}),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(SUM(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))),
+               4) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+
+
+SEARCH_BM25_SQL = _bm25_oracle_sql()
+
+
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: train an add-one-smoothed word-bigram
+    LM on the corpus itself, then score every document by its mean bigram
+    log-probability ln P(w2|w1) = ln((c(w1 w2) + 1) / (c(w1 ·) + V)),
+    V = |distinct second words|. Low scores flag improbable word
+    sequences (boilerplate, garbled text) — the perplexity-bucket filter
+    of CCNet/RedPajama pipelines, with the n-gram LM trained distributed
+    instead of KenLM.
+
+    Scale shape: bigram counts are one shuffle with map-side combine;
+    the prefix-count and vocab tables derive from the count table (not a
+    second corpus pass); scoring co-keys doc-bigrams with counts on the
+    bigram string (big-big but equi-keyed), prefix counts broadcast.
+    """
+    from archive_to_parquet_spark.functions.text import word_ngrams_col
+
+    docs = _t(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "doc_id", F.explode(word_ngrams_col("text", 2)).alias("bg")
+    ).filter(F.col("bg").contains(" "))
+    c_bg = bigrams.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    c_w1 = (
+        c_bg.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    vocab = c_bg.select(F.substring_index("bg", " ", -1).alias("w2")).distinct()
+    v = vocab.agg(F.count("*").cast("double").alias("v"))
+    return (
+        bigrams.join(c_bg, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(c_w1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log((F.col("c_bg") + 1.0) / (F.col("c_w1") + F.col("v")))
+                ),
+                4,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+LM_BIGRAM_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest([array_to_string(words[i:i+1], ' ')
+                 for i in generate_series(1, greatest(len(words) - 1, 1))]) AS bg
+  FROM w
+),
+bigrams AS (SELECT doc_id, bg FROM b WHERE bg LIKE '% %'),
+c_bg AS (SELECT bg, COUNT(*) AS c_bg FROM bigrams GROUP BY 1),
+c_w1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_w1 FROM c_bg GROUP BY 1
+),
+v AS (
+  SELECT CAST(COUNT(DISTINCT split_part(bg, ' ', 2)) AS DOUBLE) AS v FROM c_bg
+)
+SELECT d.doc_id, COUNT(*) AS n_bigrams,
+       round(AVG(ln((c_bg.c_bg + 1.0) / (c_w1.c_w1 + v.v))), 4) AS avg_logp
+FROM bigrams d
+JOIN c_bg USING (bg)
+JOIN c_w1 ON c_w1.w1 = split_part(d.bg, ' ', 1)
+CROSS JOIN v
+GROUP BY 1
+"""
+
+
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixing weights (alpha = 0.5): per-source
+    token mass p_i is flattened to w_i ∝ sqrt(p_i) — the multilingual /
+    multi-domain resampling rule (e.g. mC4, XLM-R) that upweights small
+    domains without letting the head dominate. Emits the natural and
+    resampled shares plus expected tokens drawn per 1M-token budget.
+
+    Scale shape: one corpus-pass agg keyed by source (map-side combine),
+    then two single-row broadcast normalizations — no data-sized shuffle
+    beyond the per-source agg, regardless of corpus size.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = s.agg(F.sum("n_tokens").cast("double").alias("tot_tokens"))
+    s2 = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("n_tokens") / F.col("tot_tokens"))
+        .withColumn("pa", F.sqrt("p"))
+    )
+    z = s2.agg(F.sum("pa").alias("z"))
+    return s2.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p", 6).alias("p_natural"),
+        F.round(F.col("pa") / F.col("z"), 6).alias("weight"),
+        F.round(F.col("pa") / F.col("z") * 1000000, 1).alias("expected_tokens_1m"),
+    )
+
+
+MIX_WEIGHTS_SQL = r"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(regexp_extract_all(text, '\S+'))) AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT *, CAST(SUM(n_tokens) OVER () AS DOUBLE) AS tot FROM s),
+u AS (SELECT *, n_tokens / tot AS p, sqrt(n_tokens / tot) AS pa FROM t),
+z AS (SELECT *, SUM(pa) OVER () AS z FROM u)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(p, 6) AS p_natural,
+       round(pa / z, 6) AS weight,
+       round(pa / z * 1000000, 1) AS expected_tokens_1m
+FROM z
+"""
+
+
+def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1+ WITH RECURSIVE): walk the implicit
+    binary-heap parent tree over s_suppkey (parent = k DIV 2, root 0 —
+    driver suppkeys are 0-based) and aggregate supplier account balance
+    by tree depth. Exercises the iterative UnionLoop operator Spark
+    added for recursive queries; depth is bounded by log2(|supplier|),
+    far under the recursion limit.
+    """
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(suppkey, depth) AS (
+            SELECT CAST(0 AS BIGINT) AS suppkey, 0 AS depth
+            UNION ALL
+            SELECT s.s_suppkey, w.depth + 1
+            FROM supplier_rec s JOIN walk w ON s.s_suppkey DIV 2 = w.suppkey
+            WHERE s.s_suppkey >= 1
+        )
+        SELECT w.depth, COUNT(*) AS n, round(SUM(s.s_acctbal), 2) AS acctbal
+        FROM walk w JOIN supplier_rec s ON s.s_suppkey = w.suppkey
+        GROUP BY w.depth
+        ORDER BY w.depth
+        """
+    )
+
+
+REL_RECURSIVE_SQL = """
+WITH RECURSIVE walk(suppkey, depth) AS (
+  SELECT CAST(0 AS BIGINT) AS suppkey, 0 AS depth
+  UNION ALL
+  SELECT s.s_suppkey, w.depth + 1
+  FROM supplier s JOIN walk w ON s.s_suppkey // 2 = w.suppkey
+  WHERE s.s_suppkey >= 1
+)
+SELECT w.depth, COUNT(*) AS n, round(SUM(s.s_acctbal), 2) AS acctbal
+FROM walk w JOIN supplier s ON s.s_suppkey = w.suppkey
+GROUP BY w.depth
+ORDER BY w.depth
+"""
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram entropy per document in nats — the cheap
+    compression-ratio proxy quality filter (low entropy ⇒ repetitive /
+    degenerate text, high ⇒ random noise). H = ln(n) − (Σ c·ln c) / n
+    over the per-doc character histogram.
+
+    Scale shape: explode to one row per character, then two groupBys
+    keyed (doc_id, ch) and (doc_id) — no joins, both with map-side
+    partial aggregation, so the shuffle carries histograms (bounded by
+    alphabet size per doc), not raw characters.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    hist = (
+        chars.filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    return hist.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
+            4,
+        ).alias("entropy_nats"),
+    )
+
+
+TEXT_CHAR_ENTROPY_SQL = """
+WITH c AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+h AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM c WHERE ch <> '' GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars, COUNT(*) AS n_distinct,
+       round(ln(CAST(SUM(c) AS DOUBLE)) - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c),
+             4) AS entropy_nats
+FROM h GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2523,6 +2852,11 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
     "stream_click_purchase": (stream_click_purchase, STREAM_CLICK_PURCHASE_SQL),
     "stream_dedup_keys": (stream_dedup_keys, STREAM_DEDUP_KEYS_SQL),
+    "search_bm25": (search_bm25, SEARCH_BM25_SQL),
+    "lm_bigram_score": (lm_bigram_score, LM_BIGRAM_SQL),
+    "mix_weights": (mix_weights, MIX_WEIGHTS_SQL),
+    "rel_recursive_cte": (rel_recursive_cte, REL_RECURSIVE_SQL),
+    "text_char_entropy": (text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
 }
 
 
