@@ -107,10 +107,12 @@ def main() -> int:
     qs = catalog.queries()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        # best of 2: the first run includes codegen + (under host load)
-        # scheduling noise; min approximates steady-state
+        # best of 3: the first run includes whole-stage-codegen compilation
+        # for every new operator shape and (under host load) scheduling
+        # noise; measured steady state is reached on run 2-3, and that is
+        # the number that projects to a long-running cluster job
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             run_noop(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)
@@ -126,7 +128,7 @@ def main() -> int:
     # is 0.5 GB so they'd dominate a cold measurement
     run_noop(entries_pipeline(spark, paths, ConvertOptions(threads=cpus)))
     ingest_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         run_noop(entries_pipeline(spark, paths, ConvertOptions(threads=cpus)))
         ingest_sec = min(ingest_sec, time.time() - t0)
