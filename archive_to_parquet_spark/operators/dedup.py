@@ -760,6 +760,73 @@ def decontaminate(
     )
 
 
+def dedup_chunk_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 6,
+) -> DataFrame:
+    """Corpus-wide duplicated-span REMOVAL (the rewrite step behind
+    exact-substring train-set dedup, Lee et al. 2022, here at aligned
+    fixed-width chunk granularity): split every document into
+    consecutive non-overlapping ``chunk_words``-word chunks, keep only
+    the globally FIRST occurrence (min (doc_id, position)) of every
+    duplicated chunk, and reassemble each document from its surviving
+    chunks in order.
+
+    Returns (id_col, n_chunks, n_kept, text_dedup) — one row per input
+    document (documents whose every chunk was dropped keep an empty
+    string).
+
+    Plan: per-row chunking (sequence/slice/array_join — no shuffle) →
+    posexplode → groupBy(chunk) with ``min(struct(id, idx))`` (map-side
+    combinable; the min IS the winner — for unique chunks the only
+    occurrence) → join back on chunk (same key as the agg shuffle) →
+    filter losers → groupBy(id) reassembling with sort_array over
+    collected (idx, chunk) structs. Shuffle keys: chunk, then id —
+    linear in corpus chunk volume, no pairwise doc work. A pathological
+    hot chunk (the same boilerplate in millions of docs) skews the
+    join-back; AQE skew-join splits it, and the agg side is already
+    map-side-combined.
+    """
+    words = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunked = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * chunk_words + 1, chunk_words), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    winners = chunked.groupBy("chunk").agg(
+        F.min(F.struct("id", "idx")).alias("w")
+    )
+    kept = chunked.join(winners, "chunk").filter(
+        (F.col("id") == F.col("w.id")) & (F.col("idx") == F.col("w.idx"))
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = df.select(F.col(id_col).alias("id"), n_chunks.alias("n_chunks"))
+    return totals.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
 def crossdoc_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1412,6 +1412,45 @@ LEFT JOIN shared s ON d.doc_id = s.doc_id
 """
 
 
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-span removal: aligned 6-word chunks,
+    first occurrence (min (doc_id, position)) survives, documents
+    reassembled from surviving chunks (operators/dedup.py
+    dedup_chunk_spans — shuffle on chunk then id, no doc×doc work)."""
+    from archive_to_parquet_spark.operators.dedup import dedup_chunk_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_chunk_spans(docs, "doc_id", "text", chunk_words=6)
+
+
+DEDUP_SPAN_REMOVAL_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(words[(i*6+1):(i*6+6)], ' ') AS chunk
+  FROM w, LATERAL unnest(generate_series(0,
+         CAST(ceil(len(words) / 6.0) AS INT) - 1)) AS t(i)
+), ranked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM c
+), kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
+  FROM ranked WHERE rn = 1
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(ceil(len(w.words) / 6.0) AS INT) AS n_chunks,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.text_dedup, '') AS text_dedup
+FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
+"""
+
+
 def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch operators with in-query self-validation: per order
     priority, HyperLogLog++ distinct customers (approx_count_distinct,
@@ -2845,6 +2884,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_quantize": (embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "curation_pipeline": (curation_pipeline, _curation_pipeline_oracle_sql()),
     "crossdoc_spans": (crossdoc_spans, CROSSDOC_SPANS_SQL),
+    "dedup_span_removal": (dedup_span_removal, DEDUP_SPAN_REMOVAL_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),

@@ -681,3 +681,34 @@ def test_crossdoc_span_stats(spark):
     assert out[3]["n_shared_grams"] == 0
     assert out[1]["n_grams"] == 5  # 8 words -> 5 distinct 4-grams
     assert abs(out[1]["frac_shared_grams"] - 0.2) < 1e-9
+
+
+def test_dedup_chunk_spans(spark):
+    from archive_to_parquet_spark.operators.dedup import dedup_chunk_spans
+
+    df = spark.createDataFrame(
+        [
+            # docs 1 and 2 start with the same aligned 3-word chunk;
+            # doc 1 (lower id) keeps it, doc 2 loses it
+            (1, "one two three tail a"),
+            (2, "one two three other suffix here"),
+            # doc 3 repeats a chunk INSIDE itself: first position wins
+            (3, "dup dup dup dup dup dup extra"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in dedup_chunk_spans(df, chunk_words=3).collect()
+    }
+    assert out[1] == {
+        "doc_id": 1, "n_chunks": 2, "n_kept": 2,
+        "text_dedup": "one two three tail a",
+    }
+    # doc 2: chunk "one two three" lost to doc 1, second chunk survives
+    assert out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "other suffix here"
+    # doc 3: "dup dup dup" at idx 0 beats the identical chunk at idx 1
+    assert out[3]["n_chunks"] == 3
+    assert out[3]["n_kept"] == 2
+    assert out[3]["text_dedup"] == "dup dup dup extra"
