@@ -1451,6 +1451,91 @@ FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
 """
 
 
+def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + domain-level curation rollup: build a
+    deterministic URL per document (from source/doc_id/lang), extract
+    host / registrable domain / query param with the JVM ``parse_url``
+    expression (functions/web.py), drop blocklisted domains, and roll
+    up per (domain, host). The oracle re-derives the same components
+    with independent regex/string functions in DuckDB — two different
+    URL parsers must agree.
+
+    Scale: everything before the groupBy is a per-row expression (no
+    shuffle); the rollup shuffles once on (domain, host) with map-side
+    partials. A domain blocklist of literals compiles to a hash-set
+    probe; see functions/web.py for the broadcast-join form at
+    million-entry blocklist scale."""
+    from archive_to_parquet_spark.functions.web import (
+        domain_blocked,
+        registrable_domain,
+        url_host,
+        url_query_param,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example."),
+        tld,
+        F.lit("/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    parsed = docs.select(
+        F.col("doc_id"),
+        F.col("n_chars"),
+        url.alias("url"),
+        url_host(url).alias("host"),
+        url_query_param(url, "lang").alias("url_lang"),
+    ).withColumn("domain", registrable_domain(F.col("host")))
+    kept = parsed.filter(~domain_blocked(F.col("domain"), ("example.net",)))
+    return (
+        kept.groupBy("domain", "host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("url_lang").alias("n_langs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("domain", "host")
+    )
+
+
+WEB_DOMAIN_SQL = r"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://' || source || '.example.' ||
+           ['com','org','net'][CAST(doc_id % 3 AS INT) + 1] ||
+           '/docs/' || doc_id || '?lang=' || lang AS url
+  FROM documents
+), p AS (
+  SELECT doc_id, n_chars,
+         regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+         regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS url_lang
+  FROM u
+), d AS (
+  SELECT *,
+         CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+              ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+         END AS domain
+  FROM p
+)
+SELECT domain, host,
+       count(*) AS n_docs,
+       count(DISTINCT url_lang) AS n_langs,
+       round(avg(n_chars), 2) AS avg_chars
+FROM d
+WHERE domain NOT IN ('example.net')
+GROUP BY domain, host
+ORDER BY domain, host
+"""
+
+
 def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch operators with in-query self-validation: per order
     priority, HyperLogLog++ distinct customers (approx_count_distinct,
@@ -2885,6 +2970,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "curation_pipeline": (curation_pipeline, _curation_pipeline_oracle_sql()),
     "crossdoc_spans": (crossdoc_spans, CROSSDOC_SPANS_SQL),
     "dedup_span_removal": (dedup_span_removal, DEDUP_SPAN_REMOVAL_SQL),
+    "web_domain_stats": (web_domain_stats, WEB_DOMAIN_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),

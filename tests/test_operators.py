@@ -712,3 +712,47 @@ def test_dedup_chunk_spans(spark):
     assert out[3]["n_chunks"] == 3
     assert out[3]["n_kept"] == 2
     assert out[3]["text_dedup"] == "dup dup dup extra"
+
+
+def test_web_url_functions(spark):
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.functions.web import (
+        domain_blocked,
+        registrable_domain,
+        url_host,
+        url_path,
+        url_query_param,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.b.example.com/p/q?lang=en&x=1"),
+            (2, "http://example.org/root"),
+            (3, "https://spam.example.net/z?x=2"),
+        ],
+        "id long, url string",
+    )
+    u = F.col("url")
+    out = {
+        r.id: r.asDict()
+        for r in df.select(
+            "id",
+            url_host(u).alias("host"),
+            url_path(u).alias("path"),
+            url_query_param(u, "lang").alias("lang"),
+        )
+        .withColumn("domain", registrable_domain(F.col("host")))
+        .withColumn(
+            "blocked",
+            domain_blocked(F.col("domain"), ("example.net",)),
+        )
+        .collect()
+    }
+    assert out[1]["host"] == "a.b.example.com"
+    assert out[1]["domain"] == "example.com"  # deep subdomain stripped
+    assert out[1]["path"] == "/p/q"
+    assert out[1]["lang"] == "en"
+    assert out[2]["domain"] == "example.org"  # 2-label host unchanged
+    assert out[2]["lang"] is None
+    assert out[3]["blocked"] is True and out[1]["blocked"] is False
