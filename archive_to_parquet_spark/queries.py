@@ -1536,6 +1536,85 @@ ORDER BY domain, host
 """
 
 
+def filter_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold quality filtering: keep documents whose
+    length lies inside the corpus [p5, p95] band AND whose stopword
+    ratio is at or above the corpus median — the standard two-pass
+    distribution-relative filter (absolute thresholds drift across
+    corpora; percentile bands self-calibrate).
+
+    Pass 1 computes the exact interpolated percentiles as ONE single-row
+    aggregate (``percentile`` — exact, matching DuckDB quantile_cont);
+    pass 2 broadcasts that row via crossJoin (Catalyst folds a 1-row
+    broadcast nested loop — no driver collect, no shuffle) and filters.
+    Emits per-doc signals plus the cut values so the oracle certifies
+    both the band arithmetic and the survivor set."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        (
+            _stopword_hits_expr(F.col("text")).cast("double")
+            / F.greatest(
+                F.size(F.array_remove(F.split(F.col("text"), r"\s+"), "")),
+                F.lit(1),
+            )
+        ).alias("stop_ratio"),
+    )
+    cuts = sig.agg(
+        F.percentile("n_chars_text", 0.05).alias("p05"),
+        F.percentile("n_chars_text", 0.95).alias("p95"),
+        F.percentile("stop_ratio", 0.5).alias("stop_med"),
+    )
+    return (
+        sig.crossJoin(F.broadcast(cuts))
+        .filter(
+            (F.col("n_chars_text") >= F.col("p05"))
+            & (F.col("n_chars_text") <= F.col("p95"))
+            & (F.col("stop_ratio") >= F.col("stop_med"))
+        )
+        .select(
+            "doc_id",
+            "n_chars_text",
+            F.round("stop_ratio", 6).alias("stop_ratio"),
+            F.round("p05", 2).alias("p05"),
+            F.round("p95", 2).alias("p95"),
+            F.round("stop_med", 6).alias("stop_med"),
+        )
+    )
+
+
+def _stopword_hits_expr(col: Column) -> Column:
+    from archive_to_parquet_spark.functions.text import _stopword_hits
+
+    return _stopword_hits(col, "en")
+
+
+FILTER_QUANTILE_SQL = r"""
+WITH sig AS (
+  SELECT doc_id,
+         len(text) AS n_chars_text,
+         len(regexp_extract_all(text, '{stop_re}')) * 1.0
+           / greatest(len(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')), 1) AS stop_ratio
+  FROM documents
+), cuts AS (
+  SELECT quantile_cont(n_chars_text, 0.05) AS p05,
+         quantile_cont(n_chars_text, 0.95) AS p95,
+         quantile_cont(stop_ratio, 0.5) AS stop_med
+  FROM sig
+)
+SELECT doc_id, n_chars_text,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(p05, 2) AS p05,
+       round(p95, 2) AS p95,
+       round(stop_med, 6) AS stop_med
+FROM sig, cuts
+WHERE n_chars_text >= p05 AND n_chars_text <= p95
+  AND stop_ratio >= stop_med
+""".format(stop_re=stopword_pattern("en").replace("'", "''"))
+
+
 def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch operators with in-query self-validation: per order
     priority, HyperLogLog++ distinct customers (approx_count_distinct,
@@ -2971,6 +3050,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "crossdoc_spans": (crossdoc_spans, CROSSDOC_SPANS_SQL),
     "dedup_span_removal": (dedup_span_removal, DEDUP_SPAN_REMOVAL_SQL),
     "web_domain_stats": (web_domain_stats, WEB_DOMAIN_SQL),
+    "filter_quantile_bands": (filter_quantile_bands, FILTER_QUANTILE_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
