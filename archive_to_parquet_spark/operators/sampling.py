@@ -150,3 +150,67 @@ def pack_sequences(
         .cast("int")
         .alias("spans_boundary"),
     )
+
+
+def global_shuffle_rank(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "shuffle",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global pseudorandom permutation — the "shuffle the
+    corpus before training" step — as a two-phase distributed rank.
+
+    Each row's shuffle key is md5(seed || key): uniform, engine-portable,
+    and unique per row once tie-broken by the key itself. The global
+    rank of that key IS the row's position in the shuffled training
+    order.
+
+    Scale shape: a naive ``row_number() OVER (ORDER BY h)`` moves the
+    whole corpus through one partition (the unpartitioned-window
+    antipattern). Instead: range-repartition on (h, key) — Spark samples
+    range boundaries with deterministic per-partition seeds — then rank
+    locally per partition and add per-partition row-count offsets. The
+    offsets table has one row per partition (thousands, not billions);
+    its cumulative sum is a window over partition ids only, and it
+    broadcast-joins back. Result: two shuffles of the data (range
+    partition + pid-window), one tiny metadata pass, no single-partition
+    stage — the same plan at 100 TB, where per-partition slices also
+    write out as ready-to-stream training shards via
+    ``sortWithinPartitions``.
+
+    Returns df columns plus ``shuffle_pos`` (0-based global position).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    h = F.md5(
+        F.concat(F.lit(seed), F.col(key_col).cast("string")).cast("binary")
+    )
+    keyed = df.withColumn("__h", h)
+    ranged = keyed.repartitionByRange(n, "__h", key_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n"))
+    # cumulative offsets over the partition-count-sized table via a
+    # broadcast triangular join (p² rows at p=partitions — metadata
+    # scale), NOT an unpartitioned window: keeps the plan free of
+    # single-partition WindowExec stages even in this tiny pass
+    earlier = counts.select(
+        F.col("__pid").alias("__pid_e"), F.col("__n").alias("__n_e")
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(earlier), F.col("__pid_e") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__n_e"), F.lit(0)).alias("__off"))
+    )
+    w_local = Window.partitionBy("__pid").orderBy("__h", key_col)
+    return (
+        ranged.withColumn("__rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "shuffle_pos", (F.col("__off") + F.col("__rn") - 1).cast("long")
+        )
+        .drop("__h", "__pid", "__rn", "__off")
+    )

@@ -1296,6 +1296,30 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: global rank of
+    md5('shuffle' || doc_id) via two-phase distributed rank
+    (operators/sampling.py global_shuffle_rank — range partition +
+    per-partition offsets, no single-partition WindowExec). The oracle
+    is a plain ORDER BY row_number over the same md5 — two totally
+    different rank plans must produce the identical permutation."""
+    from archive_to_parquet_spark.operators.sampling import global_shuffle_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    return global_shuffle_rank(docs, "doc_id", seed="shuffle").select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+CORPUS_SHUFFLE_SQL = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY md5('shuffle' || CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS shuffle_pos
+FROM documents
+"""
+
+
 SAMPLE_SPLIT_SQL = """
 WITH u AS (
   SELECT doc_id, lang,
@@ -3041,6 +3065,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_topgram_repetition": (text_topgram_repetition, TEXT_TOPGRAM_SQL),
     "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
     "sample_split": (sample_split, _sample_split_oracle_sql()),
+    "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "decontaminate_ngrams": (decontaminate_ngrams, DECONTAMINATE_SQL),
     "sketch_accuracy": (sketch_accuracy, SKETCH_ACCURACY_SQL),
     "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),

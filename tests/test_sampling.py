@@ -89,3 +89,28 @@ def test_pack_sequences_layout(spark):
     # empty doc occupies no tokens: start == end chunk, no straddle
     assert out[5]["spans_boundary"] == 0
     assert out[5]["start_chunk"] == out[5]["end_chunk"] == 2
+
+
+def test_global_shuffle_rank_is_partition_invariant_permutation(spark):
+    import hashlib
+
+    from archive_to_parquet_spark.operators.sampling import global_shuffle_rank
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    out4 = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle_rank(df, "doc_id", num_partitions=4).collect()
+    }
+    out13 = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle_rank(df, "doc_id", num_partitions=13).collect()
+    }
+    # exact permutation of 0..n-1, invariant to the partition count
+    assert sorted(out4.values()) == list(range(97))
+    assert out4 == out13
+    # matches an independent single-threaded rank of the same md5 keys
+    expected_order = sorted(
+        range(97),
+        key=lambda i: (hashlib.md5(f"shuffle{i}".encode()).hexdigest(), i),
+    )
+    assert [out4[i] for i in expected_order] == list(range(97))
