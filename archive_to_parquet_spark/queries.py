@@ -1320,6 +1320,70 @@ FROM documents
 """
 
 
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build + per-document coverage: top-16
+    tokens by corpus frequency (ties broken by token — deterministic),
+    then each document's in-vocab token count and OOV rate via a
+    broadcast semi-mark join.
+
+    Scale: token counts are one map-side-combined shuffle on token;
+    top-K with small K is a per-partition partial top-K merged on the
+    driver (TakeOrderedAndProject — no global sort of the vocabulary);
+    the vocab then broadcasts, so per-doc coverage adds NO shuffle on
+    the corpus side beyond the per-doc agg."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_remove(F.split(F.lower("text"), r"\s+"), "")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(16)
+        .select("tok", F.lit(1).alias("iv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("iv", F.lit(0))).alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            F.round(
+                F.lit(1.0) - F.col("n_in_vocab") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok, count(*) AS n FROM t GROUP BY tok
+), v AS (
+  SELECT tok FROM c ORDER BY n DESC, tok LIMIT 16
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END) AS n_in_vocab,
+       round(1.0 - sum(CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END)
+               * 1.0 / count(*), 6) AS oov_rate
+FROM t LEFT JOIN v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
 SAMPLE_SPLIT_SQL = """
 WITH u AS (
   SELECT doc_id, lang,
@@ -3066,6 +3130,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_pii_redact": (text_pii_redact, TEXT_PII_SQL),
     "sample_split": (sample_split, _sample_split_oracle_sql()),
     "corpus_shuffle": (corpus_shuffle, CORPUS_SHUFFLE_SQL),
+    "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "decontaminate_ngrams": (decontaminate_ngrams, DECONTAMINATE_SQL),
     "sketch_accuracy": (sketch_accuracy, SKETCH_ACCURACY_SQL),
     "pack_sequences": (pack_sequences_q, PACK_SEQUENCES_SQL),
