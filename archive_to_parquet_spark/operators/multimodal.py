@@ -8,7 +8,8 @@ take the row-at-a-time Python path.
 Decode tiers (no image/audio libs exist in this container):
 
 - ``decode="real"`` — REAL header parsing, pure Python: PNG (IHDR),
-  JPEG (SOFn), GIF, BMP, PPM/PGM dimensions+channels; WAV/RIFF, FLAC
+  JPEG (SOFn), GIF, BMP, TIFF (IFD walk, both byte orders), WEBP
+  (VP8/VP8L/VP8X), PPM/PGM dimensions+channels; WAV/RIFF, FLAC
   STREAMINFO, and MP3 frame headers for sample rate / sample count /
   duration; MP4/MOV mvhd and AVI avih for video duration / frame count
   / dimensions. The *feature* vectors remain hash-derived content
@@ -90,6 +91,45 @@ def parse_image_header(data: bytes) -> tuple[int, int, int] | None:
     if d[:2] == b"BM" and len(d) >= 30:
         w, h, _planes, bpp = struct.unpack("<iiHH", d[18:30])
         return w, abs(h), max(1, bpp // 8)
+    # TIFF: byte-order-aware IFD walk for ImageWidth(256)/ImageLength(257)
+    if d[:4] in (b"II*\x00", b"MM\x00*") and len(d) >= 8:
+        bo = "<" if d[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(bo + "I", d[4:8])
+        if ifd_off + 2 <= len(d):
+            (n_tags,) = struct.unpack(bo + "H", d[ifd_off : ifd_off + 2])
+            w = h = None
+            for t in range(n_tags):
+                e = ifd_off + 2 + t * 12
+                if e + 12 > len(d):
+                    break
+                tag, typ = struct.unpack(bo + "HH", d[e : e + 4])
+                if tag in (256, 257):
+                    # SHORT(3) sits in the first 2 value bytes, LONG(4) in 4
+                    val = struct.unpack(
+                        bo + ("H" if typ == 3 else "I"),
+                        d[e + 8 : e + 10 if typ == 3 else e + 12],
+                    )[0]
+                    if tag == 256:
+                        w = val
+                    else:
+                        h = val
+            if w is not None and h is not None:
+                return w, h, 3
+        return None
+    # WEBP: RIFF container; VP8 (lossy), VP8L (lossless), VP8X (extended)
+    if d[:4] == b"RIFF" and d[8:12] == b"WEBP":
+        chunk = d[12:16]
+        if chunk == b"VP8 " and len(d) >= 30 and d[23:26] == b"\x9d\x01\x2a":
+            w, h = struct.unpack("<HH", d[26:30])
+            return w & 0x3FFF, h & 0x3FFF, 3
+        if chunk == b"VP8L" and len(d) >= 25 and d[20:21] == b"\x2f":
+            bits = struct.unpack("<I", d[21:25])[0]
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, 4
+        if chunk == b"VP8X" and len(d) >= 30:
+            w = int.from_bytes(d[24:27], "little") + 1
+            h = int.from_bytes(d[27:30], "little") + 1
+            return w, h, 4
+        return None
     # PPM/PGM (ascii or binary): whitespace/comment-tolerant token scan
     if len(d) >= 2 and d[0:1] == b"P" and d[1:2] in b"2356":
         toks: list[int] = []

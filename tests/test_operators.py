@@ -354,9 +354,21 @@ def test_real_header_decoders(spark):
     bmp = b"BM" + b"\x00" * 16 + struct.pack("<iiHH", 64, -32, 1, 24)
     ppm = b"P6\n# a comment\n320 240\n255\n"
     pgm = b"P5 8 4 255 "
+    ifd = (
+        struct.pack("<H", 2)
+        + struct.pack("<HHI", 256, 3, 1) + struct.pack("<H", 640) + b"\x00\x00"
+        + struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", 480)
+        + struct.pack("<I", 0)
+    )
+    tiff = b"II*\x00" + struct.pack("<I", 8) + ifd
+    webp_bits = 99 | (49 << 14)  # VP8L stores (w-1, h-1) in 14-bit fields
+    webp = (
+        b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8L" + b"\x00" * 4
+        + b"\x2f" + struct.pack("<I", webp_bits) + b"\x00"
+    )
     rows = [
         (1, _tiny_png()), (2, _tiny_jpeg()), (3, gif), (4, bmp),
-        (5, ppm), (6, pgm),
+        (5, ppm), (6, pgm), (7, tiff), (8, webp),
     ]
     df = spark.createDataFrame(rows, "media_id long, data binary")
     feats = {
@@ -368,6 +380,8 @@ def test_real_header_decoders(spark):
     assert (feats[4].width, feats[4].height, feats[4].channels) == (64, 32, 3)
     assert (feats[5].width, feats[5].height, feats[5].channels) == (320, 240, 3)
     assert (feats[6].width, feats[6].height, feats[6].channels) == (8, 4, 1)
+    assert (feats[7].width, feats[7].height, feats[7].channels) == (640, 480, 3)
+    assert (feats[8].width, feats[8].height, feats[8].channels) == (100, 50, 4)
 
     wav_df = spark.createDataFrame([(10, _tiny_wav())], "media_id long, data binary")
     audio = extract_audio_features(wav_df, decode="real").collect()[0]
