@@ -46,3 +46,41 @@ def test_sketch_accuracy_has_no_expand(spark):
 
     plan = _plan(q.queries()["sketch_accuracy"](spark, SF_DIR))
     assert "Expand" not in plan
+
+
+def test_vocab_coverage_topk_and_broadcast(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["vocab_coverage"](spark, SF_DIR))
+    # top-K vocab must be a partial top-K merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # vocab joins the corpus broadcast, never shuffling the token stream
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_shuffle_has_no_unpartitioned_window(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["corpus_shuffle"](spark, SF_DIR))
+    spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert spec_lines
+    # every window must partition by the range-partition id
+    assert all("windowspecdefinition(__pid" in l for l in spec_lines)
+    # the offsets side joins back broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantile_bands_broadcasts_cuts(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["filter_quantile_bands"](spark, SF_DIR))
+    # the 1-row cuts aggregate must broadcast, not shuffle the corpus
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_web_domain_stats_single_agg_shuffle(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["web_domain_stats"](spark, SF_DIR))
+    # parse_url must stay a JVM expression: no python runner in the plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
