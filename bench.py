@@ -50,6 +50,11 @@ HEADLINE = [
     "pack_sequences",
     "decontaminate_ngrams",
     "sketch_accuracy",
+    "dedup_span_removal",
+    "corpus_shuffle",
+    "vocab_coverage",
+    "filter_quantile_bands",
+    "web_domain_stats",
 ]
 
 _INGEST_MEMBERS = 512
