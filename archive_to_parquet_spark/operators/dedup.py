@@ -760,6 +760,107 @@ def decontaminate(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cid",
+    centroid_vec: str = "centroid",
+    threshold: float = 0.99,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-cluster-scoped semantic
+    deduplication. Every vector is assigned to its nearest centroid
+    (the coarse quantizer — k-means in the paper; any EXPLICIT centroid
+    table here, which keeps the operator deterministic and
+    SQL-oracle-able); within each cluster, exact pairwise cosine is
+    computed and a vector is DROPPED when a lower-id vector in the same
+    cluster has cosine ≥ threshold — keep-first semantics, no
+    transitive chaining.
+
+    Returns (id_col, bucket, dropped:int) for every corpus row.
+
+    Plan: one broadcast of the centroid table against the corpus with a
+    map-side-combinable ``min(struct(dist, cid))`` argmin (no window);
+    the pairwise stage self-joins ONLY within a bucket — cost is
+    Σ cluster_size², the SemDeDup design point (cluster count sets the
+    quadratic budget), never corpus². Distances and cosines are rounded
+    before comparison so float order can't flip a decision across
+    engines. At 100 TB: persist the assignment bucketBy(bucket), and
+    cap degenerate clusters with cap_hot_buckets before the self-join.
+    """
+    from archive_to_parquet_spark.operators.similarity import (
+        cosine_from_norms,
+        l2_norm_col,
+    )
+
+    cent = F.broadcast(
+        centroids.select(
+            F.col(centroid_id).alias("cid"),
+            F.col(centroid_vec).alias("cent_v"),
+        )
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.col("cent_v"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        round_to,
+    )
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm_col(vec_col).alias("n"),
+        )
+        .join(cent)
+        .groupBy("id")
+        .agg(
+            F.min(F.struct(dist.alias("d"), F.col("cid").alias("cid"))).alias(
+                "best"
+            ),
+            F.first("v").alias("v"),
+            F.first("n").alias("n"),
+        )
+        .select("id", "v", "n", F.col("best.cid").alias("bucket"))
+    )
+    a = assigned.select(
+        F.col("bucket"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = assigned.select(
+        F.col("bucket"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    cos = F.round(cosine_from_norms("va", "vb", "na", "nb"), round_to)
+    drops = (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return assigned.join(drops, "id", "left").select(
+        F.col("id").alias(id_col),
+        "bucket",
+        F.coalesce("dropped", F.lit(0)).alias("dropped"),
+    )
+
+
 def dedup_chunk_spans(
     df: DataFrame,
     id_col: str = "doc_id",

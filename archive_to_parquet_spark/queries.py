@@ -2058,6 +2058,57 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over embeddings: deterministic coarse quantizer (every
+    31st vector is a centroid), nearest-centroid cluster assignment,
+    in-cluster exact cosine, drop-if-a-smaller-id-neighbor-is-≥0.99
+    (operators/dedup.py semantic_dedup). Duplicates are planted (every
+    50th vector re-added under id+1000000); an identical vector gets
+    identical centroid distances, hence the same cluster — so recall is
+    structural and DuckDB's brute-force twin must match every keep/drop
+    decision."""
+    from archive_to_parquet_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    cent = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    return semantic_dedup(corpus, cent, threshold=0.99, round_to=6)
+
+
+DEDUP_SEMANTIC_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+), cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0
+), assigned AS (
+  SELECT vec_id, embedding, cid AS bucket
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) ASC,
+                      c.cid ASC) AS rn
+    FROM corpus e CROSS JOIN cent c
+  ) WHERE rn = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99
+)
+SELECT a.vec_id, a.bucket,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+"""
+
+
 def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: LSH candidates → exact-Jaccard-confirmed
     pairs → connected components → one representative per cluster.
@@ -3120,6 +3171,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_minhash": (dedup_minhash, DEDUP_NGRAM_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMBEDDING_LSH_SQL),
+    "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "dedup_near_clusters": (dedup_near_clusters, DEDUP_CLUSTERS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),

@@ -770,3 +770,29 @@ def test_web_url_functions(spark):
     assert out[2]["domain"] == "example.org"  # 2-label host unchanged
     assert out[2]["lang"] is None
     assert out[3]["blocked"] is True and out[1]["blocked"] is False
+
+
+def test_semantic_dedup_drops_planted_twin(spark):
+    from archive_to_parquet_spark.operators.dedup import semantic_dedup
+
+    # two well-separated clusters around axis vectors; id 30 is an exact
+    # twin of id 1 (same cluster, cosine 1.0); id 3 is its own direction
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.8, 0.6, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (30, [1.0, 0.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "cid long, centroid array<float>",
+    )
+    out = {
+        r.vec_id: (r.bucket, r.dropped)
+        for r in semantic_dedup(corpus, cent, threshold=0.99).collect()
+    }
+    assert out[1] == (100, 0)      # first occurrence kept
+    assert out[30] == (100, 1)     # identical twin in same cluster dropped
+    assert out[2] == (100, 0)      # near but below 0.99 cosine: kept
+    assert out[3] == (200, 0)      # other cluster untouched
