@@ -890,18 +890,23 @@ def dedup_chunk_spans(
     join-back; AQE skew-join splits it, and the agg side is already
     map-side-combined.
     """
-    words = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    words = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
     n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    # guard the empty document: sequence(0, -1) would DESCEND ([0, -1]),
+    # not return empty — emit no chunks instead (posexplode drops the
+    # row; the final left join restores it with n_kept=0, text "")
+    chunk_array = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * chunk_words + 1, chunk_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     chunked = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(
-                    F.slice(words, i * chunk_words + 1, chunk_words), " "
-                ),
-            )
-        ).alias("idx", "chunk"),
+        F.posexplode(chunk_array).alias("idx", "chunk"),
     )
     winners = chunked.groupBy("chunk").agg(
         F.min(F.struct("id", "idx")).alias("w")

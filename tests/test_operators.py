@@ -796,3 +796,21 @@ def test_semantic_dedup_drops_planted_twin(spark):
     assert out[30] == (100, 1)     # identical twin in same cluster dropped
     assert out[2] == (100, 0)      # near but below 0.99 cosine: kept
     assert out[3] == (200, 0)      # other cluster untouched
+
+
+def test_dedup_chunk_spans_empty_and_whitespace_docs(spark):
+    from archive_to_parquet_spark.operators.dedup import dedup_chunk_spans
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, "   \t  ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in dedup_chunk_spans(df, chunk_words=3).collect()
+    }
+    assert out[1]["text_dedup"] == "one two three"
+    for empty_id in (2, 3):
+        assert out[empty_id]["n_chunks"] == 0
+        assert out[empty_id]["n_kept"] == 0
+        assert out[empty_id]["text_dedup"] == ""
