@@ -147,8 +147,6 @@ class _RawAdapter(io.RawIOBase):
             return n
         if self._failed:
             return 0
-        import zlib
-
         try:
             data = self._inner.read(len(b))
         except (
