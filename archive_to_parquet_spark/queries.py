@@ -450,6 +450,135 @@ FROM flagged GROUP BY user_id
 """
 
 
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user, the
+    first view, the first click AFTER that view, the first purchase
+    AFTER that click; then stage user-counts and conversion rates.
+
+    Scale shape: all three stage times are windows over the SAME
+    partition key (user_id) — one Exchange, three Window nodes, no
+    extra shuffle per stage; the final rollup is a single-row global
+    agg. This is the standard funnel plan at any scale: event volume
+    streams through one user-keyed shuffle."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id")
+    staged = ev.select(
+        "user_id",
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_sec"))
+        ).over(wu).alias("t_view"),
+        "event_type",
+        "ts_sec",
+    )
+    staged = staged.select(
+        "user_id",
+        "t_view",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_sec") > F.col("t_view")),
+                F.col("ts_sec"),
+            )
+        ).over(wu).alias("t_click"),
+        "event_type",
+        "ts_sec",
+    )
+    staged = staged.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_sec") > F.col("t_click")),
+                F.col("ts_sec"),
+            )
+        ).over(wu).alias("t_purchase"),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.col("t_view")).alias("n_viewed"),
+        F.count(F.col("t_click")).alias("n_clicked_after"),
+        F.count(F.col("t_purchase")).alias("n_purchased_after"),
+        F.round(
+            F.count(F.col("t_click")) / F.greatest(F.count(F.col("t_view")), F.lit(1)), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.count(F.col("t_purchase"))
+            / F.greatest(F.count(F.col("t_click")), F.lit(1)),
+            6,
+        ).alias("click_to_purchase"),
+    )
+
+
+REL_FUNNEL_SQL = """
+WITH t AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_sec FROM events
+), v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_sec END) AS t_view
+  FROM t GROUP BY user_id
+), c AS (
+  SELECT t.user_id,
+         min(CASE WHEN event_type = 'click' AND ts_sec > t_view THEN ts_sec END) AS t_click
+  FROM t JOIN v ON t.user_id = v.user_id GROUP BY t.user_id
+), p AS (
+  SELECT t.user_id,
+         min(CASE WHEN event_type = 'purchase' AND ts_sec > t_click THEN ts_sec END) AS t_purchase
+  FROM t JOIN c ON t.user_id = c.user_id GROUP BY t.user_id
+), u AS (
+  SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+  FROM v JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id
+)
+SELECT count(t_view) AS n_viewed,
+       count(t_click) AS n_clicked_after,
+       count(t_purchase) AS n_purchased_after,
+       round(count(t_click) * 1.0 / greatest(count(t_view), 1), 6) AS view_to_click,
+       round(count(t_purchase) * 1.0 / greatest(count(t_click), 1), 6) AS click_to_purchase
+FROM u
+"""
+
+
+def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted by
+    how many are active again N days later. One user-keyed window for
+    the cohort day, one distinct on (user, day), one agg on (cohort,
+    offset) — three shuffles total, each on a natural key."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.floor(F.col("ts_sec") / 86400).alias("day")
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    off = days.select(
+        "user_id",
+        "day",
+        F.min("day").over(wu).alias("cohort_day"),
+    ).withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+    return (
+        off.groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+REL_COHORT_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day FROM events
+), o AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM d
+)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       count(DISTINCT user_id) AS n_active
+FROM o GROUP BY cohort_day, day - cohort_day
+ORDER BY cohort_day, day_offset
+"""
+
+
 def rel_supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim join + agg over supplier."""
     sup = _t(spark, sf_dir, "supplier")
@@ -3143,6 +3272,8 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rel_order_priority_counts": (rel_order_priority_counts, REL_SEMI_SQL),
     "rel_events_hourly": (rel_events_hourly, REL_EVENTS_HOURLY_SQL),
     "rel_sessionize": (rel_sessionize, REL_SESSIONIZE_SQL),
+    "rel_funnel": (rel_funnel, REL_FUNNEL_SQL),
+    "rel_cohort_retention": (rel_cohort_retention, REL_COHORT_SQL),
     "rel_supplier_balance_by_nation": (rel_supplier_balance_by_nation, REL_SUPPLIER_SQL),
     "rel_part_type_stats": (rel_part_type_stats, REL_PART_SQL),
     "rel_rollup_sales": (rel_rollup_sales, REL_ROLLUP_SQL),
