@@ -579,6 +579,73 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def rel_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection: hourly event counts per type, each
+    hour z-scored against the trailing 24 observed hours (frame
+    BETWEEN 24 PRECEDING AND 1 PRECEDING), flagging |z| ≥ 2. One agg
+    shuffle on (type, hour) + one window keyed by type — the window
+    partitions by event_type so no single-partition stage exists, and
+    the frame is bounded so state is O(24) per partition."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type", F.floor(F.col("ts_sec") / 3600).alias("hour")
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count("n").over(w).alias("n_window"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_window") >= 12)
+            & (F.col("sigma") > 0)
+            & (F.abs((F.col("n") - F.col("mu")) / F.col("sigma")) >= 2.0)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round("mu", 4).alias("mu"),
+            F.round(((F.col("n") - F.col("mu")) / F.col("sigma")), 4).alias("z"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+REL_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, hour, n,
+         avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sigma,
+         count(n) OVER w AS n_window
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n,
+       round(mu, 4) AS mu,
+       round((n - mu) / sigma, 4) AS z
+FROM scored
+WHERE n_window >= 12 AND sigma > 0 AND abs((n - mu) / sigma) >= 2.0
+ORDER BY event_type, hour
+"""
+
+
 def rel_supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim join + agg over supplier."""
     sup = _t(spark, sf_dir, "supplier")
@@ -3274,6 +3341,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rel_sessionize": (rel_sessionize, REL_SESSIONIZE_SQL),
     "rel_funnel": (rel_funnel, REL_FUNNEL_SQL),
     "rel_cohort_retention": (rel_cohort_retention, REL_COHORT_SQL),
+    "rel_hourly_anomalies": (rel_hourly_anomalies, REL_ANOMALY_SQL),
     "rel_supplier_balance_by_nation": (rel_supplier_balance_by_nation, REL_SUPPLIER_SQL),
     "rel_part_type_stats": (rel_part_type_stats, REL_PART_SQL),
     "rel_rollup_sales": (rel_rollup_sales, REL_ROLLUP_SQL),

@@ -814,3 +814,20 @@ def test_dedup_chunk_spans_empty_and_whitespace_docs(spark):
         assert out[empty_id]["n_chunks"] == 0
         assert out[empty_id]["n_kept"] == 0
         assert out[empty_id]["text_dedup"] == ""
+
+
+def test_dedup_chunk_spans_is_identity_without_duplicates(spark):
+    """Reassembly invariant: on a corpus with no repeated aligned chunk,
+    every document round-trips to its whitespace-normalized self."""
+    from archive_to_parquet_spark.operators.dedup import dedup_chunk_spans
+
+    # all words globally unique -> no chunk can repeat
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate([1, 2, 3, 5, 7, 11, 13])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_chunk_spans(df, chunk_words=3).collect()}
+    for i, (doc_id, text) in enumerate(rows):
+        assert out[doc_id].text_dedup == text
+        assert out[doc_id].n_kept == out[doc_id].n_chunks
