@@ -607,18 +607,21 @@ def rel_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("n").over(w).alias("sigma"),
         F.count("n").over(w).alias("n_window"),
     )
+    # threshold on the ROUNDED z (both engines): a boundary row can't
+    # flip on float accumulation-order differences across engines
+    z = F.round(((F.col("n") - F.col("mu")) / F.col("sigma")), 4)
     return (
         scored.filter(
-            (F.col("n_window") >= 12)
-            & (F.col("sigma") > 0)
-            & (F.abs((F.col("n") - F.col("mu")) / F.col("sigma")) >= 2.0)
+            (F.col("n_window") >= 12) & (F.col("sigma") > 0)
         )
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.0)
         .select(
             "event_type",
             "hour",
             "n",
             F.round("mu", 4).alias("mu"),
-            F.round(((F.col("n") - F.col("mu")) / F.col("sigma")), 4).alias("z"),
+            "z",
         )
         .orderBy("event_type", "hour")
     )
@@ -641,7 +644,8 @@ SELECT event_type, hour, n,
        round(mu, 4) AS mu,
        round((n - mu) / sigma, 4) AS z
 FROM scored
-WHERE n_window >= 12 AND sigma > 0 AND abs((n - mu) / sigma) >= 2.0
+WHERE n_window >= 12 AND sigma > 0
+  AND abs(round((n - mu) / sigma, 4)) >= 2.0
 ORDER BY event_type, hour
 """
 
