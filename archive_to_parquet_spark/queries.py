@@ -1857,9 +1857,11 @@ def filter_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sig.crossJoin(F.broadcast(cuts))
         .filter(
-            (F.col("n_chars_text") >= F.col("p05"))
-            & (F.col("n_chars_text") <= F.col("p95"))
-            & (F.col("stop_ratio") >= F.col("stop_med"))
+            # compare at the emitted rounding so an interpolation ulp
+            # can't flip a boundary doc across engines
+            (F.col("n_chars_text") >= F.round("p05", 2))
+            & (F.col("n_chars_text") <= F.round("p95", 2))
+            & (F.round("stop_ratio", 6) >= F.round("stop_med", 6))
         )
         .select(
             "doc_id",
@@ -1898,8 +1900,8 @@ SELECT doc_id, n_chars_text,
        round(p95, 2) AS p95,
        round(stop_med, 6) AS stop_med
 FROM sig, cuts
-WHERE n_chars_text >= p05 AND n_chars_text <= p95
-  AND stop_ratio >= stop_med
+WHERE n_chars_text >= round(p05, 2) AND n_chars_text <= round(p95, 2)
+  AND round(stop_ratio, 6) >= round(stop_med, 6)
 """.format(stop_re=stopword_pattern("en").replace("'", "''"))
 
 
