@@ -51,6 +51,8 @@ HEADLINE = [
     "decontaminate_ngrams",
     "sketch_accuracy",
     "dedup_span_removal",
+    "dedup_semantic",
+    "rel_funnel",
     "corpus_shuffle",
     "vocab_coverage",
     "filter_quantile_bands",
