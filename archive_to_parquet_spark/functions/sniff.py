@@ -84,12 +84,17 @@ def detect_format(peek: bytes, compression: str | None = None) -> str:
 
     Mirrors ``AnyFormat::from_reader`` (reference format.rs:15-52): tar/zip
     win over the compression kind; executables are a leaf class; otherwise
-    keep the outer compression kind or 'unknown'.
+    keep the outer compression kind or 'unknown'. ar and cpio (newc/crc)
+    are beyond-reference container kinds the walker also recurses into.
     """
     if _is_tar(peek):
         return "tar"
     if peek[:4] == _ZIP_MAGIC:
         return "zip"
+    if peek[:8] == b"!<arch>\n":
+        return "ar"
+    if peek[:6] in (b"070701", b"070702"):
+        return "cpio"
     if is_executable_magic(peek):
         return "executable"
     return compression or "unknown"

@@ -414,17 +414,27 @@ class Walker:
         parts = [f.name for f in self.stack[1:]] + [entry_name]
         return "/".join(parts)
 
+    # kind → walker method: the extension point for new container
+    # formats (ar and cpio are beyond-reference additions; tar/zip
+    # mirror the reference's walker set)
+    _ARCHIVE_WALKERS = {
+        "tar": "_walk_tar",
+        "zip": "_walk_zip",
+        "ar": "_walk_ar",
+        "cpio": "_walk_cpio",
+    }
+
     def walk(self, name: str, stream, declared_size: int) -> Iterator[EntryRow]:
-        """Walk one entry: recurse into tar/zip, else emit leaf."""
+        """Walk one entry: recurse into registered container formats,
+        else emit leaf."""
         kind, decoded = sniff_stream(stream)
-        if kind in ("tar", "zip"):
+        if kind in self._ARCHIVE_WALKERS:
             if self.begin_visit_archive(name, declared_size):
                 self.stack.append(_StackFrame(name, declared_size))
                 try:
-                    if kind == "tar":
-                        yield from self._walk_tar(decoded)
-                    else:
-                        yield from self._walk_zip(decoded)
+                    yield from getattr(self, self._ARCHIVE_WALKERS[kind])(
+                        decoded
+                    )
                 finally:
                     self.stack.pop()
                     self.end_visit_archive()
@@ -481,6 +491,90 @@ class Walker:
                 tf.close()
             except Exception:
                 pass
+
+    def _walk_ar(self, stream) -> Iterator[EntryRow]:
+        """Streaming Unix ar(1) walk (deb packages, static libraries) —
+        beyond-reference format. Fixed 60-byte headers after the
+        ``!<arch>\\n`` global magic; data padded to even offsets. GNU
+        long names resolve through the ``//`` extension table, BSD
+        ``#1/N`` names are read from the data prefix; the ``/`` symbol
+        table is skipped. Stops silently at the first malformed header
+        (tar stop-at-first-bad-entry contract)."""
+        if _read_exact(stream, 8) != b"!<arch>\n":
+            return
+        gnu_names: dict[int, str] = {}
+        while True:
+            hdr = _read_exact(stream, 60)
+            if len(hdr) < 60 or hdr[58:60] != b"\x60\n":
+                return
+            try:
+                raw_name = hdr[0:16].decode("ascii").rstrip()
+                size = int(hdr[48:58].decode("ascii").strip() or "0")
+            except (UnicodeDecodeError, ValueError):
+                return
+            pad = size % 2
+            if raw_name == "//":  # GNU extended-name table
+                table = _read_exact(stream, size)
+                _read_exact(stream, pad)
+                off = 0
+                for line in table.split(b"\n"):
+                    entry = line.decode("ascii", "replace").rstrip("/\r")
+                    if entry:
+                        gnu_names[off] = entry
+                    off += len(line) + 1
+                continue
+            if raw_name == "/":  # symbol table
+                _read_exact(stream, size)
+                _read_exact(stream, pad)
+                continue
+            name = raw_name
+            body = _BoundedReader(stream, size)
+            if raw_name.startswith("#1/"):  # BSD embedded long name
+                try:
+                    nlen = int(raw_name[3:])
+                except ValueError:
+                    return
+                name = (
+                    _read_exact(body, nlen).decode("utf-8", "replace").rstrip("\x00")
+                )
+            elif raw_name.startswith("/") and raw_name[1:].isdigit():
+                name = gnu_names.get(int(raw_name[1:]), raw_name)
+            elif raw_name.endswith("/"):  # GNU short-name terminator
+                name = raw_name[:-1]
+            if size > 0:
+                yield from self.walk(name, body, size)
+            body.drain()
+            _read_exact(stream, pad)
+
+    def _walk_cpio(self, stream) -> Iterator[EntryRow]:
+        """Streaming cpio walk, newc/crc variants (``070701``/``070702``
+        — initramfs, kernel archives) — beyond-reference format.
+        110-char ASCII-hex headers; name and data each padded to 4-byte
+        boundaries; ``TRAILER!!!`` ends the stream. Non-regular and
+        empty members are skipped (tar skip-predicate parity); a
+        malformed header stops the walk silently."""
+        while True:
+            hdr = _read_exact(stream, 110)
+            if len(hdr) < 110 or hdr[:6] not in (b"070701", b"070702"):
+                return
+            try:
+                fields = [
+                    int(hdr[6 + i * 8 : 14 + i * 8], 16) for i in range(13)
+                ]
+            except ValueError:
+                return
+            mode, filesize, namesize = fields[1], fields[6], fields[11]
+            raw_name = _read_exact(stream, namesize)
+            _read_exact(stream, (-(110 + namesize)) % 4)
+            name = raw_name.decode("utf-8", "replace").rstrip("\x00")
+            if name == "TRAILER!!!":
+                return
+            body = _BoundedReader(stream, filesize)
+            is_regular = (mode & 0o170000) == 0o100000
+            if is_regular and filesize > 0:
+                yield from self.walk(name, body, filesize)
+            body.drain()
+            _read_exact(stream, (-filesize) % 4)
 
     def _walk_zip(self, stream) -> Iterator[EntryRow]:
         """TRUE streaming zip walk: sequential local-file-header parse

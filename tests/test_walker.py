@@ -363,3 +363,111 @@ def test_zstd_decode_or_clear_error():
         data = b"\x28\xb5\x2f\xfd" + b"\x00" * 20  # zstd magic + junk
         with pytest.raises(RuntimeError, match="zstandard module is unavailable"):
             _walk_bytes("f.zst", data)
+
+
+def _ar_bytes(members: list[tuple[str, bytes]]) -> bytes:
+    """Minimal GNU-style ar archive: long names via the // table."""
+    long_names = [n for n, _ in members if len(n) > 15]
+    table = b"".join(n.encode() + b"/\n" for n in long_names)
+    out = bytearray(b"!<arch>\n")
+
+    def hdr(name_field: str, size: int) -> bytes:
+        h = f"{name_field:<16}{0:<12}{0:<6}{0:<6}{'100644':<8}{size:<10}"
+        return h.encode("ascii") + b"\x60\n"
+
+    if table:
+        out += hdr("//", len(table)) + table
+        if len(table) % 2:
+            out += b"\n"
+    offsets = {}
+    off = 0
+    for n in long_names:
+        offsets[n] = off
+        off += len(n) + 2
+    for name, data in members:
+        field = f"/{offsets[name]}" if len(name) > 15 else f"{name}/"
+        out += hdr(field, len(data)) + data
+        if len(data) % 2:
+            out += b"\n"
+    return bytes(out)
+
+
+def _cpio_bytes(members: list[tuple[str, bytes]]) -> bytes:
+    """newc-format cpio archive."""
+    out = bytearray()
+
+    def rec(name: str, data: bytes, mode: int) -> None:
+        nb = name.encode() + b"\x00"
+        h = "070701" + f"{0:08x}{mode:08x}" + "0" * 8 * 4 + (
+            f"{len(data):08x}" + "0" * 8 * 4 + f"{len(nb):08x}" + "0" * 8
+        )
+        out.extend(h.encode("ascii"))
+        out.extend(nb)
+        out.extend(b"\x00" * ((-(110 + len(nb))) % 4))
+        out.extend(data)
+        out.extend(b"\x00" * ((-len(data)) % 4))
+
+    for name, data in members:
+        rec(name, data, 0o100644)
+    rec("TRAILER!!!", b"", 0)
+    return bytes(out)
+
+
+def test_walk_ar_archive(tmp_path):
+    from archive_to_parquet_spark.sources.walker import walk_path
+
+    members = [
+        ("short.txt", b"short content here"),
+        ("a-very-long-member-name-beyond-16.bin", b"odd"),  # odd size -> pad
+    ]
+    p = tmp_path / "lib.a"
+    p.write_bytes(_ar_bytes(members))
+    rows = {r.path: r for r in walk_path(str(p))}
+    assert set(rows) == {m[0] for m in members}
+    assert rows["short.txt"].content == b"short content here"
+    assert rows["a-very-long-member-name-beyond-16.bin"].size == 3
+
+
+def test_walk_cpio_archive_with_nested_tar(tmp_path):
+    import io
+    import tarfile
+
+    from archive_to_parquet_spark.sources.walker import walk_path
+
+    inner = io.BytesIO()
+    with tarfile.open(fileobj=inner, mode="w") as tf:
+        data = b"nested file content"
+        info = tarfile.TarInfo("inner.txt")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    members = [
+        ("plain.txt", b"hello cpio"),
+        ("bundle.tar", inner.getvalue()),
+    ]
+    p = tmp_path / "initrd.cpio"
+    p.write_bytes(_cpio_bytes(members))
+    rows = {r.path: r for r in walk_path(str(p))}
+    # the tar member is recursed into: its leaf appears under its chain
+    assert rows["plain.txt"].content == b"hello cpio"
+    assert rows["bundle.tar/inner.txt"].content == b"nested file content"
+    assert rows["plain.txt"].format == "unknown"
+
+
+def test_walk_ar_inside_tar_gz(tmp_path):
+    """Compression wrapping + recursion across the new formats."""
+    import gzip as _gzip
+    import io
+    import tarfile
+
+    from archive_to_parquet_spark.sources.walker import walk_path
+
+    ar = _ar_bytes([("member.txt", b"ar in tar.gz")])
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("inner.a")
+        info.size = len(ar)
+        tf.addfile(info, io.BytesIO(ar))
+    p = tmp_path / "wrapped.tar.gz"
+    p.write_bytes(_gzip.compress(buf.getvalue()))
+    rows = {r.path: r for r in walk_path(str(p))}
+    assert rows["inner.a/member.txt"].content == b"ar in tar.gz"
