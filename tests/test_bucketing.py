@@ -67,3 +67,55 @@ def test_bucketed_join_results_match_plain(spark, bucketed_tables):
     plain_j = li.join(orders, li.l_orderkey == orders.o_orderkey)
     total_p = plain_j.agg(F.round(F.sum("l_quantity"), 2).alias("s")).collect()[0].s
     assert total_b == total_p
+
+
+def test_compact_dataset_reduces_file_count(spark, tmp_path):
+    import os
+
+    from archive_to_parquet_spark.plans.maintenance import compact_dataset
+
+    src = str(tmp_path / "small_files")
+    out = str(tmp_path / "compacted")
+    # 32 small files
+    spark.range(0, 100_000).repartition(32).write.parquet(src)
+    n = compact_dataset(spark, src, out, target_file_mb=512)
+    assert n == 1
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1
+    # content identical
+    assert (
+        spark.read.parquet(out).agg({"id": "sum"}).first()[0]
+        == spark.range(0, 100_000).agg({"id": "sum"}).first()[0]
+    )
+
+
+def test_zorder_layout_improves_stat_selectivity(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    from archive_to_parquet_spark.plans.maintenance import write_zordered
+
+    # two independent uniform dims: a lexicographic sort on x leaves y
+    # unsorted (y-ranges span everything); z-order bounds BOTH
+    df = spark.range(0, 40_000).selectExpr(
+        "id", "CAST(id % 200 AS LONG) AS x", "CAST((id * 7919) % 200 AS LONG) AS y"
+    )
+    out = str(tmp_path / "zorder")
+    write_zordered(df, out, ["x", "y"], bits=8, num_files=16)
+
+    # measure per-file min/max spans of BOTH dims
+    spans = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(out, f))
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans.append(((max(xs) - min(xs)), (max(ys) - min(ys))))
+    # every file must be selective in both dimensions: strictly narrower
+    # than the full 0..199 range on average
+    avg_x = sum(s[0] for s in spans) / len(spans)
+    avg_y = sum(s[1] for s in spans) / len(spans)
+    assert len(spans) == 16
+    assert avg_x < 120 and avg_y < 120, (avg_x, avg_y)
+    # row count preserved
+    assert spark.read.parquet(out).count() == 40_000
