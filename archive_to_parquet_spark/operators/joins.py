@@ -99,3 +99,76 @@ def range_join(
     """
     cond: Column = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
     return left.join(F.broadcast(bands), cond, "left")
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edits: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Edit-distance similarity self-join (entity matching / dedup of
+    names, titles, addresses): all pairs with levenshtein ≤ max_edits.
+
+    Candidate generation is ED-Join-style q-gram prefix filtering,
+    exact-preserving: one edit disturbs at most ``q`` positional
+    q-grams, so two strings within k edits must share a q-gram among
+    the ``q·k + 1`` RAREST q-grams of each (rarity = global document
+    frequency, ties by gram — a total order shared by both sides).
+    Candidates join only on those prefix grams plus a length filter
+    (|len_a − len_b| ≤ k); the exact ``levenshtein`` (JVM expression)
+    verifies every candidate, so false positives are impossible — the
+    approximation budget is zero.
+
+    Shuffle keys: gram (frequency + candidate join) and id (prefix
+    rank window) — no all-pairs stage; cost scales with prefix-gram
+    collisions. Short strings (< q chars) produce no q-grams and are
+    excluded; for those, bucket by exact length and compare directly.
+
+    Returns (id_a, id_b, dist) with id_a < id_b.
+    """
+    prefix_len = q * max_edits + 1
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.col(text_col)).alias("t"),
+    ).withColumn("len", F.length("t"))
+    grams = s.select(
+        "id",
+        "t",
+        "len",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.col("len") - q + 1, F.lit(0))),
+                    lambda i: F.col("t").substr(i, F.lit(q)),
+                )
+            )
+        ).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count("*").alias("df_g"))
+    w = Window.partitionBy("id").orderBy("df_g", "g")
+    prefix = (
+        grams.join(freq, "g")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= prefix_len)
+        .select("id", "t", "len", "g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    dist = F.levenshtein(F.col("a.t"), F.col("b.t"))
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(max_edits)
+            ),
+        )
+        .select("a.id", "b.id", "a.t", "b.t")
+        .toDF("id_a", "id_b", "ta", "tb")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("dist") <= max_edits)
+        .select("id_a", "id_b", "dist")
+    )

@@ -579,6 +579,44 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def rel_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity matching over part names (levenshtein ≤ 2)
+    via q-gram prefix-filtered candidates + exact JVM levenshtein
+    verification (operators/joins.py fuzzy_self_join). Typos are
+    planted deterministically (every 97th part re-added under
+    key+1000000 with its first character dropped — distance 1), and
+    the oracle is DuckDB's brute-force levenshtein with the same
+    length prefilter: the prefix filter is exact-preserving, so both
+    engines must produce the identical pair set."""
+    from archive_to_parquet_spark.operators.joins import fuzzy_self_join
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    planted = part.filter(F.col("p_partkey") % 97 == 0).select(
+        (F.col("p_partkey") + F.lit(1000000)).alias("p_partkey"),
+        F.substring("p_name", 2, 1000).alias("p_name"),
+    )
+    corpus = part.unionByName(planted)
+    return fuzzy_self_join(corpus, "p_partkey", "p_name", max_edits=2, q=3)
+
+
+REL_FUZZY_SQL = """
+WITH corpus AS (
+  SELECT p_partkey, p_name FROM part
+  UNION ALL
+  SELECT p_partkey + 1000000, substring(p_name, 2) FROM part
+  WHERE p_partkey % 97 = 0
+), n AS (
+  SELECT p_partkey AS id, lower(p_name) AS t, length(p_name) AS len FROM corpus
+  WHERE length(p_name) >= 3
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       levenshtein(a.t, b.t) AS dist
+FROM n a JOIN n b
+  ON a.id < b.id AND abs(a.len - b.len) <= 2
+WHERE levenshtein(a.t, b.t) <= 2
+"""
+
+
 def rel_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed anomaly detection: hourly event counts per type, each
     hour z-scored against the trailing 24 observed hours (frame
@@ -3348,6 +3386,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rel_funnel": (rel_funnel, REL_FUNNEL_SQL),
     "rel_cohort_retention": (rel_cohort_retention, REL_COHORT_SQL),
     "rel_hourly_anomalies": (rel_hourly_anomalies, REL_ANOMALY_SQL),
+    "rel_fuzzy_match": (rel_fuzzy_match, REL_FUZZY_SQL),
     "rel_supplier_balance_by_nation": (rel_supplier_balance_by_nation, REL_SUPPLIER_SQL),
     "rel_part_type_stats": (rel_part_type_stats, REL_PART_SQL),
     "rel_rollup_sales": (rel_rollup_sales, REL_ROLLUP_SQL),

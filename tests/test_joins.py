@@ -45,3 +45,23 @@ def test_range_join_bands(spark):
     assert out[2] == "a"
     assert out[3] == "b"  # lo inclusive
     assert out[4] is None  # hi exclusive, no band matches
+
+
+def test_fuzzy_self_join_finds_typos_only(spark):
+    from archive_to_parquet_spark.operators.joins import fuzzy_self_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "Evergreen Terrace 742"),
+            (2, "Evergren Terrace 742"),   # 1 deletion
+            (3, "evergreen terrace 742"),  # case-only: distance 0 after lower
+            (4, "Mockingbird Lane 1313"),
+            (5, "completely unrelated"),
+        ],
+        "id long, name string",
+    )
+    out = {(r.id_a, r.id_b): r.dist for r in fuzzy_self_join(df, "id", "name").collect()}
+    assert out[(1, 2)] == 1
+    assert out[(1, 3)] == 0
+    assert out[(2, 3)] == 1
+    assert not any({a, b} & {4, 5} for a, b in out)
