@@ -95,6 +95,13 @@ def detect_format(peek: bytes, compression: str | None = None) -> str:
         return "ar"
     if peek[:6] in (b"070701", b"070702"):
         return "cpio"
+    # leaf-labeled container kinds: decodable only with external codec
+    # libraries, so they are classified (for routing/inventory) but
+    # emitted as opaque leaves, never recursed
+    if peek[:6] == b"7z\xbc\xaf\x27\x1c":
+        return "7z"
+    if peek[:7] == b"Rar!\x1a\x07\x00" or peek[:8] == b"Rar!\x1a\x07\x01\x00":
+        return "rar"
     if is_executable_magic(peek):
         return "executable"
     return compression or "unknown"

@@ -42,3 +42,17 @@ def test_executable_magics():
         assert is_executable_magic(magic + b"rest"), magic
         assert detect_format(magic + b"rest", None) == "executable"
     assert not is_executable_magic(b"plain")
+
+
+def test_leaf_container_kinds_detected_not_recursed():
+    from archive_to_parquet_spark.functions.sniff import detect_format
+    from archive_to_parquet_spark.sources.walker import Walker
+
+    sevenz = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 20
+    rar5 = b"Rar!\x1a\x07\x01\x00" + b"\x00" * 20
+    assert detect_format(sevenz) == "7z"
+    assert detect_format(rar5) == "rar"
+    assert detect_format(b"Rar!\x1a\x07\x00junk") == "rar"
+    # not in the recursive walker set: emitted as opaque leaves
+    assert "7z" not in Walker._ARCHIVE_WALKERS
+    assert "rar" not in Walker._ARCHIVE_WALKERS
