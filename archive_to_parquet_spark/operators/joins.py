@@ -107,9 +107,18 @@ def fuzzy_self_join(
     text_col: str,
     max_edits: int = 2,
     q: int = 3,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Edit-distance similarity self-join (entity matching / dedup of
     names, titles, addresses): all pairs with levenshtein ≤ max_edits.
+
+    NOTE on output density: the result itself can be quadratic when the
+    value domain is tiny (a 90-word synthetic vocabulary makes ED≤2
+    pairs a constant fraction of all pairs — no candidate filter can
+    beat the output's own size). Production entity matching ALWAYS adds
+    a blocking key (zip code, first token, phonetic code): pass
+    ``block_col`` and candidates additionally equi-join on it, bounding
+    the pair space to within-block.
 
     Candidate generation is ED-Join-style q-gram prefix filtering,
     exact-preserving: one edit disturbs at most ``q`` positional
@@ -129,14 +138,16 @@ def fuzzy_self_join(
     Returns (id_a, id_b, dist) with id_a < id_b.
     """
     prefix_len = q * max_edits + 1
-    s = df.select(
+    base_cols = [
         F.col(id_col).alias("id"),
         F.lower(F.col(text_col)).alias("t"),
-    ).withColumn("len", F.length("t"))
+    ]
+    if block_col is not None:
+        base_cols.append(F.col(block_col).alias("blk"))
+    s = df.select(*base_cols).withColumn("len", F.length("t"))
+    carry = ["id", "t", "len"] + (["blk"] if block_col is not None else [])
     grams = s.select(
-        "id",
-        "t",
-        "len",
+        *carry,
         F.explode(
             F.array_distinct(
                 F.transform(
@@ -152,19 +163,18 @@ def fuzzy_self_join(
         grams.join(freq, "g")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= prefix_len)
-        .select("id", "t", "len", "g")
+        .select(*carry, "g")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    dist = F.levenshtein(F.col("a.t"), F.col("b.t"))
+    cond = (
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(max_edits))
+    )
+    if block_col is not None:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
     return (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (
-                F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(max_edits)
-            ),
-        )
+        a.join(b, cond)
         .select("a.id", "b.id", "a.t", "b.t")
         .toDF("id_a", "id_b", "ta", "tb")
         .dropDuplicates(["id_a", "id_b"])

@@ -65,3 +65,21 @@ def test_fuzzy_self_join_finds_typos_only(spark):
     assert out[(1, 3)] == 0
     assert out[(2, 3)] == 1
     assert not any({a, b} & {4, 5} for a, b in out)
+
+
+def test_fuzzy_self_join_blocking_key_bounds_pairs(spark):
+    from archive_to_parquet_spark.operators.joins import fuzzy_self_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "evergreen terrace", "us"),
+            (2, "evergren terrace", "us"),
+            (3, "evergreen terrace", "uk"),  # same name, other block
+        ],
+        "id long, name string, region string",
+    )
+    out = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_self_join(df, "id", "name", block_col="region").collect()
+    }
+    assert out == {(1, 2)}  # cross-block pair (1,3) suppressed
