@@ -3451,6 +3451,12 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_char_entropy": (text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
 }
 
+# TPC-H-pattern relational suite (classic plan shapes adapted to the
+# trimmed testdata schema) — see queries_tpch.py module docstring.
+from archive_to_parquet_spark import queries_tpch as _tpch  # noqa: E402
+
+_CATALOG.update(_tpch.CATALOG)
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _CATALOG.items()}

@@ -1,0 +1,703 @@
+"""TPC-H-pattern relational queries adapted to the driver testdata.
+
+The testdata is TPC-H-shaped but trimmed (no partsupp, no
+commit/receipt dates, single-word p_type), so these implement the
+*query patterns* of the classic suite — the plan shapes a warehouse
+engine must get right — against the columns that exist:
+
+- Q3  shipping priority   : selective dim filter → big-big join → top-k
+- Q6  forecast revenue    : pure scan-filter-agg (pushdown showcase)
+- Q7  volume shipping     : two independent dim lookups on one fact row
+- Q8  market share        : conditional share-of-total by year
+- Q10 returned items      : filtered fact → customer rollup → top-k
+- Q11 important balances  : group agg vs scalar-subquery global total
+- Q13 cust distribution   : outer join → two-level aggregation
+- Q14 promo revenue       : conditional numerator over joined dim
+- Q15 top supplier        : agg → max-equality scalar subquery
+- Q16 brand supplier cnt  : count-distinct per group with NOT-IN dim
+- Q17 small-quantity rev  : per-group avg threshold (correlated agg)
+- Q18 large orders        : having-filtered agg joined back to facts
+- Q19 disjunctive join    : OR-of-conjuncts pushdown over a dim join
+- Q20 supplier semi chain : semi join into a having-filtered agg
+- Q21 multi-exists        : exists + not-exists on the same fact table
+- Q22 idle customers      : scalar avg threshold + anti join + rollup
+
+Every Spark plan broadcasts dimension tables explicitly and keeps the
+single big-big shuffle (lineitem ⨝ orders) as the only exchange wher
+the pattern needs one; aggregates are map-side-combinable. Floats are
+rounded identically on both sides before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["CATALOG"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _revenue():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# -- Q3: shipping priority -----------------------------------------------------
+
+
+def tpch_q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective segment filter broadcast against orders, big-big join to
+    lineitem on orderkey, revenue rollup per order, top-10 via
+    TakeOrderedAndProject (no global sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+TPCH_Q03_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# -- Q6: forecast revenue ------------------------------------------------------
+
+
+def tpch_q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan→filter→agg; every predicate reaches the parquet scan
+    (PushedFilters) and the single agg is map-side partial."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+TPCH_Q06_SQL = """
+SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+# -- Q7: volume shipping -------------------------------------------------------
+
+
+def tpch_q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent dimension resolutions on one fact row: supplier
+    nation via l_suppkey, customer nation via orders→customer. Both dim
+    chains broadcast; the only shuffle is lineitem ⨝ orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+TPCH_Q07_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS ship_year,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+# -- Q8: market share ----------------------------------------------------------
+
+
+def tpch_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total per year: conditional numerator (supplier from the
+    target nation) over total regional revenue — one pass, two
+    conditional aggregates, no second join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust_region = (
+        _t(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_region), orders.o_custkey == cust_region.c_custkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", _revenue()).otherwise(0.0))
+                / F.sum(_revenue()),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(_revenue()), 2).alias("total_revenue"),
+        )
+    )
+
+
+TPCH_Q08_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       round(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+# -- Q10: returned items -------------------------------------------------------
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-line revenue per customer: filtered big-big join, dims
+    broadcast, top-20 TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_returned_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# -- Q11: important balances ---------------------------------------------------
+
+
+def tpch_q11_important_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group totals kept only above a fraction of the global total — the
+    scalar global is a one-row broadcast (cross join), never a
+    collect()."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("s_acctbal").alias("bal"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+    total = supp.agg(F.sum("s_acctbal").alias("global_bal"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .filter(F.col("bal") > F.col("global_bal") * 0.03)
+        .select(
+            "n_name",
+            F.round("bal", 2).alias("nation_balance"),
+            "n_suppliers",
+        )
+    )
+
+
+TPCH_Q11_SQL = """
+SELECT n_name, round(SUM(s_acctbal), 2) AS nation_balance,
+       COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) FROM supplier) * 0.03
+"""
+
+
+# -- Q13: customer order-count distribution ------------------------------------
+
+
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation with an outer join: orders are pre-aggregated
+    per customer BEFORE the join (smallest possible shuffle), customers
+    with no orders enter at count 0 via the left join."""
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+TPCH_Q13_SQL = """
+SELECT c_count, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+# -- Q14: promo revenue --------------------------------------------------------
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-numerator ratio per month over a broadcast dim join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(0.0))
+                / F.sum(_revenue()),
+                6,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+TPCH_Q14_SQL = """
+SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+       EXTRACT(month FROM l_shipdate) AS ship_month,
+       round(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+"""
+
+
+# -- Q15: top supplier ---------------------------------------------------------
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg → scalar max → equality filter. Revenue is rounded BEFORE the
+    max/compare on both engines so double accumulation order can't flip
+    the winner."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    mx = rev.agg(F.max("revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue")
+    )
+
+
+TPCH_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue = (SELECT MAX(revenue) FROM rev)
+"""
+
+
+# -- Q16: brand supplier counts ------------------------------------------------
+
+
+def tpch_q16_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per (brand, type, size) with a NOT-IN
+    style dim exclusion; the distinct agg shuffles on the group key."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+GROUP BY 1, 2, 3
+"""
+
+
+# -- Q17: small-quantity revenue -----------------------------------------------
+
+
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated per-part average threshold: the per-part avg is an
+    aggregate joined back (broadcast — one row per part), not a window
+    over the fact table. The threshold is rounded identically on both
+    engines so boundary rows can't flip."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li_part = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = li_part.groupBy("p_partkey").agg(
+        F.round(F.avg("l_quantity") * 0.5, 6).alias("qty_threshold")
+    )
+    return (
+        li_part.join(
+            F.broadcast(avg_qty.withColumnRenamed("p_partkey", "t_partkey")),
+            li_part.l_partkey == F.col("t_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small_lines"),
+        )
+    )
+
+
+TPCH_Q17_SQL = """
+WITH li_part AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+), thr AS (
+  SELECT l_partkey AS t_partkey, round(AVG(l_quantity) * 0.5, 6) AS qty_threshold
+  FROM li_part GROUP BY 1
+)
+SELECT round(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_small_lines
+FROM li_part JOIN thr ON l_partkey = t_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+
+# -- Q18: large orders ---------------------------------------------------------
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Having-filtered agg (sum qty per order) joined back to orders and
+    customers; the agg output is small → broadcast back against orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+TPCH_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS total,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# -- Q19: disjunctive predicate join -------------------------------------------
+
+
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-conjuncts across the join: each disjunct pairs a dim
+    predicate with a fact predicate — the shape that tests predicate
+    normalization and partial pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    d1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(d1 | d2 | d3).agg(
+        F.round(F.sum(_revenue()), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# -- Q20: supplier semi chain --------------------------------------------------
+
+
+def tpch_q20_supplier_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join into a having-filtered aggregate: suppliers that moved
+    more than a threshold quantity of ECONOMY parts. The agg result is
+    the semi side (small), so the supplier scan never widens."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    heavy = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 500)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(
+            F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi"
+        ).select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+TPCH_Q20_SQL = """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 500
+)
+"""
+
+
+# -- Q21: multi-exists ---------------------------------------------------------
+
+
+def tpch_q21_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS on the same fact table, expressed as one
+    conditional aggregation over orders (single shuffle on custkey)
+    instead of two correlated subquery joins."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    flags = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderstatus") == "F").cast("int")).alias("has_f"),
+        F.max((F.col("o_orderstatus") == "O").cast("int")).alias("has_o"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        flags.filter((F.col("has_f") == 1) & (F.col("has_o") == 0))
+        .join(F.broadcast(cust), flags.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "n_orders")
+    )
+
+
+TPCH_Q21_SQL = """
+SELECT c_custkey, c_name, COUNT(*) AS n_orders
+FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE EXISTS (SELECT 1 FROM orders o2
+              WHERE o2.o_custkey = c_custkey AND o2.o_orderstatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM orders o3
+                  WHERE o3.o_custkey = c_custkey AND o3.o_orderstatus = 'O')
+GROUP BY 1, 2
+"""
+
+
+# -- Q22: idle customers -------------------------------------------------------
+
+
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-average threshold + anti join + rollup: customers with an
+    above-average positive balance and no RECENT orders (every customer
+    in the testdata has some order, so the classic no-orders form would
+    be vacuous), grouped by a derived code (custkey mod 10 stands in
+    for the phone prefix)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("int").alias("code"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+TPCH_Q22_SQL = """
+SELECT CAST(c_custkey % 10 AS INTEGER) AS code,
+       COUNT(*) AS n_customers,
+       round(SUM(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT round(AVG(c_acctbal), 6) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1
+"""
+
+
+CATALOG: dict[str, tuple] = {
+    "tpch_q03_shipping_priority": (tpch_q03_shipping_priority, TPCH_Q03_SQL),
+    "tpch_q06_forecast_revenue": (tpch_q06_forecast_revenue, TPCH_Q06_SQL),
+    "tpch_q07_volume_shipping": (tpch_q07_volume_shipping, TPCH_Q07_SQL),
+    "tpch_q08_market_share": (tpch_q08_market_share, TPCH_Q08_SQL),
+    "tpch_q10_returned_items": (tpch_q10_returned_items, TPCH_Q10_SQL),
+    "tpch_q11_important_balances": (tpch_q11_important_balances, TPCH_Q11_SQL),
+    "tpch_q13_customer_distribution": (
+        tpch_q13_customer_distribution,
+        TPCH_Q13_SQL,
+    ),
+    "tpch_q14_promo_revenue": (tpch_q14_promo_revenue, TPCH_Q14_SQL),
+    "tpch_q15_top_supplier": (tpch_q15_top_supplier, TPCH_Q15_SQL),
+    "tpch_q16_brand_supplier_counts": (
+        tpch_q16_brand_supplier_counts,
+        TPCH_Q16_SQL,
+    ),
+    "tpch_q17_small_quantity": (tpch_q17_small_quantity, TPCH_Q17_SQL),
+    "tpch_q18_large_orders": (tpch_q18_large_orders, TPCH_Q18_SQL),
+    "tpch_q19_disjunctive": (tpch_q19_disjunctive, TPCH_Q19_SQL),
+    "tpch_q20_supplier_semi_chain": (
+        tpch_q20_supplier_semi_chain,
+        TPCH_Q20_SQL,
+    ),
+    "tpch_q21_multi_exists": (tpch_q21_multi_exists, TPCH_Q21_SQL),
+    "tpch_q22_idle_customers": (tpch_q22_idle_customers, TPCH_Q22_SQL),
+}
