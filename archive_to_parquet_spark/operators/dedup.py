@@ -983,3 +983,72 @@ def crossdoc_span_stats(
             6,
         ).alias("frac_shared_grams"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_frequency: int = 3,
+    keep_first: bool = False,
+) -> DataFrame:
+    """C4-style boilerplate removal at LINE granularity: a line occurring
+    in ≥ ``min_doc_frequency`` distinct documents (nav menus, cookie
+    banners, license headers) is removed — from every document, or from
+    all but the globally first (min (doc_id, line_idx)) occurrence when
+    ``keep_first`` is set.
+
+    Returns (id_col, n_lines, n_kept, text_clean), one row per input
+    document; blank lines are preserved verbatim (they don't count
+    toward document frequency and are never removed).
+
+    Plan: posexplode lines (no shuffle) → distinct (line, doc) pairs →
+    count per line = document frequency (map-side partial; grouping on
+    the line ONCE for both the frequency and, with keep_first, the
+    min-occurrence winner) → join back on line (same key as the agg
+    shuffle; AQE splits a pathological hot line) → reassemble per doc
+    with sort_array over (idx, line) structs. Cost is linear in corpus
+    line volume — no doc×doc work.
+    """
+    trimmed = F.trim(F.col("line"))
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    content = lines.filter(F.length(trimmed) > 0)
+    freq = content.groupBy("line").agg(
+        F.count_distinct("id").alias("doc_freq"),
+        F.min(F.struct("id", "idx")).alias("first_occ"),
+    )
+    hot = freq.filter(F.col("doc_freq") >= min_doc_frequency).select(
+        "line", "first_occ"
+    )
+    joined = lines.join(hot, "line", "left")
+    if keep_first:
+        drop = F.col("first_occ").isNotNull() & ~(
+            (F.col("id") == F.col("first_occ.id"))
+            & (F.col("idx") == F.col("first_occ.idx"))
+        )
+    else:
+        drop = F.col("first_occ").isNotNull()
+    kept = joined.filter(~drop)
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return totals.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

@@ -407,3 +407,57 @@ def ivf_top_k_fixed_centroids(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    corpus_label: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_label: str = "query_label",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: per query,
+    the top-k most-similar corpus vectors with a DIFFERENT label (the
+    near-misses a contrastive loss learns most from).
+
+    Returns (query_id, neg_id, cosine, rank). Same distribution shape
+    as brute_force_top_k — broadcast queries (queries are the small
+    side: an epoch's anchor sample), one corpus scan, per-query window
+    top-k — with the label-mismatch predicate applied at the join so
+    the window never ranks in-class rows. At larger query counts swap
+    the candidate stage for lsh_top_k/ivf_top_k and apply the same
+    label filter on its candidates; the ranking contract is unchanged.
+    ``round_to`` rounds the score BEFORE ranking (cross-engine
+    determinism, same rationale as brute_force_top_k).
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        F.col(query_label).alias("q_label"),
+        l2_norm_col(query_vec).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neg_id"),
+        F.col(corpus_vec).alias("cv"),
+        F.col(corpus_label).alias("c_label"),
+        l2_norm_col(corpus_vec).alias("cn"),
+    )
+    score = cosine_from_norms("cv", "qv", "cn", "qn")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = c.join(
+        F.broadcast(q), F.col("c_label") != F.col("q_label")
+    ).select("query_id", "neg_id", score.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neg_id", "cosine", "rank")
+    )

@@ -3486,3 +3486,84 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
         F.count("*").alias("n_unique"),
         F.sum("size").alias("total_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer statistics + contrastive mining (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-step statistic: adjacent char-pair counts weighted
+    by word frequency, top 30. Two map-side-combinable shuffles (word,
+    pair); cost after the first is bounded by vocabulary size."""
+    from archive_to_parquet_spark.operators.tokenize import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(docs, "text")
+        .orderBy(F.col("count").desc(), F.col("pair").asc())
+        .limit(30)
+    )
+
+
+BPE_TOP_PAIRS_SQL = """
+WITH wf AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              w -> w <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+), pairs AS (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM wf, UNNEST(range(1, length(word))) AS t(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS count
+FROM pairs GROUP BY pair
+ORDER BY count DESC, pair ASC LIMIT 30
+"""
+
+
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor (every 25th vector),
+    top-5 most-similar OTHER-label vectors. Broadcast anchors × one
+    corpus scan; scores rounded before ranking for cross-engine
+    determinism."""
+    from archive_to_parquet_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return hard_negatives(emb, anchors, k=5, round_to=6)
+
+
+MINE_HARD_NEGATIVES_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+  FROM embeddings WHERE vec_id % 25 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neg_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6)
+           AS cosine
+  FROM embeddings e JOIN q ON e.label <> q.q_label
+), ranked AS (
+  SELECT query_id, neg_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neg_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neg_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+_CATALOG.update(
+    {
+        "bpe_top_pairs": (bpe_top_pairs, BPE_TOP_PAIRS_SQL),
+        "mine_hard_negatives": (mine_hard_negatives, MINE_HARD_NEGATIVES_SQL),
+    }
+)

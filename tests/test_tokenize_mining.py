@@ -1,0 +1,112 @@
+"""Tests: BPE pair statistics / merge rounds, boilerplate-line removal,
+and hard-negative mining."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from archive_to_parquet_spark.operators.tokenize import bpe_pair_counts
+
+    # "low low low lower" — classic BPE example: 'lo' and 'ow' appear in
+    # all four words, 'we'/'er' only in "lower"; 1-char word 'a' must
+    # contribute no pair at all
+    df = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower a")], ["doc_id", "text"]
+    )
+    got = {r["pair"]: r["count"] for r in bpe_pair_counts(df, "text").collect()}
+    assert got == {"lo": 4, "ow": 4, "we": 1, "er": 1}
+
+
+def test_bpe_pair_counts_unicode_chars(spark):
+    from archive_to_parquet_spark.operators.tokenize import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "héé héé")], ["doc_id", "text"])
+    got = {r["pair"]: r["count"] for r in bpe_pair_counts(df, "text").collect()}
+    # char-indexed substr: pairs are (h,é) and (é,é), counted once per
+    # distinct word × freq 2
+    assert got == {"hé": 2, "éé": 2}
+
+
+def test_bpe_merge_rounds_learns_expected_merges(spark):
+    from archive_to_parquet_spark.operators.tokenize import bpe_merge_rounds
+
+    # freq(low)=3, freq(lower)=1: round 1 must merge (l, o) or (o, w)
+    # — both count 4; tie breaks lexicographically to ('l', 'o');
+    # round 2 then sees symbol 'lo' and merges ('lo', 'w') with count 4
+    df = spark.createDataFrame([(1, "low low low lower")], ["doc_id", "text"])
+    merges = bpe_merge_rounds(df, "text", n_merges=2)
+    assert merges[0] == ("l", "o", 4)
+    assert merges[1] == ("lo", "w", 4)
+
+
+def test_remove_boilerplate_lines_drops_hot_lines(spark):
+    from archive_to_parquet_spark.operators.dedup import remove_boilerplate_lines
+
+    banner = "accept all cookies"
+    docs = [
+        (1, f"{banner}\nunique one\n\nfooter"),
+        (2, f"{banner}\nunique two\nfooter"),
+        (3, f"{banner}\nunique three"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            df, min_doc_frequency=3
+        ).collect()
+    }
+    # banner occurs in 3 docs → removed everywhere; "footer" only in 2
+    # docs (< min_df) → kept; blank line preserved
+    assert out[1]["text_clean"] == "unique one\n\nfooter"
+    assert out[2]["text_clean"] == "unique two\nfooter"
+    assert out[3]["text_clean"] == "unique three"
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 3
+
+
+def test_remove_boilerplate_lines_keep_first(spark):
+    from archive_to_parquet_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = [(1, "dup\nbody1"), (2, "dup\nbody2"), (3, "body3\ndup")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(
+            df, min_doc_frequency=2, keep_first=True
+        ).collect()
+    }
+    # globally-first occurrence (doc 1, idx 0) survives, later ones drop
+    assert out == {1: "dup\nbody1", 2: "body2", 3: "body3"}
+
+
+def test_remove_boilerplate_lines_fully_boilerplate_doc(spark):
+    from archive_to_parquet_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = [(1, "x"), (2, "x"), (3, "x")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = remove_boilerplate_lines(df, min_doc_frequency=2).collect()
+    assert all(r["text_clean"] == "" and r["n_kept"] == 0 for r in out)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from archive_to_parquet_spark.operators.similarity import hard_negatives
+
+    # corpus: two labels; vec 0's nearest overall is vec 1 (same label,
+    # must be excluded); nearest other-label is vec 2
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),
+        (2, [0.9, 0.3], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    anchors = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    got = hard_negatives(corpus, anchors, k=2, round_to=6).collect()
+    assert [(r["neg_id"], r["rank"]) for r in got] == [(2, 1), (3, 2)]
+    assert all(r["neg_id"] != 1 for r in got)
