@@ -59,6 +59,21 @@ HEADLINE = [
     "web_domain_stats",
 ]
 
+# TPC-H-pattern suite, timed separately so `value` (headline total)
+# stays comparable round-over-round.
+TPCH = [
+    "tpch_q03_shipping_priority",
+    "tpch_q06_forecast_revenue",
+    "tpch_q07_volume_shipping",
+    "tpch_q08_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+]
+
 _INGEST_MEMBERS = 512
 _INGEST_MEMBER_BYTES = 64 * 1024  # 512 × 64 KiB × 16 inputs = 512 MiB
 _INGEST_INPUTS = 16
@@ -125,6 +140,15 @@ def main() -> int:
             best = min(best, time.time() - t0)
         per_query[name] = round(best, 3)
 
+    tpch: dict[str, float] = {}
+    for name in TPCH:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            run_noop(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        tpch[name] = round(best, 3)
+
     # ingest throughput: recursive walk + hash + filters, noop sink
     from archive_to_parquet_spark.options import ConvertOptions
     from archive_to_parquet_spark.plans.convert import entries_pipeline
@@ -157,6 +181,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "tpch": {"total": round(sum(tpch.values()), 3), **tpch},
                 "ingest": ingest,
             }
         )

@@ -84,3 +84,61 @@ def test_web_domain_stats_single_agg_shuffle(spark):
     plan = _plan(q.queries()["web_domain_stats"](spark, SF_DIR))
     # parse_url must stay a JVM expression: no python runner in the plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_q06_predicates_pushed_to_scan(spark):
+    from archive_to_parquet_spark import queries as q
+    from archive_to_parquet_spark.plans.bucketing import plan_has_exchange
+
+    df = q.queries()["tpch_q06_forecast_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    # every filter must reach the parquet scan (the PushedFilters list
+    # is elided in toString past ~100 chars, so check its head plus the
+    # full predicate in the post-scan Filter node)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "(l_quantity#" in plan and "< 24.0)" in plan
+    # column pruning: only the 4 referenced columns are read
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in plan
+    )
+    del plan_has_exchange  # imported for symmetry with the other tests
+
+
+def test_tpch_q03_broadcasts_dims_and_takeordered(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["tpch_q03_shipping_priority"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan  # top-10, never a global sort
+    assert "BroadcastHashJoin" in plan
+    # the BUILDING segment filter is pushed into the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_tpch_q07_infers_nation_filter_pushdown(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["tpch_q07_volume_shipping"](spark, SF_DIR))
+    # Catalyst must infer the nation-pair disjunction down onto the
+    # nation dim scans (constraint propagation through the joins)
+    assert "EqualTo(n_name,NATION_1)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q18_aggregates_before_join(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["tpch_q18_large_orders"](spark, SF_DIR))
+    # the having-filtered qty rollup must build the broadcast side —
+    # orders stream past it, not through a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_tpch_q21_single_shuffle_conditional_agg(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["tpch_q21_multi_exists"](spark, SF_DIR))
+    # exists/not-exists expressed as ONE aggregation over orders: no
+    # self-join of orders anywhere in the plan
+    assert plan.count("Scan parquet") == 2  # orders + customer, once each
