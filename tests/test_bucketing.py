@@ -119,3 +119,53 @@ def test_zorder_layout_improves_stat_selectivity(spark, tmp_path):
     assert avg_x < 120 and avg_y < 120, (avg_x, avg_y)
     # row count preserved
     assert spark.read.parquet(out).count() == 40_000
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.plans.maintenance import upsert_partitioned
+
+    path = str(tmp_path / "ds")
+    base = spark.range(30).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        F.lit("old").alias("v"),
+    )
+    base.write.partitionBy("p").parquet(path)
+
+    untouched_files = {
+        f: os.path.getmtime(os.path.join(path, "p=0", f))
+        for f in os.listdir(os.path.join(path, "p=0"))
+        if f.endswith(".parquet")
+    }
+
+    # updates touch only p=1 (ids 1, 4 updated; id 301 new)
+    updates = spark.createDataFrame(
+        [(1, "1", "new"), (4, "1", "new"), (301, "1", "new")],
+        ["id", "p", "v"],
+    )
+    stats = upsert_partitioned(spark, path, updates, key="id", partition_col="p")
+    assert stats == {
+        "touched_partitions": 1,
+        "updated_or_new_rows": 3,
+        "kept_rows": 8,  # p=1 had ids 1,4,7,...,28 (10 rows); 2 replaced
+    }
+
+    after = spark.read.parquet(path)
+    assert after.count() == 31
+    got = {
+        r["id"]: r["v"] for r in after.filter(F.col("p") == "1").collect()
+    }
+    assert got[1] == "new" and got[4] == "new" and got[301] == "new"
+    assert got[7] == "old" and len(got) == 11
+
+    # untouched partition directory was not rewritten
+    now = {
+        f: os.path.getmtime(os.path.join(path, "p=0", f))
+        for f in os.listdir(os.path.join(path, "p=0"))
+        if f.endswith(".parquet")
+    }
+    assert now == untouched_files
