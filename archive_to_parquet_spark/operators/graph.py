@@ -1,0 +1,90 @@
+"""Graph analytics operators (beyond connected components, which lives
+in operators/dedup.py next to its near-dup use case).
+
+PageRank is the canonical iterative-shuffle workload: each round is one
+join (ranks → edges on src) and one aggregation (sum contributions on
+dst), both shuffling on node id. The loop is a driver ``for`` over a
+fixed iteration count — rank frames are localCheckpoint-ed per round so
+the plan stays one-round deep instead of growing O(iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_deg) over a directed edge list."""
+    return edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank by power iteration over a directed edge list; returns
+    (node, rank) for every node appearing as src or dst.
+
+    ``rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u)/out_deg(u)``
+
+    Every node must have at least one out-edge (no dangling-mass
+    redistribution — callers symmetrize undirected graphs, which
+    guarantees it); raises ValueError otherwise. A FIXED iteration
+    count (not a convergence test) keeps the computation a pure
+    deterministic function of the edge set — the property that lets a
+    SQL oracle replay it exactly.
+
+    Scale shape: per round, one join shuffling ranks on node id and one
+    map-side-combinable sum on dst. Edges and degrees are materialized
+    once (localCheckpoint) before the loop; ranks re-checkpoint per
+    round so lineage never grows. Hot sink nodes skew only the dst agg,
+    which partial aggregation absorbs; AQE splits a skewed rank join.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = out_degrees(e)
+    dangling = nodes.join(deg, "node", "left_anti").limit(1).count()
+    if dangling:
+        raise ValueError(
+            "pagerank requires every node to have an out-edge; "
+            "symmetrize the edge list or drop sink nodes first"
+        )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    contrib_edges = (
+        e.join(deg.withColumnRenamed("node", "src"), "src").localCheckpoint()
+    )
+    for _ in range(n_iter):
+        contribs = (
+            contrib_edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -3567,3 +3567,71 @@ _CATALOG.update(
         "mine_hard_negatives": (mine_hard_negatives, MINE_HARD_NEGATIVES_SQL),
     }
 )
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed power iterations, d=0.85) over the symmetrized
+    supplier↔part incidence graph from lineitem. Fixed iterations make
+    the result a pure function of the edge set — replayed exactly by
+    chained CTEs in the oracle. Top 30 by rank."""
+    from archive_to_parquet_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, n_iter=3, damping=0.85)
+    return (
+        pr.select("node", F.round("rank", 10).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(30)
+    )
+
+
+GRAPH_PAGERANK_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+  FROM lineitem
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), deg AS (
+  SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY 1
+), params AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes
+), r1 AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM params) + 0.85 * COALESCE(m.mass, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / d.out_deg) AS mass
+    FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON d.node = e.src
+    GROUP BY e.dst
+  ) m ON nd.node = m.node
+), r2 AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM params) + 0.85 * COALESCE(m.mass, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / d.out_deg) AS mass
+    FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON d.node = e.src
+    GROUP BY e.dst
+  ) m ON nd.node = m.node
+), r3 AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM params) + 0.85 * COALESCE(m.mass, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / d.out_deg) AS mass
+    FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON d.node = e.src
+    GROUP BY e.dst
+  ) m ON nd.node = m.node
+)
+SELECT node, round(rank, 10) AS rank
+FROM r3 ORDER BY rank DESC, node ASC LIMIT 30
+"""
+
+
+_CATALOG.update({"graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL)})

@@ -110,3 +110,39 @@ def test_hard_negatives_excludes_same_label(spark):
     got = hard_negatives(corpus, anchors, k=2, round_to=6).collect()
     assert [(r["neg_id"], r["rank"]) for r in got] == [(2, 1), (3, 2)]
     assert all(r["neg_id"] != 1 for r in got)
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from archive_to_parquet_spark.operators.graph import pagerank
+
+    # symmetrized 3-cycle: perfectly symmetric → every rank stays 1/3
+    e = [(a, b) for a, b in [(1, 2), (2, 3), (3, 1)]]
+    edges = spark.createDataFrame(e + [(b, a) for a, b in e], ["src", "dst"])
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in ranks.values())
+
+
+def test_pagerank_hub_ranks_highest_and_mass_conserved(spark):
+    from archive_to_parquet_spark.operators.graph import pagerank
+
+    # symmetrized star: hub 0 with leaves 1..4 — hub must dominate and,
+    # with no dangling nodes, total mass stays 1
+    e = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(e + [(i, 0) for i in range(1, 5)], ["src", "dst"])
+    rows = pagerank(edges, n_iter=10).collect()
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert max(ranks, key=ranks.get) == 0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # leaves are symmetric → identical ranks
+    leaf = [v for k, v in ranks.items() if k != 0]
+    assert max(leaf) - min(leaf) < 1e-12
+
+
+def test_pagerank_rejects_dangling_nodes(spark):
+    import pytest
+
+    from archive_to_parquet_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])  # 2 has no out
+    with pytest.raises(ValueError, match="out-edge"):
+        pagerank(edges, n_iter=1)
