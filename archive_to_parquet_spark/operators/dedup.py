@@ -1052,3 +1052,65 @@ def remove_boilerplate_lines(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
     )
+
+
+def hamming_near_duplicates(
+    df: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    num_tables: int = 4,
+    max_bucket_size: int | None = 100_000,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column (simhash,
+    perceptual image hash, audio fingerprint) — the pigeonhole
+    chunk-bucket design of ``simhash_near_duplicates`` generalized to a
+    precomputed signature: split the int64 into ``num_tables`` chunks
+    (any pair within ``max_hamming < num_tables`` bits collides on at
+    least one chunk — candidate generation is exact), bucket-join per
+    chunk, exact Hamming via bit_count(xor). Null signatures are
+    dropped. Returns (id_a, id_b, hamming:int)."""
+    assert 64 % num_tables == 0, "num_tables must divide 64"
+    chunk_bits = 64 // num_tables
+    mask = (1 << chunk_bits) - 1
+    sig = df.filter(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("s"),
+        *[
+            F.shiftrightunsigned(F.col(sig_col), t * chunk_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"c_{t}")
+            for t in range(num_tables)
+        ],
+    )
+    chunked = sig.select(
+        "id",
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"c_{t}").alias("chunk"))
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "s", "b.tbl", "b.chunk")
+    chunked = cap_hot_buckets(chunked, ["tbl", "chunk"], max_bucket_size, observation)
+    a, b = chunked.alias("a"), chunked.alias("b")
+    hamming = F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s")))
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

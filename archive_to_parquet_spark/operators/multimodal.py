@@ -554,3 +554,165 @@ def media_table_from_entries(entries: DataFrame) -> DataFrame:
         F.col("content").alias("data"),
         F.create_map(F.lit("path"), F.col("path")).alias("meta"),
     )
+
+
+# -- real pixel decode + perceptual hashing ------------------------------------
+#
+# PPM/PGM (P6/P5, binary) and uncompressed BMP (24/32 bpp) carry raw
+# pixels — decodable with numpy alone, no codec. Perceptual hashes over
+# those pixels are therefore REAL content features (unlike the
+# hash-derived stand-in feature vectors above); compressed formats
+# yield null and are the documented codec boundary.
+
+
+def decode_pixels(data: bytes):
+    """Grayscale float64 (H, W) pixel matrix for binary PPM (P6), PGM
+    (P5), or uncompressed 24/32-bpp BMP bytes; None for anything else.
+    """
+    import numpy as np
+
+    d = data or b""
+    if d[:2] in (b"P6", b"P5"):
+        # header: magic, width, height, maxval — whitespace/comment
+        # separated, then a single whitespace byte before raster
+        fields: list[bytes] = []
+        i = 2
+        while len(fields) < 3 and i < len(d):
+            while i < len(d) and d[i : i + 1].isspace():
+                i += 1
+            if d[i : i + 1] == b"#":
+                while i < len(d) and d[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(d) and not d[j : j + 1].isspace():
+                j += 1
+            fields.append(d[i:j])
+            i = j
+        i += 1  # the single whitespace after maxval
+        if len(fields) < 3:
+            return None
+        w, h, maxval = (int(x) for x in fields)
+        if maxval > 255:
+            return None  # 2-byte samples: out of scope
+        ch = 3 if d[:2] == b"P6" else 1
+        need = w * h * ch
+        raster = np.frombuffer(d, dtype=np.uint8, count=-1, offset=i)
+        if raster.size < need:
+            return None
+        raster = raster[:need].astype(np.float64)
+        if ch == 3:
+            rgb = raster.reshape(h, w, 3)
+            return rgb @ np.array([0.299, 0.587, 0.114])
+        return raster.reshape(h, w)
+    if d[:2] == b"BM" and len(d) >= 54:
+        off, = struct.unpack("<I", d[10:14])
+        w, h_signed, _planes, bpp, compression = struct.unpack(
+            "<iiHHI", d[18:34]
+        )
+        if compression != 0 or bpp not in (24, 32):
+            return None
+        h = abs(h_signed)
+        bytes_pp = bpp // 8
+        stride = (w * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+        if off + stride * h > len(d):
+            return None
+        rows = np.frombuffer(
+            d, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
+        px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp).astype(np.float64)
+        gray = px[:, :, :3] @ np.array([0.114, 0.587, 0.299])  # BGR order
+        if h_signed > 0:
+            gray = gray[::-1]  # bottom-up storage
+        return gray
+    return None
+
+
+def _grid_mean(gray, rows: int, cols: int):
+    """Box-average a (H, W) matrix down to (rows, cols) — deterministic,
+    pure numpy. Tiny images are nearest-neighbor upsampled first so
+    every box is non-empty."""
+    import numpy as np
+
+    h, w = gray.shape
+    if h < rows:
+        gray = np.repeat(gray, -(-rows // h), axis=0)
+        h = gray.shape[0]
+    if w < cols:
+        gray = np.repeat(gray, -(-cols // w), axis=1)
+        w = gray.shape[1]
+    rb = (np.arange(rows + 1) * h) // rows
+    cb = (np.arange(cols + 1) * w) // cols
+    csum = np.zeros((h + 1, w + 1))
+    csum[1:, 1:] = gray.cumsum(0).cumsum(1)
+    out = (
+        csum[rb[1:, None], cb[None, 1:]]
+        - csum[rb[:-1, None], cb[None, 1:]]
+        - csum[rb[1:, None], cb[None, :-1]]
+        + csum[rb[:-1, None], cb[None, :-1]]
+    )
+    area = (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :]
+    return out / area
+
+
+def _bits_to_int64(bits) -> int:
+    """Pack a flat boolean array (LSB first) into a signed int64."""
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def perceptual_hash(data: bytes, method: str = "ahash") -> int | None:
+    """64-bit perceptual hash of decodable image bytes (PPM/PGM/raw
+    BMP): 'ahash' thresholds an 8×8 box-mean against its mean; 'dhash'
+    compares horizontal neighbors on a 9×8 grid. None when the format
+    needs a codec."""
+    gray = decode_pixels(data)
+    if gray is None:
+        return None
+    if method == "ahash":
+        g = _grid_mean(gray, 8, 8)
+        return _bits_to_int64((g > g.mean()).ravel())
+    if method == "dhash":
+        g = _grid_mean(gray, 8, 9)
+        return _bits_to_int64((g[:, 1:] > g[:, :-1]).ravel())
+    raise ValueError(f"unknown perceptual hash method {method!r}")
+
+
+PHASH_DDL = "media_id long, width int, height int, phash long"
+
+
+def image_perceptual_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    method: str = "ahash",
+) -> DataFrame:
+    """(media_id, width, height, phash) via Arrow-batched mapInPandas —
+    real pixels for PPM/PGM/raw-BMP, null phash (and null dims) for
+    codec-requiring formats. Narrow op: no shuffle, bytes never leave
+    the partition."""
+    cols = media.select(
+        F.col(id_col).alias("media_id"), F.col(data_col).alias("data")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [], "phash": []}
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(data) if data is not None else b""
+                gray = decode_pixels(data)
+                out["media_id"].append(mid)
+                if gray is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["phash"].append(None)
+                else:
+                    out["width"].append(gray.shape[1])
+                    out["height"].append(gray.shape[0])
+                    out["phash"].append(perceptual_hash(data, method))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, schema=PHASH_DDL)
