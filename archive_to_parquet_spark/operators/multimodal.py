@@ -716,3 +716,103 @@ def image_perceptual_hashes(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, schema=PHASH_DDL)
+
+
+# -- real PCM decode + audio fingerprinting ------------------------------------
+
+
+def decode_pcm(data: bytes):
+    """(sample_rate, mono float64 sample array) for uncompressed PCM
+    RIFF/WAVE bytes (format tag 1, 8/16-bit); None otherwise. Multi-
+    channel audio is averaged to mono. numpy only — no codec."""
+    import numpy as np
+
+    d = data or b""
+    if len(d) < 36 or d[:4] != b"RIFF" or d[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = bits = fmt = None
+    raw = None
+    while i + 8 <= len(d):
+        cid = d[i : i + 4]
+        size = struct.unpack("<I", d[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(d):
+            fmt, channels, rate = struct.unpack("<HHI", d[i + 8 : i + 16])
+            bits = struct.unpack("<H", d[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            raw = d[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if fmt != 1 or not rate or not channels or bits not in (8, 16) or raw is None:
+        return None
+    if bits == 16:
+        samples = np.frombuffer(
+            raw[: len(raw) & ~1], dtype="<i2"
+        ).astype(np.float64) / 32768.0
+    else:
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    frames = samples.size // channels
+    if frames == 0:
+        return None
+    return rate, samples[: frames * channels].reshape(frames, channels).mean(axis=1)
+
+
+def audio_fingerprint64(data: bytes) -> int | None:
+    """64-bit energy-envelope fingerprint of PCM WAV bytes: RMS energy
+    over 64 equal time blocks, each bit = block energy above the median
+    — robust to gain changes (median threshold) and codec-free. None
+    for non-PCM input. Compose with dedup.hamming_near_duplicates for
+    bucketed audio near-dup."""
+    import numpy as np
+
+    decoded = decode_pcm(data)
+    if decoded is None:
+        return None
+    _rate, mono = decoded
+    n = mono.size
+    if n < 64:
+        mono = np.repeat(mono, -(-64 // n))
+        n = mono.size
+    bounds = (np.arange(65) * n) // 64
+    sq = np.zeros(n + 1)
+    sq[1:] = np.cumsum(mono * mono)
+    energy = (sq[bounds[1:]] - sq[bounds[:-1]]) / (bounds[1:] - bounds[:-1])
+    return _bits_to_int64(energy > np.median(energy))
+
+
+AUDIO_FP_DDL = "media_id long, sample_rate int, n_samples long, fingerprint long"
+
+
+def audio_fingerprints(
+    media: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """(media_id, sample_rate, n_samples, fingerprint) via Arrow-batched
+    mapInPandas — real PCM decode for uncompressed WAV, null row values
+    for codec-requiring formats. Narrow, shuffle-free stage."""
+    cols = media.select(
+        F.col(id_col).alias("media_id"), F.col(data_col).alias("data")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "sample_rate": [], "n_samples": [],
+                "fingerprint": [],
+            }
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(data) if data is not None else b""
+                decoded = decode_pcm(data)
+                out["media_id"].append(mid)
+                if decoded is None:
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["fingerprint"].append(None)
+                else:
+                    rate, mono = decoded
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(int(mono.size))
+                    out["fingerprint"].append(audio_fingerprint64(data))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(batches, AUDIO_FP_DDL)

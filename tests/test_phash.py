@@ -156,3 +156,66 @@ def test_hamming_near_duplicates_drops_nulls(spark):
     )
     pairs = hamming_near_duplicates(df, max_hamming=3).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 3, 1)]
+
+
+def make_wav(samples: np.ndarray, rate: int = 8000, bits: int = 16) -> bytes:
+    """PCM WAV from float samples in [-1, 1]."""
+    if bits == 16:
+        raw = (samples * 32767).astype("<i2").tobytes()
+    else:
+        raw = ((samples * 127) + 128).clip(0, 255).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * bits // 8, bits // 8, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_pcm_roundtrip_16_and_8_bit():
+    from archive_to_parquet_spark.operators.multimodal import decode_pcm
+
+    t = np.linspace(0, 1, 8000)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for bits in (16, 8):
+        rate, mono = decode_pcm(make_wav(sig, bits=bits))
+        assert rate == 8000 and mono.size == 8000
+        tol = 1e-3 if bits == 16 else 2e-2
+        assert np.abs(mono - sig).max() < tol
+
+
+def test_audio_fingerprint_similar_vs_different(spark):
+    from archive_to_parquet_spark.operators.dedup import hamming_near_duplicates
+    from archive_to_parquet_spark.operators.multimodal import (
+        audio_fingerprint64,
+        audio_fingerprints,
+    )
+
+    t = np.linspace(0, 1, 8000)
+    burst = (t > 0.5).astype(float) * np.sin(2 * np.pi * 200 * t)
+    quieter = 0.5 * burst  # gain change → same envelope shape
+    other = (np.sin(2 * np.pi * 3 * t) > 0).astype(float) * np.sin(
+        2 * np.pi * 200 * t
+    )
+    fp = lambda s: audio_fingerprint64(make_wav(s))  # noqa: E731
+    d_gain = bin((fp(burst) ^ fp(quieter)) & ((1 << 64) - 1)).count("1")
+    d_other = bin((fp(burst) ^ fp(other)) & ((1 << 64) - 1)).count("1")
+    assert d_gain <= 2
+    assert d_other > 10
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(make_wav(burst))),
+            (2, bytearray(make_wav(quieter))),
+            (3, bytearray(make_wav(other))),
+            (4, bytearray(b"fLaC" + b"\x00" * 40)),  # codec-gated → null
+        ],
+        ["media_id", "data"],
+    )
+    fps = audio_fingerprints(media)
+    rows = {r["media_id"]: r for r in fps.collect()}
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["n_samples"] == 8000
+    assert rows[4]["fingerprint"] is None
+
+    pairs = hamming_near_duplicates(
+        fps, id_col="media_id", sig_col="fingerprint", max_hamming=3
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
