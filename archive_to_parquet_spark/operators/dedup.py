@@ -144,34 +144,9 @@ def minhash_candidate_pairs(
     don't. At 100 TB, band-hash buckets are the unit of work; degenerate
     buckets are bounded by ``max_bucket_size`` (see cap_hot_buckets).
     """
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
-    rows_per_band = num_hashes // bands
-
-    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
-    sig = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n
-    ).withColumn("sig", F.array(*mh_cols))
-
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.col(mh_cols[b * rows_per_band + r])
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "sig", "band.band_idx", "band.band_hash")
+    banded = minhash_band_index(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
     banded = cap_hot_buckets(
         banded, ["band_idx", "band_hash"], max_bucket_size, observation
     )
@@ -1114,3 +1089,102 @@ def hamming_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistable LSH state for INCREMENTAL near-dup: one row per
+    (id, band_idx, band_hash) plus the full signature. Write it
+    ``bucketBy(band_hash)``-style (or hash-prefix partitioned) once;
+    every future ingest batch probes it without touching corpus text.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).withColumn(
+        "sig", F.array(*mh_cols)
+    )
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.col(mh_cols[b * rows_per_band + r])
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_idx", "band.band_hash")
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup: match an ingest batch against an existing
+    corpus WITHOUT re-reading corpus text.
+
+    Returns ``(pairs, new_index)``: ``pairs`` = (new_id, index_id,
+    est_jaccard ≥ threshold) from band collisions between the batch and
+    the index, Jaccard estimated from the stored signatures (corpus
+    text is never touched — only its index rows); ``new_index`` = the
+    batch's own band rows, for the caller to append (plus intra-batch
+    dedup via minhash_near_duplicates if desired).
+
+    Scale shape: the batch index is small (one ingest slice) → its band
+    rows broadcast against the persisted index's band buckets; with the
+    index stored bucketed on band_hash the probe is a local join per
+    bucket, shuffle-free. This is the 100 TB continuous-dedup loop:
+    probe + append, never recompute.
+    """
+    batch_index = minhash_band_index(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    a = batch_index.alias("a")
+    b = index.alias("b")
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("index_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["new_id", "index_id"])
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("new_id", "index_id", "est_jaccard")
+    )
+    return pairs, batch_index

@@ -2897,19 +2897,22 @@ def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_CLICK_PURCHASE_SQL = """
+-- join at MICROSECOND precision (the stream compares real
+-- timestamps); gap_sec floors each side to seconds, matching
+-- Spark's cast(timestamp as long)
 WITH b AS (
   SELECT event_id, user_id, event_type,
-         epoch_ns(ts) // 1000000000 AS ts_sec
+         epoch_ns(ts) // 1000 AS ts_us
   FROM events
 )
 SELECT c.event_id AS click_id,
        p.event_id AS purchase_id,
        c.user_id,
-       p.ts_sec - c.ts_sec AS gap_sec
+       (p.ts_us // 1000000) - (c.ts_us // 1000000) AS gap_sec
 FROM b c JOIN b p
   ON c.user_id = p.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
- AND p.ts_sec >= c.ts_sec AND p.ts_sec <= c.ts_sec + 3600
+ AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000
 """
 
 

@@ -18,7 +18,11 @@ def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     into a proper timestamp column ``event_time``."""
     col = F.col(ts_col)
     if dict(events.dtypes)[ts_col] in ("bigint", "long"):
-        col = F.timestamp_seconds(F.expr(f"{ts_col} div 1000000000"))
+        # keep microsecond precision (not timestamp_seconds of the
+        # floored div): interval-join boundaries must see the same
+        # instant the timestamp[us] layout produces, or a pair with a
+        # gap in (3600s, 3601s) flips vs the batch oracle
+        col = F.expr(f"timestamp_micros({ts_col} div 1000)")
     # Parquet timestamps without isAdjustedToUTC load as TIMESTAMP_NTZ,
     # which watermarks reject; session tz is pinned to UTC so this cast
     # relabels without changing wall-clock values.

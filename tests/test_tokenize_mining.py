@@ -146,3 +146,36 @@ def test_pagerank_rejects_dangling_nodes(spark):
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])  # 2 has no out
     with pytest.raises(ValueError, match="out-edge"):
         pagerank(edges, n_iter=1)
+
+
+def test_dedup_against_index_incremental(spark):
+    from archive_to_parquet_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_band_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text about spark physical plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    index = minhash_band_index(corpus)
+    batch = spark.createDataFrame(
+        [
+            # near-dup of doc 1 (one word changed)
+            (10, "the quick brown fox jumps over the lazy cat today"),
+            (11, "nothing like anything in the existing corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs, new_index = dedup_against_index(
+        batch, index, jaccard_threshold=0.3
+    )
+    got = [(r["new_id"], r["index_id"]) for r in pairs.collect()]
+    assert got == [(10, 1)]
+    # the returned batch index appends cleanly onto the existing one
+    assert new_index.columns == index.columns
+    merged = index.unionByName(new_index)
+    assert merged.select("id").distinct().count() == 4
