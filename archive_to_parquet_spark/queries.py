@@ -3638,3 +3638,74 @@ FROM r3 ORDER BY rank DESC, node ASC LIMIT 30
 
 
 _CATALOG.update({"graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL)})
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: odd doc_ids (the 'ingest batch') probe a
+    MinHash band index built from even doc_ids (the 'existing corpus'),
+    candidates confirmed by exact Jaccard — corpus text is only touched
+    for the confirmed candidates, never rescanned for banding. Same
+    recall-by-construction argument as dedup_minhash: every true pair
+    collides in ≥1 of the 8 bands on this corpus, so the output equals
+    the exact cross-partition Jaccard pair set the oracle computes."""
+    from archive_to_parquet_spark.operators.dedup import (
+        _exact_jaccard_on_pairs,
+        dedup_against_index,
+        minhash_band_index,
+        shingles_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = minhash_band_index(corpus)
+    candidates, _new_index = dedup_against_index(
+        batch, index, jaccard_threshold=0.0
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(shingles_col("text", 3)).alias("sh"),
+    )
+    pairs = candidates.select(
+        F.col("new_id").alias("id_a"), F.col("index_id").alias("id_b")
+    )
+    return (
+        _exact_jaccard_on_pairs(pairs, sh, 0.5)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("index_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(words) - 2, 1))]) AS grams
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), sizes AS (
+  SELECT doc_id, len(grams) AS n FROM sh
+), shared AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS index_id, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.g = b.g
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT new_id, index_id,
+       round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON new_id = sa.doc_id
+JOIN sizes sb ON index_id = sb.doc_id
+WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+"""
+
+
+_CATALOG.update({"dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL)})
