@@ -3709,3 +3709,119 @@ WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
 
 
 _CATALOG.update({"dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL)})
+
+
+def rel_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery over one partitioned window: rank,
+    dense_rank, percent_rank, cume_dist, ntile — one shuffle on the
+    partition key, single window pass."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+REL_RANK_FUNCS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       RANK()         OVER w AS rnk,
+       DENSE_RANK()   OVER w AS drnk,
+       round(PERCENT_RANK() OVER w, 6) AS prnk,
+       round(CUME_DIST()    OVER w, 6) AS cume,
+       NTILE(4)       OVER w AS quartile
+FROM orders
+WHERE o_orderstatus = 'F'
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def rel_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery: trunc, add, diff, last_day, parts,
+    quarter — all pure expressions over one scan."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.trunc(d.cast("date"), "month").alias("month_start"),
+        F.date_add(d.cast("date"), 30).alias("plus_30d"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+REL_DATETIME_FUNCS_SQL = """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       EXTRACT(quarter FROM o_orderdate) AS qtr,
+       EXTRACT(dayofweek FROM o_orderdate) + 1 AS dow,
+       EXTRACT(dayofyear FROM o_orderdate) AS doy,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+         AS days_to_2002
+FROM orders
+"""
+
+
+def sketch_mergeable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-sketch pattern end-to-end: per-source Datasketches
+    HLL sketches (hll_sketch_agg — a mergeable binary partial) are
+    UNIONED (hll_union_agg) into a global estimate without re-scanning
+    events, certified against the exact distinct count via the in-query
+    ``ok`` flag (HLL lgK=14 keeps relative error well under 5%). The
+    oracle computes only the exact side and asserts the flag."""
+    ev = _events(spark, sf_dir)
+    per_source = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = per_source.agg(
+        F.count("*").alias("n_sources"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return merged.join(exact).select(
+        "n_sources",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        )
+        .cast("int")
+        .alias("ok"),
+    )
+
+
+SKETCH_MERGEABLE_HLL_SQL = """
+SELECT (SELECT COUNT(DISTINCT event_type) FROM events) AS n_sources,
+       COUNT(DISTINCT user_id) AS exact_distinct,
+       1 AS ok
+FROM events
+"""
+
+
+_CATALOG.update(
+    {
+        "rel_rank_functions": (rel_rank_functions, REL_RANK_FUNCS_SQL),
+        "rel_datetime_funcs": (rel_datetime_funcs, REL_DATETIME_FUNCS_SQL),
+        "sketch_mergeable_hll": (sketch_mergeable_hll, SKETCH_MERGEABLE_HLL_SQL),
+    }
+)
