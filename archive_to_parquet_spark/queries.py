@@ -3825,3 +3825,40 @@ _CATALOG.update(
         "sketch_mergeable_hll": (sketch_mergeable_hll, SKETCH_MERGEABLE_HLL_SQL),
     }
 )
+
+
+def rel_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, the average order value over
+    the trailing 30 days (inclusive) of each order — a value-range
+    frame, not a row-count frame; one shuffle on the partition key."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.unix_seconds(F.col("o_orderdate").cast("timestamp")) / 86400
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+        F.count("*").over(w).alias("n_in_window"),
+    )
+
+
+REL_TRAILING_WINDOW_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(SUM(o_totalprice) OVER w, 2) AS sum_30d,
+       COUNT(*) OVER w AS n_in_window
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(epoch(o_orderdate) // 86400 AS BIGINT)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
+_CATALOG.update(
+    {"rel_trailing_window_avg": (rel_trailing_window_avg, REL_TRAILING_WINDOW_SQL)}
+)
