@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for round-2 operators: BPE pair
+counts vs a pure-Python reference, and Hamming near-dup vs brute force.
+Spark jobs are slow per example, so example counts stay small; the
+point is adversarial inputs (unicode, 1-char words, signature bit
+patterns), not volume."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x2FF
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _ref_pair_counts(docs: list[str]) -> dict[str, int]:
+    freq = Counter(w for d in docs for w in d.lower().split())
+    out: Counter[str] = Counter()
+    for word, f in freq.items():
+        for i in range(len(word) - 1):
+            out[word[i : i + 2]] += f
+    return dict(out)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=_words)
+def test_bpe_pair_counts_matches_python_reference(spark, words):
+    from archive_to_parquet_spark.operators.tokenize import bpe_pair_counts
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {r["pair"]: r["count"] for r in bpe_pair_counts(df, "text").collect()}
+    assert got == _ref_pair_counts([text])
+
+
+_sigs = st.lists(
+    st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    min_size=2,
+    max_size=12,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sigs=_sigs, max_hamming=st.integers(min_value=0, max_value=3))
+def test_hamming_near_duplicates_matches_brute_force(spark, sigs, max_hamming):
+    from archive_to_parquet_spark.operators.dedup import hamming_near_duplicates
+
+    rows = list(enumerate(sigs))
+    df = spark.createDataFrame(rows, ["id", "sig"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_duplicates(df, max_hamming=max_hamming).collect()
+    }
+    mask = (1 << 64) - 1
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                h = bin((a ^ b) & mask).count("1")
+                if h <= max_hamming:
+                    want[(i, j)] = h
+    # pigeonhole guarantee: max_hamming < num_tables(4) → exact recall
+    assert got == want
+
+
+def test_spark_entry_contract(spark):
+    """Driver contract smoke: entry() runs, queries()/oracle_sql() keys
+    line up, and the flagship result has rows with a stable schema."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 100
+    assert not (set(qs) - set(oracles)), "every query must carry an oracle"
+    df = mod.entry(spark)
+    assert df.columns == ["source", "n_unique", "total_bytes"]
+    assert df.count() > 0
