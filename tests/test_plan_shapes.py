@@ -142,3 +142,32 @@ def test_tpch_q21_single_shuffle_conditional_agg(spark):
     # exists/not-exists expressed as ONE aggregation over orders: no
     # self-join of orders anywhere in the plan
     assert plan.count("Scan parquet") == 2  # orders + customer, once each
+
+
+def test_catalog_plan_hygiene(spark):
+    """Whole-catalog physical-plan audit: no non-streaming catalog query
+    may plan a cartesian product, a row-at-a-time or Arrow Python eval
+    node (the catalog is 100% JVM expressions), or a cached scan.
+    Single-partition exchanges are allowed only because they are 1-row
+    scalar broadcasts / final agg merges — windows over data stay
+    partitioned, which the dedicated window tests pin."""
+    from archive_to_parquet_spark import queries as q
+
+    offenders = {}
+    for name, fn in q.queries().items():
+        if name.startswith("stream_"):
+            continue  # streaming queries execute on construction
+        plan = _plan(fn(spark, SF_DIR))
+        flags = [
+            flag
+            for flag, marker in (
+                ("cartesian", "CartesianProduct"),
+                ("py-row", "BatchEvalPython"),
+                ("py-arrow", "ArrowEvalPython"),
+                ("cached", "InMemoryTableScan"),
+            )
+            if marker in plan
+        ]
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
