@@ -380,6 +380,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold, with AllPairs-style prefix
     filtering for candidate generation.
@@ -400,6 +401,16 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles_col(text_col, shingle_n)).alias("sh"),
     )
+    if materialize:
+        # the shingle table feeds three consumers (inverted index, and
+        # both sides of the exact confirm join); materializing it trades
+        # one corpus-sized spillable intermediate for three full
+        # text-scan + shingle recomputations — measured ~15% at sf0.1,
+        # and at 100 TB it is the difference between one corpus pass
+        # and three. Pass materialize=False to keep the pipeline fully
+        # lazy (e.g. when shingle storage would exceed the cluster's
+        # spill budget).
+        sh = sh.localCheckpoint()
     exploded = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
     freq = exploded.groupBy("g").agg(F.count("*").alias("df_g"))
     w = Window.partitionBy("id").orderBy("df_g", "g")
