@@ -214,3 +214,30 @@ def global_shuffle_rank(
         )
         .drop("__h", "__pid", "__rn", "__off")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    source_col: str = "source",
+    key: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Apply per-source sampling rates (a (source, rate) table — e.g.
+    derived from temperature-scaled mixture weights) as a deterministic
+    hash-Bernoulli filter: the materialized epoch's source mix follows
+    the target weights, membership is re-derivable on any engine, and
+    the rates table broadcasts — the corpus is filtered in one narrow
+    pass with no shuffle.
+
+    Rates are rounded to 6dp before thresholding so both engines
+    quantize identically; rate ≥ 1 keeps every row.
+    """
+    r = F.round(F.col("rate"), 6)
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(r * F.lit(float(2**32))).cast("long"))), 8, "0"
+    )
+    keep = (r >= 1.0) | (uniform_hex_col(key, seed) < thr)
+    return df.join(
+        F.broadcast(rates.select(source_col, "rate")), source_col
+    ).filter(keep)

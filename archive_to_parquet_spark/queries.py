@@ -3862,3 +3862,129 @@ WINDOW w AS (PARTITION BY o_custkey
 _CATALOG.update(
     {"rel_trailing_window_avg": (rel_trailing_window_avg, REL_TRAILING_WINDOW_SQL)}
 )
+
+
+def mixture_sample_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a training epoch honoring temperature-scaled mixture
+    weights: per-source rates = weight·budget / source_tokens (capped
+    at 1), applied as a deterministic md5-hash Bernoulli per doc — the
+    same doc set on every run and engine. One corpus agg for the
+    weights, one broadcast join + narrow filter for the epoch. Emits
+    the per-source sample audit."""
+    from archive_to_parquet_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    budget = 200_000.0
+    s = docs.groupBy("source").agg(
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+")))
+        .cast("double")
+        .alias("n_tokens")
+    )
+    z = s.select(F.sqrt("n_tokens").alias("pa")).agg(F.sum("pa").alias("z"))
+    rates = (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.sqrt("n_tokens") / F.col("z")) * budget / F.col("n_tokens"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+    kept = mixture_sample(docs, rates, "source", "doc_id", seed="mix")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+")))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+MIXTURE_SAMPLE_SQL = r"""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS DOUBLE) AS n_tokens
+  FROM documents GROUP BY 1
+), z AS (
+  SELECT SUM(sqrt(n_tokens)) AS z FROM s
+), rates AS (
+  SELECT source,
+         round(least(1.0, (sqrt(n_tokens) / (SELECT z FROM z))
+                          * 200000.0 / n_tokens), 6) AS rate
+  FROM s
+), kept AS (
+  SELECT d.source, d.text
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE r.rate >= 1.0
+     OR substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens_kept
+FROM kept GROUP BY source
+"""
+
+
+def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands / SCD-2 interval construction: per user, runs of
+    consecutive equal event_type collapse to (valid_from, valid_to,
+    n_events) rows. lag → change flag → conditional cumsum island id →
+    group — one shuffle on user_id, the canonical change-capture
+    transformation."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    changed = (
+        (F.lag("event_type").over(w).isNull())
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    islands = ev.select(
+        "user_id", "event_type", "ts_sec", "event_id", changed.alias("chg")
+    ).withColumn("island", F.sum("chg").over(w))
+    return islands.groupBy("user_id", "island").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts_sec").alias("valid_from_sec"),
+        F.max("ts_sec").alias("valid_to_sec"),
+        F.count("*").alias("n_events"),
+    ).select(
+        "user_id", "island", "event_type",
+        "valid_from_sec", "valid_to_sec", "n_events",
+    )
+
+
+REL_SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         epoch_ns(ts) // 1000000000 AS ts_sec
+  FROM events
+), flagged AS (
+  SELECT user_id, event_type, ts_sec, event_id,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+), islands AS (
+  SELECT user_id, event_type, ts_sec,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS island
+  FROM flagged
+)
+SELECT user_id, island, event_type,
+       MIN(ts_sec) AS valid_from_sec,
+       MAX(ts_sec) AS valid_to_sec,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY 1, 2, 3
+"""
+
+
+_CATALOG.update(
+    {
+        "mixture_sample_epoch": (mixture_sample_epoch, MIXTURE_SAMPLE_SQL),
+        "rel_scd2_intervals": (rel_scd2_intervals, REL_SCD2_SQL),
+    }
+)

@@ -57,6 +57,13 @@ HEADLINE = [
     "vocab_coverage",
     "filter_quantile_bands",
     "web_domain_stats",
+    # round-2 continuation operators
+    "graph_pagerank",
+    "dedup_incremental",
+    "mixture_sample_epoch",
+    "bpe_top_pairs",
+    "mine_hard_negatives",
+    "rel_scd2_intervals",
 ]
 
 # TPC-H-pattern suite, timed separately so `value` (headline total)
