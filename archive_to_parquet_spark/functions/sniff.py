@@ -95,6 +95,8 @@ def detect_format(peek: bytes, compression: str | None = None) -> str:
         return "ar"
     if peek[:6] in (b"070701", b"070702"):
         return "cpio"
+    if peek[:5] == b"WARC/":
+        return "warc"
     # leaf-labeled container kinds: decodable only with external codec
     # libraries, so they are classified (for routing/inventory) but
     # emitted as opaque leaves, never recursed

@@ -206,6 +206,85 @@ def _hashed_copy(stream) -> tuple[bytes, bytes, int]:
     return b"".join(chunks), hasher.digest(), total
 
 
+# -- WARC record machinery -----------------------------------------------------
+
+
+def _read_crlf_line(stream, limit: int = 64 * 1024) -> bytes | None:
+    """Read one LF-terminated line byte-at-a-time (the stream is
+    sequential; no readline on the decoder adapters). None on EOF at
+    line start; a line longer than ``limit`` aborts (malformed input)."""
+    out = bytearray()
+    while len(out) < limit:
+        b = stream.read(1)
+        if not b:
+            return bytes(out) if out else None
+        out += b
+        if b == b"\n":
+            return bytes(out)
+    return None
+
+
+def _read_mime_headers(stream) -> dict[str, str] | None:
+    """Read CRLF-separated ``Name: value`` headers up to the blank line.
+    Keys are lower-cased; continuation lines and malformed lines are
+    skipped. None if EOF hits before the blank line."""
+    headers: dict[str, str] = {}
+    while True:
+        line = _read_crlf_line(stream)
+        if line is None:
+            return None
+        line = line.rstrip(b"\r\n")
+        if line == b"":
+            return headers
+        name, sep, value = line.partition(b":")
+        if sep:
+            headers[name.strip().lower().decode("latin-1")] = (
+                value.strip().decode("latin-1", "replace")
+            )
+
+
+def _http_body(message: bytes) -> bytes:
+    """Strip the HTTP response header block from a captured message and
+    return the entity body, decoding chunked transfer-encoding when
+    declared. On any parse failure the raw remainder (or the full
+    message) is returned — truncated/odd captures degrade to bytes, not
+    errors (infallable-copy spirit)."""
+    sep = message.find(b"\r\n\r\n")
+    sep_len = 4
+    if sep < 0:
+        sep = message.find(b"\n\n")
+        sep_len = 2
+    if sep < 0:
+        return message
+    head, body = message[:sep], message[sep + sep_len :]
+    if b"chunked" not in head.lower():
+        return body
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\n", pos)
+        if nl < 0:
+            return bytes(out) if out else body
+        size_token = body[pos:nl].strip().split(b";")[0]
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return bytes(out) if out else body
+        if size == 0:
+            return bytes(out)
+        chunk = body[nl + 1 : nl + 1 + size]
+        if len(chunk) < size:
+            out += chunk  # truncated final chunk: keep what we have
+            return bytes(out)
+        out += chunk
+        pos = nl + 1 + size
+        # chunk data is followed by CRLF
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+
+
 # -- streaming-zip machinery ---------------------------------------------------
 
 
@@ -422,6 +501,7 @@ class Walker:
         "zip": "_walk_zip",
         "ar": "_walk_ar",
         "cpio": "_walk_cpio",
+        "warc": "_walk_warc",
     }
 
     def walk(self, name: str, stream, declared_size: int) -> Iterator[EntryRow]:
@@ -575,6 +655,59 @@ class Walker:
                 yield from self.walk(name, body, filesize)
             body.drain()
             _read_exact(stream, (-filesize) % 4)
+
+    def _walk_warc(self, stream) -> Iterator[EntryRow]:
+        """Streaming WARC walk (ISO 28500 — Common Crawl's capture
+        format) — beyond-reference format, the canonical source for
+        web-scale training corpora. Sequential record parse: a
+        ``WARC/x.y`` version line, CRLF-terminated headers, a payload of
+        exactly ``Content-Length`` bytes, then a blank-line separator.
+        A ``.warc.gz`` with one gzip member per record (the Common
+        Crawl layout) decodes transparently — Python's gzip reader
+        walks concatenated members, mirroring the multi-stream xz
+        contract above.
+
+        Record selection mirrors the tar skip-predicate: ``response``,
+        ``resource`` and ``conversion`` records are walked (named by
+        WARC-Target-URI); ``warcinfo``/``request``/``metadata``/
+        ``continuation`` records are skipped. For response records the
+        stored HTTP message's header block is stripped (with chunked
+        transfer-encoding decoded) so the emitted content is the actual
+        captured body; the payload is recursed through ``walk`` so an
+        archive body (e.g. a .tar.gz download) expands in place. A
+        malformed version line or header block stops the walk silently
+        (stop-at-first-bad-entry contract, tarfile.rs:23)."""
+        n_records = 0
+        while True:
+            # version line, tolerating blank separator lines before it
+            line = _read_crlf_line(stream)
+            while line is not None and line.strip(b"\r\n") == b"":
+                line = _read_crlf_line(stream)
+            if line is None or not line.startswith(b"WARC/"):
+                return
+            headers = _read_mime_headers(stream)
+            if headers is None:
+                return
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                return
+            payload = _read_exact(stream, length)
+            if len(payload) < length:
+                return  # truncated record: stop silently
+            n_records += 1
+            rec_type = headers.get("warc-type", "").lower()
+            if rec_type not in ("response", "resource", "conversion"):
+                continue
+            name = headers.get("warc-target-uri") or headers.get(
+                "warc-record-id", f"record-{n_records}"
+            )
+            name = name.strip("<>")
+            if rec_type == "response" and payload[:5] == b"HTTP/":
+                payload = _http_body(payload)
+            if not payload:
+                continue  # empty-member skip predicate
+            yield from self.walk(name, io.BytesIO(payload), len(payload))
 
     def _walk_zip(self, stream) -> Iterator[EntryRow]:
         """TRUE streaming zip walk: sequential local-file-header parse

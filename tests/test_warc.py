@@ -1,0 +1,170 @@
+"""WARC walker (ISO 28500 / Common Crawl layout) — beyond-reference
+container format. Pure Python, no Spark session needed.
+
+Covers: record selection (response/resource/conversion walked,
+warcinfo/request/metadata skipped), HTTP header stripping, chunked
+transfer-encoding decode, per-record-gzip (.warc.gz) multi-member
+decode, nested-archive recursion through a response body, and the
+stop-at-first-bad-entry truncation contract.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+from archive_to_parquet_spark.options import ConvertOptions
+from archive_to_parquet_spark.sources.walker import (
+    _http_body,
+    walk_stream,
+)
+from tests.conftest import tar_archive
+
+
+def _walk_bytes(source: str, data: bytes, options: ConvertOptions | None = None):
+    return list(walk_stream(source, io.BytesIO(data), len(data), options))
+
+
+def warc_record(
+    rec_type: str,
+    payload: bytes,
+    uri: str | None = None,
+    extra: dict[str, str] | None = None,
+) -> bytes:
+    headers = {
+        "WARC-Type": rec_type,
+        "WARC-Record-ID": f"<urn:uuid:{rec_type}-{len(payload)}>",
+        "WARC-Date": "2026-01-01T00:00:00Z",
+        "Content-Length": str(len(payload)),
+    }
+    if uri is not None:
+        headers["WARC-Target-URI"] = uri
+    headers.update(extra or {})
+    head = "".join(f"{k}: {v}\r\n" for k, v in headers.items())
+    return b"WARC/1.0\r\n" + head.encode() + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def http_response(body: bytes, chunked: bool = False) -> bytes:
+    if chunked:
+        mid = len(body) // 2
+        chunks = b""
+        for part in (body[:mid], body[mid:]):
+            if part:
+                chunks += f"{len(part):x}\r\n".encode() + part + b"\r\n"
+        chunks += b"0\r\n\r\n"
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunks
+        )
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+
+
+def test_warc_selects_and_strips_http():
+    body_a = b"<html>page a</html>"
+    body_b = b"plain resource text"
+    data = (
+        warc_record("warcinfo", b"software: test\r\n")
+        + warc_record(
+            "request",
+            b"GET / HTTP/1.1\r\nHost: a.example\r\n\r\n",
+            uri="http://a.example/",
+        )
+        + warc_record(
+            "response", http_response(body_a), uri="http://a.example/"
+        )
+        + warc_record(
+            "metadata", b"fetchTimeMs: 10\r\n", uri="http://a.example/"
+        )
+        + warc_record("resource", body_b, uri="http://b.example/raw.txt")
+    )
+    rows = _walk_bytes("crawl.warc", data)
+    assert [(r.path, r.content) for r in rows] == [
+        ("http://a.example/", body_a),
+        ("http://b.example/raw.txt", body_b),
+    ]
+
+
+def test_warc_chunked_transfer_encoding_decoded():
+    body = b"0123456789abcdef" * 10
+    data = warc_record(
+        "response", http_response(body, chunked=True), uri="http://c.example/"
+    )
+    rows = _walk_bytes("crawl.warc", data)
+    assert [(r.path, r.content) for r in rows] == [("http://c.example/", body)]
+
+
+def test_warc_gz_per_record_members():
+    # Common Crawl layout: each record its own gzip member, concatenated
+    body = b"<html>compressed</html>"
+    rec1 = gzip.compress(warc_record("warcinfo", b"x: y\r\n"))
+    rec2 = gzip.compress(
+        warc_record("response", http_response(body), uri="http://d.example/")
+    )
+    rows = _walk_bytes("crawl.warc.gz", rec1 + rec2)
+    assert [(r.path, r.content) for r in rows] == [("http://d.example/", body)]
+
+
+def test_warc_response_body_recurses_into_archive():
+    inner = tar_archive({"lib/readme.txt": b"tarred contents"})
+    data = warc_record(
+        "response",
+        http_response(inner),
+        uri="http://e.example/pkg.tar",
+    )
+    rows = _walk_bytes("crawl.warc", data)
+    assert [(r.path, r.content) for r in rows] == [
+        ("http://e.example/pkg.tar/lib/readme.txt", b"tarred contents")
+    ]
+    assert rows[0].source == "crawl.warc"
+
+
+def test_warc_truncated_record_stops_silently():
+    body = b"<html>whole</html>"
+    good = warc_record("response", http_response(body), uri="http://f.example/")
+    bad = warc_record(
+        "response", http_response(b"never finishes"), uri="http://g.example/"
+    )[:-20]
+    rows = _walk_bytes("crawl.warc", good + bad)
+    assert [(r.path, r.content) for r in rows] == [("http://f.example/", body)]
+
+
+def test_warc_record_without_uri_named_by_record_id():
+    data = warc_record("conversion", b"extracted text")
+    rows = _walk_bytes("crawl.warc", data)
+    assert len(rows) == 1
+    assert rows[0].path.startswith("urn:uuid:conversion-")
+
+
+def test_http_body_edge_cases():
+    # no header separator at all → raw message back
+    assert _http_body(b"HTTP/1.1 200 OK") == b"HTTP/1.1 200 OK"
+    # LF-only separator tolerated
+    assert _http_body(b"HTTP/1.0 200 OK\nX: y\n\nbody") == b"body"
+    # malformed chunk size → raw remainder preserved
+    raw = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\njunk"
+    assert _http_body(raw) == b"ZZZ\r\njunk"
+
+
+def test_warc_gz_through_spark_convert(spark, tmp_path):
+    """Full pipeline: .warc.gz input → entries DataFrame → parquet."""
+    import pyarrow.parquet as pq
+
+    from archive_to_parquet_spark.plans.convert import convert
+
+    body = b"<html>spark-side page</html>"
+    data = gzip.compress(warc_record("warcinfo", b"x: y\r\n")) + gzip.compress(
+        warc_record("response", http_response(body), uri="http://s.example/page")
+    )
+    src = tmp_path / "crawl.warc.gz"
+    src.write_bytes(data)
+    out = str(tmp_path / "out.parquet")
+    counters = convert(spark, [str(src)], out, ConvertOptions())
+    table = pq.read_table(out)
+    assert counters.output_rows == table.num_rows == 1
+    row = table.to_pylist()[0]
+    assert row["path"] == "http://s.example/page"
+    assert row["content"] == body
+    assert row["size"] == len(body)
