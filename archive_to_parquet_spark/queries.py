@@ -3988,3 +3988,43 @@ _CATALOG.update(
         "rel_scd2_intervals": (rel_scd2_intervals, REL_SCD2_SQL),
     }
 )
+
+
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed frequent-items sketch (Misra-Gries partials merged by
+    a plain sum — operators/sketches.py) certifying the exact heavy
+    hitters: tokens with count·100 > N. The semi-join against the
+    candidate set means a guarantee violation would drop rows vs the
+    exact-side oracle; with k=300 the MG error bound N/301 sits well
+    under the N/100 threshold."""
+    from archive_to_parquet_spark.operators.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    return heavy_hitters(tokens, "token", threshold_denom=100).select(
+        F.col("item").alias("token"), "cnt"
+    )
+
+
+SKETCH_HEAVY_HITTERS_SQL = r"""
+WITH t AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), tok AS (
+  SELECT token FROM t WHERE token IS NOT NULL AND length(token) > 0
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+), s AS (
+  SELECT SUM(cnt) AS total FROM c
+)
+SELECT token, cnt FROM c, s WHERE cnt * 100 > total
+"""
+
+
+_CATALOG.update(
+    {
+        "sketch_heavy_hitters": (sketch_heavy_hitters, SKETCH_HEAVY_HITTERS_SQL),
+    }
+)

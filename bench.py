@@ -66,6 +66,27 @@ HEADLINE = [
     "rel_scd2_intervals",
 ]
 
+# The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):
+# its subtotal is reported as `r1_subset_total` so round-over-round
+# comparison isn't distorted by the battery growing.
+_R1_SUBSET = [
+    "q1_projection_hash",
+    "q4_dedup_hash_groups",
+    "q6_union_group",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_window_top3_per_cust",
+    "rel_events_hourly",
+    "rel_sessionize",
+    "dedup_exact_docs",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "text_lang_id",
+    "ann_cosine_topk",
+    "rel_asof_click_before_purchase",
+]
+
 # TPC-H-pattern suite, timed separately so `value` (headline total)
 # stays comparable round-over-round.
 TPCH = [
@@ -187,6 +208,9 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "r1_subset_total": round(
+                    sum(per_query[n] for n in _R1_SUBSET if n in per_query), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "tpch": {"total": round(sum(tpch.values()), 3), **tpch},
                 "ingest": ingest,
