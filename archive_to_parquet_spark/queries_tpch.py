@@ -5,12 +5,18 @@ commit/receipt dates, single-word p_type), so these implement the
 *query patterns* of the classic suite — the plan shapes a warehouse
 engine must get right — against the columns that exist:
 
+- Q1  pricing summary     : full-scan rollup, 8 map-side aggregates
+- Q2  min-cost supplier   : per-group-min join-back over a dim chain
 - Q3  shipping priority   : selective dim filter → big-big join → top-k
+- Q4  priority checking   : EXISTS semi join with non-equi residual
+- Q5  local supplier vol  : residual equality BETWEEN two dim chains
 - Q6  forecast revenue    : pure scan-filter-agg (pushdown showcase)
 - Q7  volume shipping     : two independent dim lookups on one fact row
 - Q8  market share        : conditional share-of-total by year
+- Q9  product type profit : broadcast part/supp chains, year rollup
 - Q10 returned items      : filtered fact → customer rollup → top-k
 - Q11 important balances  : group agg vs scalar-subquery global total
+- Q12 priority split      : CASE two-way counts per category
 - Q13 cust distribution   : outer join → two-level aggregation
 - Q14 promo revenue       : conditional numerator over joined dim
 - Q15 top supplier        : agg → max-equality scalar subquery
@@ -674,8 +680,315 @@ GROUP BY 1
 """
 
 
+# -- Q1: pricing summary -------------------------------------------------------
+
+
+def tpch_q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic full-scan rollup: one shipdate predicate pushed to the
+    scan, eight map-side-combinable aggregates, a 6-row result. The
+    whole query is one stage + one tiny exchange on the 2-column key."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
+                "sum_charge"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+TPCH_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(AVG(l_quantity), 6) AS avg_qty,
+       round(AVG(l_extendedprice), 6) AS avg_price,
+       round(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- Q2: minimum-cost supplier ------------------------------------------------
+
+
+def tpch_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group-minimum join-back (the testdata has no partsupp, so the
+    'offer' relation is lineitem's observed (part, supplier, price)
+    rows): filtered parts broadcast against lineitem, min price per
+    part, equality join-back keeps every tied winner, then broadcast
+    supplier→nation→region chain restricted to EUROPE. Two shuffles
+    total (the min agg and its join-back on partkey)."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 10)
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name"))
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "s_acctbal", "n_name",
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+    min_price = offers.groupBy(F.col("p_partkey").alias("mp_partkey")).agg(
+        F.min("price").alias("min_price")
+    )
+    return (
+        offers.join(
+            min_price,
+            (F.col("p_partkey") == F.col("mp_partkey"))
+            & (F.col("price") == F.col("min_price")),
+        )
+        .select(
+            "p_partkey", "p_name", "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "n_name",
+            F.round("min_price", 2).alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+TPCH_Q02_SQL = """
+WITH offers AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+         l_extendedprice AS price
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_type = 'ECONOMY' AND p_size < 10 AND r_name = 'EUROPE'
+)
+SELECT DISTINCT p_partkey, p_name, s_name,
+       round(s_acctbal, 2) AS s_acctbal, n_name,
+       round(price, 2) AS min_price
+FROM offers o
+WHERE price = (SELECT MIN(price) FROM offers m
+               WHERE m.p_partkey = o.p_partkey)
+"""
+
+
+# -- Q4: order priority checking ----------------------------------------------
+
+
+def tpch_q04_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join with a non-equi residual (the testdata
+    has no commit/receipt dates, so 'late' = shipped more than 60 days
+    after ordering). Orders' date window is pushed to the scan; the
+    semi join shuffles on orderkey and keeps no lineitem columns."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+TPCH_Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# -- Q5: local supplier volume -------------------------------------------------
+
+
+def tpch_q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue where the customer and the line's supplier share a
+    nation, per ASIA nation for one year. The distinguishing feature is
+    the residual equality BETWEEN two dimension chains
+    (c_nationkey = s_nationkey) on top of the fact joins: customer and
+    supplier both resolve via broadcast, orders⨝lineitem is the one
+    big-big shuffle, and the nation equality is applied as a post-join
+    filter on broadcast-resolved columns."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+TPCH_Q05_SQL = """
+SELECT n_name, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# -- Q9: product type profit ---------------------------------------------------
+
+
+def tpch_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and order year for a name-filtered part
+    family (no partsupp → profit is discounted revenue). Part filter
+    and the supplier→nation chain broadcast against lineitem; the only
+    big-big shuffle is lineitem⨝orders for the year column."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("sum_profit"))
+    )
+
+
+TPCH_Q09_SQL = """
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+# -- Q12: shipping-priority split ----------------------------------------------
+
+
+def tpch_q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional two-way counts per category (the testdata has no
+    l_shipmode, so the category is l_returnflag): a date-windowed fact
+    scan joined to orders, with CASE aggregation splitting critical
+    (URGENT/HIGH) from other priorities. One shuffle on orderkey, one
+    tiny agg exchange."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
 CATALOG: dict[str, tuple] = {
+    "tpch_q01_pricing_summary": (tpch_q01_pricing_summary, TPCH_Q01_SQL),
+    "tpch_q02_min_cost_supplier": (tpch_q02_min_cost_supplier, TPCH_Q02_SQL),
     "tpch_q03_shipping_priority": (tpch_q03_shipping_priority, TPCH_Q03_SQL),
+    "tpch_q04_priority_checking": (tpch_q04_priority_checking, TPCH_Q04_SQL),
+    "tpch_q05_local_supplier_volume": (
+        tpch_q05_local_supplier_volume,
+        TPCH_Q05_SQL,
+    ),
+    "tpch_q09_product_profit": (tpch_q09_product_profit, TPCH_Q09_SQL),
+    "tpch_q12_priority_split": (tpch_q12_priority_split, TPCH_Q12_SQL),
     "tpch_q06_forecast_revenue": (tpch_q06_forecast_revenue, TPCH_Q06_SQL),
     "tpch_q07_volume_shipping": (tpch_q07_volume_shipping, TPCH_Q07_SQL),
     "tpch_q08_market_share": (tpch_q08_market_share, TPCH_Q08_SQL),

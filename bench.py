@@ -90,7 +90,13 @@ _R1_SUBSET = [
 # TPC-H-pattern suite, timed separately so `value` (headline total)
 # stays comparable round-over-round.
 TPCH = [
+    "tpch_q01_pricing_summary",
+    "tpch_q02_min_cost_supplier",
     "tpch_q03_shipping_priority",
+    "tpch_q04_priority_checking",
+    "tpch_q05_local_supplier_volume",
+    "tpch_q09_product_profit",
+    "tpch_q12_priority_split",
     "tpch_q06_forecast_revenue",
     "tpch_q07_volume_shipping",
     "tpch_q08_market_share",

@@ -171,3 +171,40 @@ def test_catalog_plan_hygiene(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_tpch_q01_scan_rollup_shape(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["tpch_q01_pricing_summary"](spark, SF_DIR))
+    # shipdate predicate pushed to the parquet scan; partial+final
+    # HashAggregate with exactly one (tiny) exchange on the group key
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q05_broadcasts_all_dims(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["tpch_q05_local_supplier_volume"](spark, SF_DIR))
+    # customer, supplier and nation chains all broadcast — the only
+    # SortMergeJoin/shuffled join allowed is lineitem ⨝ orders
+    assert plan.count("BroadcastHashJoin") >= 3
+    shuffled_joins = plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert shuffled_joins <= 1
+
+
+def test_tpch_q02_min_joinback_keeps_ties(spark):
+    from archive_to_parquet_spark import queries as q
+
+    df = q.queries()["tpch_q02_min_cost_supplier"](spark, SF_DIR)
+    rows = df.collect()
+    # every emitted offer is its part's minimum price (join-back
+    # correctness) and tied winners are all kept
+    by_part: dict[int, set[float]] = {}
+    for r in rows:
+        by_part.setdefault(r["p_partkey"], set()).add(r["min_price"])
+    assert all(len(v) == 1 for v in by_part.values())
