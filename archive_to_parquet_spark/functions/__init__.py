@@ -6,6 +6,11 @@ run only inside the Arrow-batched ingest walker.
 """
 
 from archive_to_parquet_spark.functions.hashing import sha256_col, sha256_hex_col
+from archive_to_parquet_spark.functions.html import (
+    html_links,
+    html_title,
+    html_to_text,
+)
 from archive_to_parquet_spark.functions.sniff import (
     detect_compression,
     detect_format,
@@ -27,6 +32,9 @@ from archive_to_parquet_spark.functions.vectors import (
 )
 
 __all__ = [
+    "html_links",
+    "html_title",
+    "html_to_text",
     "sha256_col",
     "sha256_hex_col",
     "detect_compression",

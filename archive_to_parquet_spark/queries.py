@@ -4028,3 +4028,74 @@ _CATALOG.update(
         "sketch_heavy_hitters": (sketch_heavy_hitters, SKETCH_HEAVY_HITTERS_SQL),
     }
 )
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible-text extraction (functions/html.py — the step
+    downstream of the WARC source). Each document is wrapped into a
+    deterministic HTML page (title, style block, entity-encoded
+    snippet, comment, anchor) and pushed through the pure-JVM
+    extractor; title and link extraction ride along. The oracle builds
+    the identical page in SQL and applies the same regex pipeline
+    (dialect-shared patterns), so any extractor drift mismatches."""
+    from archive_to_parquet_spark.functions.html import (
+        html_links,
+        html_title,
+        html_to_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title> Doc &amp; "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{color:red}</style>"),
+        F.lit("<script>var x=1;</script></head><body><h1>Heading</h1>"),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit('</p><!-- hidden --><a href="https://ex.com/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">link</a>&nbsp;&lt;end&gt;</body></html>'),
+    )
+    return docs.select(
+        "doc_id",
+        html_title(page).alias("title"),
+        html_to_text(page).alias("body_text"),
+        html_links(page).getItem(0).alias("first_link"),
+    )
+
+
+def _html_extract_oracle() -> str:
+    from archive_to_parquet_spark.functions.html import (
+        oracle_html_to_text_sql,
+    )
+
+    page = (
+        "'<html><head><title> Doc &amp; ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>p{color:red}</style>"
+        "<script>var x=1;</script></head><body><h1>Heading</h1>' || "
+        "'<p>' || text || '</p><!-- hidden -->"
+        '<a href="https://ex.com/\' || CAST(doc_id AS VARCHAR) || \'">'
+        "link</a>&nbsp;&lt;end&gt;</body></html>'"
+    )
+    body = oracle_html_to_text_sql("page")
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {page} AS page FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(replace(replace(
+           regexp_extract(page, '(?is)<title\\b[^>]*>(.*?)</title>', 1),
+           '&amp;', '&'), '&nbsp;', ' '), '\\s+', ' ', 'g')) AS title,
+       {body} AS body_text,
+       regexp_extract(page,
+           '(?is)<a\\s[^>]*href\\s*=\\s*["'']([^"''>]+)["'']', 1)
+         AS first_link
+FROM pages
+"""
+
+
+_CATALOG.update(
+    {
+        "text_html_extract": (text_html_extract, _html_extract_oracle()),
+    }
+)
