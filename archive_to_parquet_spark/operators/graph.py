@@ -51,30 +51,50 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
+    deg = out_degrees(e)
+    # per-edge contribution weight (1/out_deg) is precomputed ONCE, so
+    # rounds multiply instead of re-dividing; the deg join shuffles on
+    # src, and localCheckpoint preserves that physical partitioning, so
+    # each round's rank join moves only the small rank frame (broadcast
+    # or exchange on node), never the edge list
+    contrib_edges = (
+        e.join(deg.select(F.col("node").alias("src"), "out_deg"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("weight"))
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    deg = out_degrees(e)
-    dangling = nodes.join(deg, "node", "left_anti").limit(1).count()
+    # one action answers both validations: total node count and whether
+    # any node lacks an out-edge
+    n, dangling = (
+        nodes.join(deg, "node", "left")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("out_deg").isNull(), 1).otherwise(0)).alias(
+                "dangling"
+            ),
+        )
+        .first()
+    )
     if dangling:
         raise ValueError(
             "pagerank requires every node to have an out-edge; "
             "symmetrize the edge list or drop sink nodes first"
         )
-    n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    contrib_edges = (
-        e.join(deg.withColumnRenamed("node", "src"), "src").localCheckpoint()
-    )
     for _ in range(n_iter):
+        # ranks arrive hash-partitioned on node == the src join key, and
+        # contrib_edges is pre-partitioned on src, so the join plans
+        # exchange-free; the groupBy(dst) is the round's one shuffle
         contribs = (
             contrib_edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("in_mass"))
+            .agg(F.sum(F.col("rank") * F.col("weight")).alias("in_mass"))
         )
         ranks = (
             nodes.join(contribs, "node", "left")
