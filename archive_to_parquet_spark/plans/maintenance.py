@@ -193,3 +193,68 @@ def upsert_partitioned(
         "updated_or_new_rows": updates_n,
         "kept_rows": merged_n - updates_n,
     }
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    fingerprint: Column | str,
+) -> DataFrame:
+    """Row-level diff between two dataset snapshots: (key, status) with
+    status ∈ added | removed | changed | unchanged.
+
+    ``fingerprint`` is a content-hash expression evaluated on BOTH
+    sides (e.g. ``F.md5("text")``); rows compare by fingerprint, not by
+    full payload, so the full-outer join carries key + 32-byte digest
+    only — at 100 TB the shuffle moves digests, never documents. One
+    shuffle per side on the key.
+    """
+    fp = F.col(fingerprint) if isinstance(fingerprint, str) else fingerprint
+    o = old.select(F.col(key), fp.alias("fp_old"))
+    n = new.select(F.col(key), fp.alias("fp_new"))
+    return o.join(n, key, "full_outer").select(
+        key,
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column profile: one row per column with row count,
+    null count, exact distinct count, and min/max rendered as strings.
+
+    All columns profile in ONE pass: a single aggregation computes
+    every per-column statistic map-side-combinably except distinct
+    counts, which Spark rewrites into its Expand-based multi-distinct
+    aggregation — still one shuffle, no per-column re-scan. The wide
+    1-row result unpivots to (column, stat...) rows driver-side-free
+    via stack.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args: list[str] = []
+    for c in cols:
+        stack_args.append(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        )
+    return wide.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value",
+    )

@@ -4099,3 +4099,94 @@ _CATALOG.update(
         "text_html_extract": (text_html_extract, _html_extract_oracle()),
     }
 )
+
+
+def maintenance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release dataset diff (plans/maintenance.snapshot_diff):
+    two snapshots are derived deterministically from documents (old
+    drops doc_id%10==0, new drops doc_id%7==0 and rewrites text where
+    doc_id%5==0), then diffed by md5 fingerprint through a digest-only
+    full-outer join. Output: per-status row counts."""
+    from archive_to_parquet_spark.plans.maintenance import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit("v2 "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d = snapshot_diff(old, new, "doc_id", F.md5(F.col("text").cast("binary")))
+    return d.groupBy("status").agg(F.count("*").alias("n"))
+
+
+MAINT_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+), d AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, COUNT(*) AS n FROM d GROUP BY status
+"""
+
+
+def maintenance_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of orders
+    (plans/maintenance.profile_table): row/null/exact-distinct counts
+    and min/max per column, unpivoted to one row per column."""
+    from archive_to_parquet_spark.plans.maintenance import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
+MAINT_PROFILE_SQL = """
+SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR),
+       CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*),
+       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR),
+       CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+"""
+
+
+_CATALOG.update(
+    {
+        "maintenance_snapshot_diff": (
+            maintenance_snapshot_diff,
+            MAINT_SNAPSHOT_DIFF_SQL,
+        ),
+        "maintenance_profile_table": (
+            maintenance_profile_table,
+            MAINT_PROFILE_SQL,
+        ),
+    }
+)

@@ -73,3 +73,37 @@ def test_heavy_hitters_equals_exact_answer(spark):
     }
     expect = {t: n for t, n in counts.items() if n * 10 > total}
     assert got == expect
+
+
+def test_snapshot_diff_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.plans.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], ["k", "text"]
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, "k", F.md5("text")).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_profile_table_exact_stats(spark):
+    from archive_to_parquet_spark.plans.maintenance import profile_table
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (2, "y"), (None, "y")],
+        ["a", "b"],
+    )
+    rows = {r["column_name"]: r for r in profile_table(df, ["a", "b"]).collect()}
+    assert rows["a"]["n_rows"] == 4
+    assert rows["a"]["n_nulls"] == 1
+    assert rows["a"]["n_distinct"] == 2
+    assert rows["a"]["min_value"] == "1" and rows["a"]["max_value"] == "2"
+    assert rows["b"]["n_nulls"] == 1
+    assert rows["b"]["n_distinct"] == 2
