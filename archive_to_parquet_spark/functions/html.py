@@ -22,6 +22,7 @@ HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
     # non-visible element bodies first, while their tags still exist
     (r"(?is)<script\b[^>]*>.*?</script>", " "),
     (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?is)<title\b[^>]*>.*?</title>", " "),  # head text isn't body text
     (r"(?s)<!--.*?-->", " "),
     # block-level boundaries (both opening and closing tags) become
     # line breaks so adjacent blocks don't glue into one line

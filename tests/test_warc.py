@@ -168,3 +168,51 @@ def test_warc_gz_through_spark_convert(spark, tmp_path):
     assert row["path"] == "http://s.example/page"
     assert row["content"] == body
     assert row["size"] == len(body)
+
+
+def test_crawl_to_documents_end_to_end(spark, tmp_path):
+    """WARC crawl → documents table: HTML pages extract to visible
+    text, plain-text resources pass through, binaries drop, schema
+    matches the documents testdata table plus url/title."""
+    from archive_to_parquet_spark.plans.crawl import crawl_to_documents
+
+    html = (
+        b"<html><head><title>The Page</title><script>x=1</script></head>"
+        b"<body><h1>Hello</h1><p>the quick brown fox and the lazy dog"
+        b" walk into the bar and order a drink</p></body></html>"
+    )
+    plain = b"just plain text with the usual words and the rest of it"
+    binary = b"\xff\xfe\x00\x01 not utf8 \xff"
+    data = (
+        gzip.compress(
+            warc_record("response", http_response(html), uri="http://h.example/")
+        )
+        + gzip.compress(
+            warc_record("conversion", plain, uri="http://p.example/t.txt")
+        )
+        + gzip.compress(
+            warc_record("resource", binary, uri="http://b.example/blob")
+        )
+    )
+    src = tmp_path / "crawl.warc.gz"
+    src.write_bytes(data)
+    docs = crawl_to_documents(spark, [str(src)])
+    rows = {r["url"]: r for r in docs.collect()}
+    assert set(rows) == {"http://h.example/", "http://p.example/t.txt"}
+    page = rows["http://h.example/"]
+    assert page["title"] == "The Page"
+    assert page["text"].splitlines() == [
+        "Hello",
+        "the quick brown fox and the lazy dog walk into the bar and"
+        " order a drink",
+    ]
+    assert page["lang"] == "en"
+    assert page["n_chars"] == len(page["text"])
+    assert rows["http://p.example/t.txt"]["text"] == plain.decode()
+    # doc_id is derived from the content hash: deterministic across runs
+    again = {r["url"]: r["doc_id"] for r in crawl_to_documents(spark, [str(src)]).collect()}
+    assert again == {u: r["doc_id"] for u, r in rows.items()}
+    # single-stage plan: no exchange anywhere between walk and documents
+    from archive_to_parquet_spark.plans.bucketing import plan_has_exchange
+
+    assert not plan_has_exchange(docs)
