@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--deterministic-dedup", action="store_true")
     p.add_argument("--incremental", action="store_true",
                    help="append only content whose hash is absent from OUTPUT")
+    p.add_argument("--documents", action="store_true",
+                   help="emit a curated documents table (UTF-8 gate, "
+                        "HTML→text, language ID) instead of raw entries — "
+                        "the crawl-corpus path (plans/crawl.py)")
     p.add_argument("--no-progress", action="store_true")
     p.add_argument("--log-file", default=None)
     return p
@@ -143,7 +147,28 @@ def main(argv: list[str] | None = None) -> int:
     if not args.no_progress and sys.stderr.isatty():
         progress_stop = _start_progress_reporter(spark)
     try:
-        if args.incremental:
+        if args.documents:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            from archive_to_parquet_spark.plans.convert import (
+                ConversionCounters,
+            )
+            from archive_to_parquet_spark.plans.crawl import crawl_to_documents
+
+            obs = Observation("crawl")
+            df = crawl_to_documents(spark, paths, options, urls=args.urls).observe(
+                obs, F.count(F.lit(1)).alias("rows"), F.sum("n_chars").alias("chars")
+            )
+            df.write.mode("overwrite").parquet(args.output)
+            got = obs.get
+            if not got["rows"]:
+                print("error: no documents extracted from input files", file=sys.stderr)
+                return 1
+            counters = ConversionCounters(
+                output_rows=got["rows"], output_bytes=got["chars"] or 0
+            )
+        elif args.incremental:
             counters = convert_incremental(
                 spark, paths, args.output, options, urls=args.urls
             )

@@ -55,7 +55,9 @@ def documents_from_entries(entries: DataFrame) -> DataFrame:
     return (
         entries.filter(is_utf8_col(F.col("content")))
         .select(
-            F.conv(F.substring(F.hex("hash"), 1, 16), 16, 10)
+            # 15 hex chars = 60 bits: fits a signed long under ANSI cast
+            # (16 chars can exceed 2^63-1), still collision-safe
+            F.conv(F.substring(F.hex("hash"), 1, 15), 16, 10)
             .cast("long")
             .alias("doc_id"),
             body.alias("text"),

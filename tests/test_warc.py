@@ -216,3 +216,31 @@ def test_crawl_to_documents_end_to_end(spark, tmp_path):
     from archive_to_parquet_spark.plans.bucketing import plan_has_exchange
 
     assert not plan_has_exchange(docs)
+
+
+def test_cli_documents_mode(tmp_path):
+    """CLI --documents: WARC crawl → curated documents parquet."""
+    import pyarrow.parquet as pq
+
+    from archive_to_parquet_spark.cli import main
+
+    html = (
+        b"<html><head><title>T</title></head><body><p>the cli drove the"
+        b" crawl and it was good</p></body></html>"
+    )
+    src = tmp_path / "crawl.warc.gz"
+    src.write_bytes(
+        gzip.compress(
+            warc_record("response", http_response(html), uri="http://cli.example/")
+        )
+    )
+    out = str(tmp_path / "docs.parquet")
+    rc = main(["--documents", "--no-progress", out, str(src)])
+    assert rc == 0
+    table = pq.read_table(out)
+    assert table.num_rows == 1
+    row = table.to_pylist()[0]
+    assert row["url"] == "http://cli.example/"
+    assert row["title"] == "T"
+    assert row["text"] == "the cli drove the crawl and it was good"
+    assert row["lang"] == "en"
