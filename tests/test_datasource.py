@@ -101,3 +101,48 @@ def test_format_archive_requires_paths(registered):
 
     with pytest.raises(Exception):
         registered.read.format("archive").load().collect()
+
+
+def test_format_archive_stream_warc(registered, tmp_path):
+    """A .warc.gz dropped into the watch dir streams through the same
+    walker: response bodies arrive as rows with URI paths."""
+    import gzip as _gzip
+
+    from tests.test_warc import http_response, warc_record
+
+    watch = tmp_path / "crawl"
+    watch.mkdir()
+    body = b"<html><body><p>streamed page</p></body></html>"
+    (watch / "seg0.warc.gz").write_bytes(
+        _gzip.compress(
+            warc_record("response", http_response(body), uri="http://s.example/a")
+        )
+    )
+    stream = (
+        registered.readStream.format("archive-stream")
+        .option("glob", f"{watch}/*.warc.gz")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warc_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = registered.sql("SELECT path, content FROM warc_stream").collect()
+        assert {(r.path, bytes(r.content)) for r in rows} == {
+            ("http://s.example/a", body)
+        }
+        # a second segment arrives mid-stream
+        (watch / "seg1.warc.gz").write_bytes(
+            _gzip.compress(
+                warc_record("resource", b"plain doc", uri="http://s.example/b")
+            )
+        )
+        q.processAllAvailable()
+        n = registered.sql("SELECT COUNT(*) n FROM warc_stream").collect()[0].n
+        assert n == 2
+    finally:
+        q.stop()
