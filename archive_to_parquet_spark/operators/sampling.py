@@ -105,6 +105,40 @@ def stratified_sample(
     return df.filter(u < threshold)
 
 
+def sample_fixed_per_group(
+    df: DataFrame,
+    group: Column | str,
+    n: int,
+    key: Column | str,
+    seed: str = "fixed",
+) -> DataFrame:
+    """Exactly min(n, |group|) rows per group, uniformly WITHOUT
+    replacement: rank the md5-derived uniform within each group and keep
+    the n smallest. The Bernoulli samplers above give expected counts;
+    this gives exact counts — the balanced-eval-set / per-source-quota
+    primitive.
+
+    Fully deterministic and engine-portable: ordering compares the
+    lowercase-hex uniform lexicographically (== numerically) with the
+    key as tiebreak, so a DuckDB QUALIFY twin reproduces the selection
+    row-for-row — no float transforms, no libm divergence. One shuffle
+    (the per-group window); at 100 TB the partition key is the group,
+    so skew follows group sizes — salting is unnecessary because
+    row_number over a single hot group is still a single-pass sort,
+    and groups are corpus sources (few, large) by construction.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    u = uniform_hex_col(key, seed)
+    w = Window.partitionBy(
+        F.col(group) if isinstance(group, str) else group
+    ).orderBy(u.asc(), k.asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

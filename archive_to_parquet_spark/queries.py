@@ -4190,3 +4190,36 @@ _CATALOG.update(
         ),
     }
 )
+
+
+def sample_fixed_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count per-group sampling without replacement
+    (operators/sampling.sample_fixed_per_group): exactly 25 documents
+    per language, selected by ranking the md5-derived uniform — deterministic,
+    engine-portable (hex-string order, no float transforms), and
+    replayable row-for-row by the DuckDB QUALIFY twin."""
+    from archive_to_parquet_spark.operators.sampling import (
+        sample_fixed_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_fixed_per_group(
+        docs, "lang", 25, "doc_id", seed="quota"
+    ).select("doc_id", "lang")
+
+
+SAMPLE_FIXED_SQL = """
+SELECT doc_id, lang
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY lang
+    ORDER BY substr(md5('quota' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+) <= 25
+"""
+
+
+_CATALOG.update(
+    {
+        "sample_fixed_per_lang": (sample_fixed_per_lang, SAMPLE_FIXED_SQL),
+    }
+)

@@ -114,3 +114,27 @@ def test_global_shuffle_rank_is_partition_invariant_permutation(spark):
         key=lambda i: (hashlib.md5(f"shuffle{i}".encode()).hexdigest(), i),
     )
     assert [out4[i] for i in expected_order] == list(range(97))
+
+
+def test_sample_fixed_per_group_exact_counts(spark):
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.operators.sampling import (
+        sample_fixed_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(100)], ["id", "g"]
+    )
+    out = sample_fixed_per_group(df, "g", 10, "id", seed="s1")
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # exact quota from both groups (80 and 20 rows, both capped at 10)
+    assert counts == {"big": 10, "small": 10}
+    # deterministic: same seed → same rows; different seed → (almost surely) different
+    a = {r["id"] for r in out.collect()}
+    b = {r["id"] for r in sample_fixed_per_group(df, "g", 10, "id", seed="s1").collect()}
+    c = {r["id"] for r in sample_fixed_per_group(df, "g", 10, "id", seed="s2").collect()}
+    assert a == b and a != c
+    # under-full groups keep everything
+    tiny = sample_fixed_per_group(df.filter("id < 3"), "g", 10, "id")
+    assert tiny.count() == 3
