@@ -3460,6 +3460,12 @@ from archive_to_parquet_spark import queries_tpch as _tpch  # noqa: E402
 
 _CATALOG.update(_tpch.CATALOG)
 
+# Corpus-format sources, quarantine routing, URL dedup, decayed aggs —
+# see queries_ext.py module docstring.
+from archive_to_parquet_spark import queries_ext as _ext  # noqa: E402
+
+_CATALOG.update(_ext.CATALOG)
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _CATALOG.items()}

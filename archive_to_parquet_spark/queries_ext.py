@@ -1,0 +1,297 @@
+"""Catalog extension: corpus-format sources, malformed-record routing,
+URL-level dedup, and time-decayed aggregation.
+
+Same contract as ``queries.py``: each entry pairs an idiomatic-Spark
+query with an ANSI-SQL oracle DuckDB runs over the same parquet views,
+every computed column aliased identically on both sides.
+
+The two ``source_*_roundtrip`` entries exercise the corpus formats an
+LLM-training pipeline actually receives (gzipped JSONL shards, quoted
+CSV) end-to-end: the documents table is serialized to the format on
+the Spark side, read back through the generic reader, and projected —
+so the oracle (the original table) certifies the write→read cycle is
+lossless, including escapes, embedded newlines, quotes, and non-ASCII.
+The parse/serialize work is all JVM (``to_json`` / the CSV datasource);
+no Python touches row data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from archive_to_parquet_spark.functions.web import canonicalize_url
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-format sources: JSONL (gzip shards) and CSV round-trips
+# ---------------------------------------------------------------------------
+
+_DOCS_SCHEMA = "doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING"
+
+
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → gzipped JSONL shards → generic JSONL reader →
+    projection. Proves the interchange format every public text corpus
+    ships in (jsonl.gz) round-trips losslessly: ``to_json`` escapes
+    newlines/quotes/unicode on write, the JSON datasource unescapes on
+    read, and the sha256 of the text column must survive the cycle.
+
+    Scale notes: gzip is NOT splittable — one read task per shard, so
+    shard count (= write partitions) is the read parallelism; a real
+    corpus ingest repartitions right after the scan to decouple
+    downstream parallelism from shard count (done here). Schema is
+    explicit on read: no sampling inference pass over 100 TB.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    out = os.path.join(stage, "shards")
+    docs.select(
+        F.to_json(
+            F.struct("doc_id", "lang", "source", "n_chars", "text")
+        ).alias("value")
+    ).write.mode("overwrite").option("compression", "gzip").text(out)
+    back = (
+        spark.read.schema(_DOCS_SCHEMA)
+        .json(out)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+SOURCE_JSONL_SQL = """
+SELECT doc_id, lang, source, n_chars, sha256(text) AS text_sha
+FROM documents
+"""
+
+
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → quoted CSV (RFC 4180 double-quote escaping) → CSV
+    reader → projection. The text column embeds commas, quotes, and
+    newlines, so this exercises real quoting, not the happy path.
+
+    Scale notes: embedded newlines force ``multiLine`` on read, which
+    parses each file as one stream (non-splittable) — the honest
+    trade-off of CSV-with-newlines as an interchange format; shard
+    small on write (or strip newlines upstream) to keep read
+    parallelism. Explicit schema on read, header off: no inference.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    out = os.path.join(stage, "shards")
+    (
+        docs.select("doc_id", "lang", "source", "n_chars", "text")
+        .write.mode("overwrite")
+        .option("header", "false")
+        .option("quote", '"')
+        .option("escape", '"')
+        # the CSV writer TRIMS cell whitespace by default — disable for
+        # a lossless round-trip (the reader's defaults already preserve)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(_DOCS_SCHEMA)
+        .option("header", "false")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(out)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+SOURCE_CSV_SQL = """
+SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record routing (quarantine pattern)
+# ---------------------------------------------------------------------------
+
+
+def parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE parse with corrupt-record routing — the production
+    pattern for dirty corpus shards: parse what parses, quarantine the
+    rest with the raw line preserved, never fail the job.
+
+    Raw JSON lines are built deterministically from documents: ids
+    divisible by 5 are truncated mid-object (malformed), the rest are
+    valid. ``from_json`` in PERMISSIVE mode with
+    ``columnNameOfCorruptRecord`` routes each row: good rows populate
+    the typed fields, bad rows land the raw string in ``_bad``. The
+    oracle states the ground truth the construction implies.
+
+    Scale: one pure-JVM projection, no shuffle, no UDF; a real pipeline
+    writes ``ok=0`` rows to a quarantine sink with the same predicate.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    valid = F.to_json(
+        F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("lang"))
+    )
+    raw = F.when(F.col("doc_id") % 5 == 0, F.substring(valid, 1, 10)).otherwise(
+        valid
+    )
+    parsed = F.from_json(
+        raw,
+        "id LONG, lang STRING, _bad STRING",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
+    )
+    return docs.select("doc_id", parsed.alias("p")).select(
+        "doc_id",
+        F.col("p._bad").isNull().cast("int").alias("ok"),
+        F.col("p.lang").alias("parsed_lang"),
+        F.coalesce(F.length("p._bad"), F.lit(-1)).alias("bad_len"),
+    )
+
+
+PARSE_QUARANTINE_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 5 <> 0 AS INT) AS ok,
+       CASE WHEN doc_id % 5 <> 0 THEN lang END AS parsed_lang,
+       CASE WHEN doc_id % 5 = 0 THEN 10 ELSE -1 END AS bad_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup with canonicalization
+# ---------------------------------------------------------------------------
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup after canonicalization — the cheapest dedup
+    stage in a crawl pipeline (runs before any content hashing): strip
+    tracking params / fragments / case / default ports / trailing
+    slashes, then group by the canonical URL.
+
+    Messy variants are built deterministically per document (uppercased
+    scheme+host with an explicit :443, trailing slash + fragment,
+    tracking-only query string, or already-canonical), and
+    ``canonicalize_url`` — a generic parse_url/regexp/higher-order
+    chain, not tuned to this construction — must collapse all four
+    variants of the same page to one key. The oracle states the
+    closed-form canonical URL the construction implies.
+
+    Scale: per-row JVM expressions + ONE shuffle on the canonical key
+    with map-side partial aggregation. No UDF, no second pass.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 7).cast("string")
+    canon = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/page/"), page)
+    messy = (
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper("source"),
+                F.lit(".EXAMPLE.COM:443/page/"),
+                page,
+                F.lit("?utm_source=feed&utm_medium=rss"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.concat(canon, F.lit("/#section-2")))
+        .when(F.col("doc_id") % 4 == 3, F.concat(canon, F.lit("?gclid=abc123#top")))
+        .otherwise(canon)
+    )
+    return (
+        docs.select("doc_id", canonicalize_url(messy).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+DEDUP_URL_SQL = """
+SELECT 'https://' || source || '.example.com/page/' || CAST(doc_id % 7 AS VARCHAR)
+         AS canonical_url,
+       COUNT(*) AS n_dups,
+       MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed aggregation
+# ---------------------------------------------------------------------------
+
+
+def rel_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-user aggregates (1-day half-life,
+    anchored at the corpus max timestamp): the standard recency-weighted
+    engagement score. ``w = exp(-ln2 · Δt / 86400)`` per event, then
+    ``Σ w·value`` and ``Σ w`` per user — a plain weighted sum, so it
+    stays a single map-side-partial groupBy (decayed sums are mergeable
+    partials, unlike a recursive EWMA formulation which would force an
+    ordered scan per user).
+
+    Scale: one tiny broadcast (the global max timestamp — one row) and
+    one shuffle on user_id. Floats rounded to 2dp on both sides.
+    """
+    from archive_to_parquet_spark.queries import _events
+
+    ev = _events(spark, sf_dir).select("user_id", "value", "ts_sec")
+    tmax = ev.agg(F.max("ts_sec").alias("tmax_sec"))
+    w = F.exp(
+        -F.log(F.lit(2.0)) * (F.col("tmax_sec") - F.col("ts_sec")) / F.lit(86400.0)
+    )
+    return (
+        ev.crossJoin(F.broadcast(tmax))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(w * F.col("value")), 2).alias("decayed_value"),
+            F.round(F.sum(w), 2).alias("decayed_count"),
+        )
+    )
+
+
+REL_DECAYED_SUM_SQL = """
+WITH e AS (
+  SELECT user_id, value, epoch_ns(ts) // 1000000000 AS ts_sec FROM events
+), m AS (
+  SELECT max(ts_sec) AS tmax_sec FROM e
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       round(SUM(exp(-ln(2) * (tmax_sec - ts_sec) / 86400.0) * value), 2)
+         AS decayed_value,
+       round(SUM(exp(-ln(2) * (tmax_sec - ts_sec) / 86400.0)), 2)
+         AS decayed_count
+FROM e, m
+GROUP BY user_id
+"""
+
+
+CATALOG = {
+    "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
+    "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
+    "parse_quarantine": (parse_quarantine, PARSE_QUARANTINE_SQL),
+    "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_SQL),
+    "rel_decayed_sum": (rel_decayed_sum, REL_DECAYED_SUM_SQL),
+}

@@ -64,6 +64,10 @@ HEADLINE = [
     "bpe_top_pairs",
     "mine_hard_negatives",
     "rel_scd2_intervals",
+    # round-2 continuation: corpus-format sources + curation ops
+    "source_jsonl_roundtrip",
+    "dedup_url_canonical",
+    "rel_decayed_sum",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):

@@ -1,0 +1,127 @@
+"""Unit tests for queries_ext: URL canonicalization edge cases,
+corpus-format round-trips on adversarial strings, quarantine routing,
+and decayed-sum math."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from archive_to_parquet_spark.functions.web import canonicalize_url
+from archive_to_parquet_spark.queries_ext import (
+    parse_quarantine,
+    source_csv_roundtrip,
+    source_jsonl_roundtrip,
+)
+
+
+def _canon(spark, url: str) -> str:
+    return (
+        spark.createDataFrame([(url,)], "u string")
+        .select(canonicalize_url(F.col("u")).alias("c"))
+        .collect()[0]
+        .c
+    )
+
+
+def test_canonicalize_url_cases(spark):
+    cases = {
+        # case + default port + tracking params
+        "HTTPS://WWW.Example.COM:443/A/B?utm_source=x&utm_medium=y": "https://www.example.com/A/B",
+        # http default port
+        "http://a.com:80/x": "http://a.com/x",
+        # non-default port preserved
+        "https://a.com:8443/x": "https://a.com:8443/x",
+        # fragment dropped, trailing slashes stripped
+        "https://a.com/x///#frag": "https://a.com/x",
+        # real params survive in order; tracking ones removed mid-list
+        "https://a.com/s?q=spark&utm_campaign=z&page=2": "https://a.com/s?q=spark&page=2",
+        # all-tracking query collapses to no query
+        "https://a.com/x?gclid=1&fbclid=2": "https://a.com/x",
+        # bare host, no path
+        "https://A.com": "https://a.com",
+    }
+    for url, want in cases.items():
+        assert _canon(spark, url) == want, url
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [
+        (i, f"l{i % 3}", f"s{i % 2}", len(t), t) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long, text string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return rows
+
+
+NASTY = [
+    'plain ascii',
+    'embedded "quotes" and, commas',
+    "newline\nin the\nmiddle",
+    "tab\tand backslash \\ and trailing space ",
+    "unicode: héllo wörld — 日本語 🚀",
+    '{"looks": "like json"}',
+    "",
+]
+
+
+def test_jsonl_roundtrip_nasty_strings(spark, tmp_path):
+    rows = _write_docs(spark, tmp_path, NASTY)
+    out = {
+        r.doc_id: (r.lang, r.source, r.n_chars)
+        for r in source_jsonl_roundtrip(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == len(rows)
+    for doc_id, lang, source, n_chars, _ in rows:
+        assert out[doc_id] == (lang, source, n_chars)
+
+
+def test_csv_roundtrip_nasty_strings(spark, tmp_path):
+    import hashlib
+
+    rows = _write_docs(spark, tmp_path, NASTY)
+    out = {r.doc_id: r.text_sha for r in source_csv_roundtrip(spark, str(tmp_path)).collect()}
+    assert len(out) == len(rows)
+    for doc_id, _, _, _, text in rows:
+        # empty string serializes to an empty CSV field, which reads back
+        # as NULL (documented CSV datasource behavior) → sha of NULL is
+        # NULL; every non-empty text must round-trip hash-exact
+        if text:
+            assert out[doc_id] == hashlib.sha256(text.encode()).hexdigest()
+
+
+def test_parse_quarantine_routes_bad_rows(spark, tmp_path):
+    _write_docs(spark, tmp_path, [f"t{i}" for i in range(12)])
+    got = {r.doc_id: r for r in parse_quarantine(spark, str(tmp_path)).collect()}
+    for i in range(12):
+        if i % 5 == 0:
+            assert got[i].ok == 0 and got[i].parsed_lang is None
+            assert got[i].bad_len == 10
+        else:
+            assert got[i].ok == 1 and got[i].parsed_lang == f"l{i % 3}"
+            assert got[i].bad_len == -1
+
+
+def test_decayed_sum_math(spark, tmp_path):
+    # two events for one user: one at tmax (weight 1), one a half-life
+    # (86400s) earlier (weight 0.5) → decayed_value = v0*0.5 + v1*1
+    import datetime
+
+    base = datetime.datetime(2024, 1, 2)
+    df = spark.createDataFrame(
+        [
+            (0, base - datetime.timedelta(seconds=86400), 7, "view", 10.0, "{}"),
+            (1, base, 7, "view", 4.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from archive_to_parquet_spark.queries_ext import rel_decayed_sum
+
+    row = rel_decayed_sum(spark, str(tmp_path)).collect()[0]
+    assert row.n_events == 2
+    assert math.isclose(row.decayed_value, 10.0 * 0.5 + 4.0, abs_tol=0.01)
+    assert math.isclose(row.decayed_count, 1.5, abs_tol=0.01)
