@@ -288,10 +288,162 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-domain document cap (C4/RefinedWeb-style corpus balancing)
+# ---------------------------------------------------------------------------
+
+
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap documents per registrable domain, keeping the best N — the
+    corpus-balancing step C4/RefinedWeb run so no single domain
+    dominates the training mix. Domains derive deterministically from
+    (source, doc_id) as in ``web_domain_stats``; "best" = longest text,
+    doc_id as the deterministic tiebreak.
+
+    Scale: one shuffle on domain for the ranking window. The window
+    sorts each domain's documents; for mega-domains (the exact rows a
+    cap exists for) this is the classic top-k-per-group skew — at 100 TB
+    run the two-phase form instead: groupBy(domain) with a bounded
+    ``slice(sort_array(collect_list(struct)), 1, N)`` partial top-k, or
+    pre-filter with an approximate per-domain quantile. N=3 here keeps
+    the oracle a plain ROW_NUMBER.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    domain = F.concat(F.col("source"), F.lit(".example."), tld)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "n_chars", domain.alias("domain"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("domain", "rnk", "doc_id", "n_chars")
+    )
+
+
+CURATION_DOMAIN_CAP_SQL = """
+SELECT domain, rnk, doc_id, n_chars
+FROM (
+  SELECT source || '.example.' ||
+           CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+           AS domain,
+         doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source || '.example.' ||
+             CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+           ORDER BY n_chars DESC, doc_id ASC
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill with forward fill (hypertable-style resample)
+# ---------------------------------------------------------------------------
+
+
+def rel_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample per user with gap-filling: build the dense hour
+    grid from each user's first to last event, left-join the observed
+    hourly averages, and forward-fill gaps with the last observed value
+    (``last(..., ignoreNulls)`` over an ordered window) — the
+    TimescaleDB ``time_bucket_gapfill + locf`` pattern as plain
+    DataFrame ops.
+
+    Scale: the grid is ``sequence()``-exploded from one (min, max) row
+    per user — rows materialize only at the exploding task, never on
+    the driver; the fill window shuffles once on user_id and scans each
+    user's grid in hour order. Averages are rounded BEFORE the fill so
+    both engines propagate identical values.
+    """
+    ev = _events(spark, sf_dir)
+    hour = (F.col("ts_sec") / 3600).cast("long")
+    # aggregate exact integer cents, not doubles: avg(double) is
+    # accumulation-order-dependent across engines, and even on an exact
+    # half (Σ=3841¢, n=2 → 19.205) Spark's round (HALF_UP on the
+    # shortest decimal repr) and DuckDB's (on the binary value)
+    # disagree — so the 2dp rounding itself is integer math too:
+    # cents_rounded = (2Σ + n) div 2n, exact on both engines
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hourly = (
+        ev.select("user_id", hour.alias("h"), cents.alias("cents"))
+        .groupBy("user_id", "h")
+        .agg(
+            (
+                F.expr("(2 * sum(cents) + count(*)) div (2 * count(*))")
+                / F.lit(100.0)
+            ).alias("avg_value")
+        )
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.last("avg_value", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("avg_value").isNull().cast("int").alias("is_gap"),
+        )
+    )
+
+
+REL_GAPFILL_SQL = """
+WITH e AS (
+  SELECT user_id, (epoch_ns(ts) // 1000000000) // 3600 AS h, value FROM events
+), hourly AS (
+  SELECT user_id, h,
+         ((2 * SUM(CAST(round(value * 100) AS BIGINT)) + COUNT(*))
+            // (2 * COUNT(*))) / 100.0
+           AS avg_value
+  FROM e GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT s.user_id, g.h
+  FROM span s, LATERAL (SELECT unnest(generate_series(s.h0, s.h1)) AS h) g
+)
+SELECT g.user_id, g.h,
+       last_value(hy.avg_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled,
+       CAST(hy.avg_value IS NULL AS INT) AS is_gap
+FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
+"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from archive_to_parquet_spark.queries import _events as _ev
+
+    return _ev(spark, sf_dir)
+
+
 CATALOG = {
     "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
     "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
     "parse_quarantine": (parse_quarantine, PARSE_QUARANTINE_SQL),
     "dedup_url_canonical": (dedup_url_canonical, DEDUP_URL_SQL),
     "rel_decayed_sum": (rel_decayed_sum, REL_DECAYED_SUM_SQL),
+    "curation_domain_cap": (curation_domain_cap, CURATION_DOMAIN_CAP_SQL),
+    "rel_gapfill_hourly": (rel_gapfill_hourly, REL_GAPFILL_SQL),
 }

@@ -113,8 +113,11 @@ TPCH = [
 ]
 
 _INGEST_MEMBERS = 512
-_INGEST_MEMBER_BYTES = 64 * 1024  # 512 × 64 KiB × 16 inputs = 512 MiB
-_INGEST_INPUTS = 16
+_INGEST_MEMBER_BYTES = 64 * 1024  # 512 × 64 KiB × 32 inputs = 1 GiB
+# one walk task per input: 32 inputs saturates local[32], matching the
+# baseline's saturated-thread-pool measurement shape (12 threads, many
+# more archives than threads — BASELINE.md)
+_INGEST_INPUTS = 32
 
 
 def _ingest_fixture(
