@@ -96,6 +96,30 @@ def shingles_col(text_col: str, n: int = 3):
     return word_ngrams_col(text_col, n)
 
 
+def spread_small_scan(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition docs on id BEFORE shingle explode — but only
+    when the scan arrived with fewer partitions than the cluster has
+    slots. A small corpus (or a coarsely-split file layout) otherwise
+    pins the whole CPU-heavy hash/explode/agg chain to a handful of
+    tasks; the id repartition moves the small raw-text rows, and the
+    groupBy(id) downstream reuses the partitioning (no second
+    exchange). When the scan is already wide (the 100 TB case) this is
+    a no-op: there the optimal plan keeps map-side partial aggregation
+    — one signature-width row per id crosses the wire, far less than
+    re-shuffling corpus text.
+
+    Applied only where the per-shingle compute is hash-heavy (md5 /
+    N× xxhash64 signatures) — measured 24% on simhash signatures at
+    sf0.1. For cheap shingle builds (array_distinct only, e.g. the
+    exact-Jaccard shingle table) the added exchange costs more than
+    the parallelism buys; those call sites stay as-is.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, F.col(id_col))
+    return df
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -114,7 +138,7 @@ def minhash_signatures(
     once, gets map-side partial mins (tiny shuffle: one row per (id,
     partial)), and each ``mh_i`` is a concrete attribute afterwards.
     Returns (id, mh_0..mh_{n-1}, n_shingles)."""
-    exploded = df.select(
+    exploded = spread_small_scan(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles_col(text_col, shingle_n))).alias("g"),
     )
@@ -289,7 +313,7 @@ def simhash_chunk_signatures(
     """
     assert 64 % num_chunks == 0, "num_chunks must divide 64"
     chunk_bits = 64 // num_chunks
-    grams = df.select(
+    grams = spread_small_scan(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(text_col, shingle_n)).alias("g"),
     )
