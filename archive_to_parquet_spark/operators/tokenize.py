@@ -124,3 +124,35 @@ def bpe_merge_rounds(
     finally:
         wf.unpersist()
     return merges
+
+
+def bpe_token_count_col(text_col: str, merges: list[tuple[str, str]]):
+    """(n_words, n_tokens) columns: encode ``text_col`` with a FIXED,
+    ordered BPE merge list and count the resulting tokens — the apply
+    side of the tokenizer (the learner above produces the merge list;
+    at run time it is vocabulary material, broadcast by closure).
+
+    Pure JVM expressions end to end: per word, char-split symbols are
+    joined with the ``\\x1f`` separator and each merge (l, r) applied as
+    a left-to-right non-overlapping string replace (BPE's greedy
+    application order); the token count is the surviving separator
+    count + 1, summed over words with ``aggregate`` — no explode, no
+    shuffle, no Python. Words containing non-printable-ASCII characters
+    count as ONE token (the UNK convention) — it also sidesteps the one
+    engine divergence char-splitting has (Java splits non-BMP code
+    points into surrogate halves).
+    """
+    words = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+
+    def word_tokens(w):
+        sym = F.array_join(F.split(w, ""), _SEP)
+        for left, right in merges:
+            sym = F.replace(sym, F.lit(left + _SEP + right), F.lit(left + right))
+        return F.when(
+            w.rlike("^[ -~]*$"), F.size(F.split(sym, _SEP))
+        ).otherwise(F.lit(1))
+
+    n_tokens = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + word_tokens(w)
+    ).cast("long")
+    return F.size(words).cast("long"), n_tokens

@@ -438,6 +438,135 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# ORC source round-trip
+# ---------------------------------------------------------------------------
+
+
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC → ORC reader → projection, sha-certified like the
+    JSONL/CSV twins. ORC is the columnar interchange format Hive-era
+    corpora ship in; Spark reads/writes it natively (predicate pushdown
+    and column pruning both apply, same as parquet)."""
+    docs = _t(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    out = os.path.join(stage, "shards")
+    docs.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+
+SOURCE_ORC_SQL = """
+SELECT doc_id, lang, n_chars, sha256(text) AS text_sha
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned layout + partition-pruned read
+# ---------------------------------------------------------------------------
+
+
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the corpus Hive-partitioned by language, then read ONE
+    partition back — the layout move that makes per-language filters
+    free at 100 TB (the `lang=en` filter never opens the other
+    directories: partition pruning happens at planning, before any I/O;
+    test_queries_ext pins the pruned-scan plan shape).
+
+    The partition column comes back from the directory name, not file
+    contents — type and presence must survive the round-trip.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="part_prune_")
+    out = os.path.join(stage, "by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SOURCE_PARTITIONED_SQL = """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang = 'en'
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: apply/encode with a fixed merge table
+# ---------------------------------------------------------------------------
+
+# Ordered merge list (classic high-frequency English merges; "in"+"g"
+# consumes the earlier "i"+"n" product, exercising merge chaining).
+# Fixed rather than learned so the ENCODER is oracle-checkable
+# bit-for-bit — the learner (bpe_merge_rounds) is certified by unit
+# tests and its first-round statistic by `bpe_top_pairs`.
+_BPE_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("in", "g"),
+]
+
+
+def tokenize_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a fixed BPE merge table to every document and count the
+    resulting tokens — the encode pass a tokenizer runs over the whole
+    corpus after training. Per-row JVM expressions only (char-split →
+    ordered merge replaces → separator count, summed with
+    ``aggregate``); no shuffle at all, so the op scales with scan
+    bandwidth. See operators/tokenize.bpe_token_count_col."""
+    from archive_to_parquet_spark.operators.tokenize import bpe_token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    n_words, n_tokens = bpe_token_count_col("text", _BPE_MERGES)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+    )
+
+
+def _bpe_encode_oracle_sql() -> str:
+    sep = "chr(31)"
+    sym = f"array_to_string(string_split(x, ''), {sep})"
+    for left, right in _BPE_MERGES:
+        l_lit = "'" + left + "'"
+        r_lit = "'" + right + "'"
+        sym = (
+            f"replace({sym}, {l_lit} || {sep} || {r_lit}, "
+            f"{l_lit} || {r_lit})"
+        )
+    word_tokens = (
+        f"CASE WHEN regexp_matches(x, '^[ -~]*$') "
+        f"THEN len(string_split({sym}, {sep})) ELSE 1 END"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(coalesce(list_sum(list_transform(words,
+              x -> {word_tokens})), 0) AS BIGINT) AS n_tokens
+FROM w
+"""
+
+
 CATALOG = {
     "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
     "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
@@ -446,4 +575,10 @@ CATALOG = {
     "rel_decayed_sum": (rel_decayed_sum, REL_DECAYED_SUM_SQL),
     "curation_domain_cap": (curation_domain_cap, CURATION_DOMAIN_CAP_SQL),
     "rel_gapfill_hourly": (rel_gapfill_hourly, REL_GAPFILL_SQL),
+    "source_orc_roundtrip": (source_orc_roundtrip, SOURCE_ORC_SQL),
+    "source_partitioned_pruning": (
+        source_partitioned_pruning,
+        SOURCE_PARTITIONED_SQL,
+    ),
+    "tokenize_bpe_encode": (tokenize_bpe_encode, _bpe_encode_oracle_sql()),
 }

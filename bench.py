@@ -68,6 +68,8 @@ HEADLINE = [
     "source_jsonl_roundtrip",
     "dedup_url_canonical",
     "rel_decayed_sum",
+    "tokenize_bpe_encode",
+    "rel_gapfill_hourly",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):

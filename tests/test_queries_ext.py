@@ -125,3 +125,37 @@ def test_decayed_sum_math(spark, tmp_path):
     assert row.n_events == 2
     assert math.isclose(row.decayed_value, 10.0 * 0.5 + 4.0, abs_tol=0.01)
     assert math.isclose(row.decayed_count, 1.5, abs_tol=0.01)
+
+
+def test_bpe_encode_known_merges(spark):
+    from archive_to_parquet_spark.operators.tokenize import bpe_token_count_col
+    from archive_to_parquet_spark.queries_ext import _BPE_MERGES
+
+    df = spark.createDataFrame(
+        [(0, "the thin thing"), (1, "x 🚀y"), (2, "")], "doc_id long, text string"
+    )
+    n_words, n_tokens = bpe_token_count_col("text", _BPE_MERGES)
+    got = {
+        r.doc_id: (r.w, r.t)
+        for r in df.select(
+            "doc_id", n_words.alias("w"), n_tokens.alias("t")
+        ).collect()
+    }
+    # the: t-h→th, th-e→the → 1 token; thin: th + in → 2; thing: th + ing → 2
+    assert got[0] == (3, 5)
+    # non-printable-ascii word is one UNK token
+    assert got[1] == (2, 2)
+    assert got[2] == (0, 0)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    _write_docs(spark, tmp_path, [f"text number {i}" for i in range(10)])
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    out = f"{tmp_path}/by_lang"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter("lang = 'l0'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the lang filter must be a PARTITION filter on the scan (planning-
+    # time pruning), not a post-scan data filter
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == sum(1 for i in range(10) if i % 3 == 0)
