@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit a curated documents table (UTF-8 gate, "
                         "HTML→text, language ID) instead of raw entries — "
                         "the crawl-corpus path (plans/crawl.py)")
+    p.add_argument("--output-format", default="parquet",
+                   choices=["parquet", "jsonl"],
+                   help="--documents output format: parquet dataset "
+                        "(default) or gzipped-JSONL shards (the corpus "
+                        "interchange format LLM pipelines consume)")
     p.add_argument("--no-progress", action="store_true")
     p.add_argument("--log-file", default=None)
     return p
@@ -160,7 +165,16 @@ def main(argv: list[str] | None = None) -> int:
             df = crawl_to_documents(spark, paths, options, urls=args.urls).observe(
                 obs, F.count(F.lit(1)).alias("rows"), F.sum("n_chars").alias("chars")
             )
-            df.write.mode("overwrite").parquet(args.output)
+            if args.output_format == "jsonl":
+                # one JSON object per line, gzip shards — to_json handles
+                # all escaping; shard count = task count
+                df.select(
+                    F.to_json(F.struct(*df.columns)).alias("value")
+                ).write.mode("overwrite").option("compression", "gzip").text(
+                    args.output
+                )
+            else:
+                df.write.mode("overwrite").parquet(args.output)
             got = obs.get
             if not got["rows"]:
                 print("error: no documents extracted from input files", file=sys.stderr)

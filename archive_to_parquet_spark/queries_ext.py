@@ -499,6 +499,53 @@ GROUP BY source
 """
 
 
+# Language → script dim shared by the DPP query and its oracle.
+_LANG_SCRIPT = [
+    ("en", "latin"),
+    ("de", "latin"),
+    ("es", "latin"),
+    ("fr", "latin"),
+    ("zh", "cjk"),
+]
+
+
+def source_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a broadcast dim filter prunes the
+    partitioned fact's directories at RUNTIME. The corpus is written
+    Hive-partitioned by lang; joining it to a tiny lang→script dim
+    filtered to one script means Spark only ever reads the matching
+    lang partitions — the pruning predicate is injected as a dynamic
+    subquery on the fact scan (plan pinned in test_queries_ext), so at
+    100 TB the scan cost tracks the SELECTED partitions, not the table.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="dpp_")
+    out = os.path.join(stage, "by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(_LANG_SCRIPT, "lang string, script string")
+    return (
+        fact.join(F.broadcast(dim), "lang")
+        .filter(F.col("script") == "cjk")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SOURCE_DPP_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+JOIN (VALUES ('en','latin'), ('de','latin'), ('es','latin'),
+             ('fr','latin'), ('zh','cjk')) AS dim(lang, script)
+  USING (lang)
+WHERE script = 'cjk'
+GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer: apply/encode with a fixed merge table
 # ---------------------------------------------------------------------------
@@ -581,4 +628,5 @@ CATALOG = {
         SOURCE_PARTITIONED_SQL,
     ),
     "tokenize_bpe_encode": (tokenize_bpe_encode, _bpe_encode_oracle_sql()),
+    "source_dpp_join": (source_dpp_join, SOURCE_DPP_SQL),
 }

@@ -159,3 +159,22 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # time pruning), not a post-scan data filter
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
     assert back.count() == sum(1 for i in range(10) if i % 3 == 0)
+
+
+def test_dpp_join_prunes_at_runtime(spark, tmp_path):
+    from archive_to_parquet_spark.queries_ext import source_dpp_join
+
+    _write_docs(spark, tmp_path, [f"text number {i}" for i in range(12)])
+    # patch the dim to this fixture's langs (l0/l1/l2)
+    import archive_to_parquet_spark.queries_ext as qe
+
+    orig = qe._LANG_SCRIPT
+    qe._LANG_SCRIPT = [("l0", "latin"), ("l1", "latin"), ("l2", "cjk")]
+    try:
+        df = source_dpp_join(spark, str(tmp_path))
+        rows = {r.lang: r.n_docs for r in df.collect()}
+        assert rows == {"l2": sum(1 for i in range(12) if i % 3 == 2)}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+    finally:
+        qe._LANG_SCRIPT = orig

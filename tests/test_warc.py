@@ -244,3 +244,37 @@ def test_cli_documents_mode(tmp_path):
     assert row["title"] == "T"
     assert row["text"] == "the cli drove the crawl and it was good"
     assert row["lang"] == "en"
+
+
+def test_cli_documents_jsonl_output(tmp_path):
+    """CLI --documents --output-format jsonl: gzipped JSONL shards."""
+    import glob
+    import json
+
+    from archive_to_parquet_spark.cli import main
+
+    html = (
+        b"<html><head><title>J</title></head><body><p>the jsonl output"
+        b" works for the crawl</p></body></html>"
+    )
+    src = tmp_path / "crawl.warc.gz"
+    src.write_bytes(
+        gzip.compress(
+            warc_record("response", http_response(html), uri="http://j.example/")
+        )
+    )
+    out = str(tmp_path / "docs_jsonl")
+    rc = main(
+        ["--documents", "--output-format", "jsonl", "--no-progress", out, str(src)]
+    )
+    assert rc == 0
+    shards = glob.glob(f"{out}/part-*.txt.gz")
+    assert shards
+    lines = []
+    for shard in shards:
+        with gzip.open(shard, "rt") as fh:
+            lines += [json.loads(line) for line in fh if line.strip()]
+    assert len(lines) == 1
+    assert lines[0]["url"] == "http://j.example/"
+    assert lines[0]["title"] == "J"
+    assert lines[0]["text"] == "the jsonl output works for the crawl"
