@@ -461,3 +461,136 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neg_id", "cosine", "rank")
     )
+
+
+def pq_top_k_fixed_codebook(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 10,
+    k_candidates: int = 50,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Product-quantization ANN with an EXPLICIT per-subspace codebook —
+    the memory-bound scale path of the ANN family (brute = exact, LSH /
+    IVF = prune the corpus, PQ = compress it: each vector becomes m
+    one-byte codes, so a 100 TB float corpus scans as ~1.5 TB of codes).
+
+    ``codebook`` has one row per (s, j): subspace index, code id, and a
+    ``code_vec`` of length ``sub_dim``. Encoding assigns each corpus
+    vector, per subspace, its L2-nearest code (min(struct) argmin —
+    map-side combinable, ties to the smaller j). Query scoring is the
+    standard asymmetric distance computation: a per-query distance
+    table to every (s, j) code, then approx distance = Σ_s table[s,
+    code_s] — one broadcast join on (s, j) against the code table and a
+    map-side-combinable sum. No exact re-rank here: the entry measures
+    the PQ estimate itself (compose with a re-rank join for recall).
+
+    The ADC scan keeps ``k_candidates`` per query; an EXACT re-rank
+    join (full vectors, only for candidates) then emits the final
+    ``k`` — the production PQ shape: the compressed scan bounds how
+    many full vectors are ever touched (k_candidates × queries rows,
+    not the corpus).
+
+    Determinism across engines: per-subspace squared distances are
+    converted to integer micro-units (×1e6, rounded) BEFORE any
+    aggregation, so every sum and every ranking comparison is exact
+    integer math — no float-accumulation-order or .5-rounding hazards;
+    the re-rank distance is integerized the same way. Returns
+    (query_id, rank, vec_id, d2_e6).
+    """
+    cb = F.broadcast(
+        codebook.select(
+            F.col("s"), F.col("j"), F.col("code_vec").alias("cbv")
+        )
+    )
+
+    def sub_rows(df: DataFrame, id_col: str, vec_col: str, out_id: str):
+        slices = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.slice(F.col(vec_col), s * F.lit(sub_dim) + 1, sub_dim),
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(slices).alias("s", "sub")
+        )
+
+    d2_e6 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sub"),
+                F.col("cbv"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+
+    codes = (
+        sub_rows(corpus, corpus_id, corpus_vec, "vec_id")
+        .join(cb, "s")
+        .select("vec_id", "s", "j", d2_e6.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "j")).alias("mn"))
+        .select("vec_id", "s", F.col("mn.j").alias("j"))
+    )
+    qtab = (
+        sub_rows(queries, query_id, query_vec, "query_id")
+        .join(cb, "s")
+        .select("query_id", "s", "j", d2_e6.alias("qd2"))
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["s", "j"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").alias("approx_d2_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2_e6").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= k_candidates)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank: full vectors touched ONLY for candidate rows
+    full = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("cv")
+    )
+    qfull = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+        )
+    )
+    exact_d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("cv"),
+                F.col("qv"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("d2_e6").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.join(full, "vec_id")
+        .join(qfull, "query_id")
+        .select("query_id", "vec_id", exact_d2.alias("d2_e6"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "d2_e6")
+    )

@@ -614,6 +614,96 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN: product quantization (asymmetric distance over a fixed codebook)
+# ---------------------------------------------------------------------------
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ approximate top-k with a deterministic codebook: corpus
+    vectors 0..127 donate their s-th subvector as code (s = id div 16,
+    j = id mod 16; 8 subspaces × 16 codes over dim-64 embeddings);
+    queries are every 50th vector. The ADC scan keeps 50 candidates
+    per query; exact re-rank (integer micro-unit L2, candidates only)
+    emits the top 10. All distance math is integer, so DuckDB replays
+    encode + ADC + re-rank bit-for-bit.
+    See operators/similarity.pq_top_k_fixed_codebook."""
+    from archive_to_parquet_spark.operators.similarity import (
+        pq_top_k_fixed_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = emb.filter(F.col("vec_id") < 128).select(
+        (F.col("vec_id") / 16).cast("int").alias("s"),
+        (F.col("vec_id") % 16).cast("int").alias("j"),
+        F.slice(
+            "embedding", (F.col("vec_id") / 16).cast("int") * 8 + 1, 8
+        ).alias("code_vec"),
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_top_k_fixed_codebook(emb, cb, q, m=8, sub_dim=8, k=10)
+
+
+ANN_PQ_SQL = """
+WITH cb AS (
+  SELECT CAST(vec_id // 16 AS INT) AS s, CAST(vec_id % 16 AS INT) AS j,
+         embedding[(vec_id // 16) * 8 + 1 : (vec_id // 16) * 8 + 8] AS cbv
+  FROM embeddings WHERE vec_id < 128
+), subs AS (
+  SELECT e.vec_id, t.s,
+         e.embedding[t.s * 8 + 1 : t.s * 8 + 8] AS sub
+  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) t
+), dists AS (
+  SELECT su.vec_id, su.s, cb.j,
+         CAST(round(list_sum(list_transform(range(1, 9),
+           i -> (su.sub[i]::DOUBLE - cb.cbv[i]::DOUBLE)
+              * (su.sub[i]::DOUBLE - cb.cbv[i]::DOUBLE))) * 1e6)
+           AS BIGINT) AS d2
+  FROM subs su JOIN cb ON su.s = cb.s
+), codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, j ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), qtab AS (
+  SELECT d.vec_id AS query_id, d.s, d.j, d.d2 AS qd2
+  FROM dists d WHERE d.vec_id % 50 = 0
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(SUM(q.qd2) AS BIGINT) AS approx_d2_e6
+  FROM codes c JOIN qtab q ON c.s = q.s AND c.j = q.j
+  GROUP BY q.query_id, c.vec_id
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_d2_e6 ASC, vec_id ASC) AS crank
+    FROM scored
+  ) WHERE crank <= 50
+), reranked AS (
+  SELECT cd.query_id, cd.vec_id,
+         CAST(round(list_sum(list_transform(range(1, 65),
+           i -> (e.embedding[i]::DOUBLE - qe.embedding[i]::DOUBLE)
+              * (e.embedding[i]::DOUBLE - qe.embedding[i]::DOUBLE))) * 1e6)
+           AS BIGINT) AS d2_e6
+  FROM cand cd
+  JOIN embeddings e ON e.vec_id = cd.vec_id
+  JOIN embeddings qe ON qe.vec_id = cd.query_id
+)
+SELECT query_id, rank, vec_id, d2_e6 FROM (
+  SELECT query_id, vec_id, d2_e6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2_e6 ASC, vec_id ASC) AS INT)
+           AS rank
+  FROM reranked
+) WHERE rank <= 10
+"""
+
+
 CATALOG = {
     "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
     "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
@@ -629,4 +719,5 @@ CATALOG = {
     ),
     "tokenize_bpe_encode": (tokenize_bpe_encode, _bpe_encode_oracle_sql()),
     "source_dpp_join": (source_dpp_join, SOURCE_DPP_SQL),
+    "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
 }

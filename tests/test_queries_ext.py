@@ -178,3 +178,48 @@ def test_dpp_join_prunes_at_runtime(spark, tmp_path):
         assert "dynamicpruning" in plan.lower()
     finally:
         qe._LANG_SCRIPT = orig
+
+
+def test_pq_topk_recall_against_exact_l2(spark):
+    import os
+
+    from archive_to_parquet_spark.queries_ext import ann_pq_topk
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    approx = ann_pq_topk(spark, sf_dir).collect()
+    # exact L2 top-10 for the same queries
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact = (
+        emb.crossJoin(q)
+        .select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .collect()
+    )
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # ADC keeps 50 candidates, exact re-rank picks 10: misses happen only
+    # when a true neighbor falls outside the quantized top-50
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
+    # the exact L2 top-1 is the query itself (distance 0); the re-rank
+    # must place it at rank 1 whenever ADC kept it as a candidate
+    by_rank1 = {r.query_id: r.vec_id for r in approx if r.rank == 1}
+    self_kept = sum(1 for qid, vid in by_rank1.items() if qid == vid)
+    assert self_kept >= len(by_rank1) * 0.7
