@@ -594,3 +594,112 @@ def pq_top_k_fixed_codebook(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "d2_e6")
     )
+
+
+def kmeans_fixed_rounds(
+    corpus: DataFrame,
+    init_centroids: DataFrame,
+    n_rounds: int = 2,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means with FIXED init and a FIXED round count — the
+    corpus-clustering step of data-mixing / SemDeDup pipelines, made a
+    pure deterministic function of its inputs so a SQL oracle can
+    replay it (the Spark-ML `KMeans` used by `ivf_top_k` is the
+    training-quality variant; this one is the certified twin).
+
+    Determinism across engines, the whole trick:
+
+    - distances are Σ_dim round((x_d − c_d)² · 1e6): each TERM is an
+      integer, so the sum is exact in any order — argmin (min(struct),
+      ties to the smaller cid) cannot be flipped by accumulation order;
+    - updated centroid means are integer math too: per-dim values are
+      micro-unit integers (round(x·1e6)), summed exactly, and the mean
+      is the half-up integer division (2Σ+n) div 2n — both engines
+      produce the IDENTICAL double for every centroid dimension.
+
+    Scale shape per round: one corpus × broadcast(k centroids) distance
+    scan with a map-side-combinable argmin (no window), then a per-dim
+    mean — posexplode to (cid, dim) rows, one shuffle with map-side
+    partials; centroids (k × dim floats) come back to the driver, which
+    is vocabulary-sized state, not data. Returns the final assignment
+    (vec_id, cid, d2_e6).
+    """
+    spark = corpus.sparkSession
+    cent_rows = [
+        (int(r[0]), [float(v) for v in r[1]])
+        for r in init_centroids.select("cid", "centroid").collect()
+    ]
+
+    def assign(cent_df):
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("cv"),
+                lambda x, y: F.round(
+                    (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double"))
+                    * 1e6,
+                    0,
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).cast("long")
+        return (
+            corpus.select(
+                F.col(vec_id).alias("vec_id"), F.col(vec_col).alias("v")
+            )
+            .join(F.broadcast(cent_df))
+            .select("vec_id", "v", "cid", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("mn"))
+            .select(
+                "vec_id",
+                F.col("mn.cid").alias("cid"),
+                F.col("mn.d2").alias("d2_e6"),
+            )
+        )
+
+    for _ in range(n_rounds):
+        cent_df = spark.createDataFrame(
+            cent_rows, "cid int, cv array<double>"
+        )
+        assigned = assign(cent_df)
+        means = (
+            assigned.join(
+                corpus.select(
+                    F.col(vec_id).alias("vec_id"), F.col(vec_col).alias("v")
+                ),
+                "vec_id",
+            )
+            .select("cid", F.posexplode("v").alias("dim", "x"))
+            .select(
+                "cid",
+                "dim",
+                F.round(F.col("x").cast("double") * 1e6, 0)
+                .cast("long")
+                .alias("xi"),
+            )
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.expr("(2 * sum(xi) + count(*)) div (2 * count(*))")
+                    / F.lit(1e6)
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.m,
+                ).alias("cv")
+            )
+        )
+        cent_rows = [
+            (int(r["cid"]), [float(v) for v in r["cv"]])
+            for r in means.collect()
+        ]
+    final_cent = spark.createDataFrame(cent_rows, "cid int, cv array<double>")
+    return assign(final_cent)

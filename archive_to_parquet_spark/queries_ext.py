@@ -704,6 +704,83 @@ SELECT query_id, rank, vec_id, d2_e6 FROM (
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Corpus clustering: deterministic k-means (fixed init, fixed rounds)
+# ---------------------------------------------------------------------------
+
+
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding corpus: every
+    100th vector seeds a centroid (5 clusters), 2 update rounds, then a
+    final assignment — reported as per-cluster size + inertia. The
+    data-mixing / SemDeDup clustering step with every float hazard
+    removed (integer micro-unit distances and means), so the oracle
+    replays init → assign → update → assign → update → assign exactly.
+    See operators/similarity.kmeans_fixed_rounds."""
+    from archive_to_parquet_spark.operators.similarity import (
+        kmeans_fixed_rounds,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") / 100).cast("int").alias("cid"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = kmeans_fixed_rounds(emb, init, n_rounds=2)
+    return assigned.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("d2_e6").alias("inertia_e6"),
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, 65), "
+        "i -> round((e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE) "
+        "* (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE) * 1e6))) AS BIGINT)"
+    )
+
+    def assign(cent, name):
+        return f"""{name} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    def update(assigned, name):
+        return f"""{name} AS (
+  SELECT cid, array_agg(m ORDER BY dim) AS cv FROM (
+    SELECT a.cid, t.i AS dim,
+           ((2 * SUM(CAST(round(e.embedding[t.i]::DOUBLE * 1e6) AS BIGINT))
+             + COUNT(*)) // (2 * COUNT(*))) / 1e6 AS m
+    FROM {assigned} a JOIN embeddings e USING (vec_id),
+         (SELECT unnest(range(1, 65)) AS i) t
+    GROUP BY a.cid, t.i
+  ) GROUP BY cid
+)"""
+
+    return f"""
+WITH c0 AS (
+  SELECT CAST(vec_id // 100 AS INT) AS cid, embedding AS cv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+{assign("c0", "a0")},
+{update("a0", "c1")},
+{assign("c1", "a1")},
+{update("a1", "c2")},
+{assign("c2", "a2")}
+SELECT cid, COUNT(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS inertia_e6
+FROM a2 GROUP BY cid
+"""
+
+
+
+
 CATALOG = {
     "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
     "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
@@ -720,4 +797,5 @@ CATALOG = {
     "tokenize_bpe_encode": (tokenize_bpe_encode, _bpe_encode_oracle_sql()),
     "source_dpp_join": (source_dpp_join, SOURCE_DPP_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
+    "cluster_kmeans": (cluster_kmeans, _kmeans_oracle_sql()),
 }

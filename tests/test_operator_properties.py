@@ -101,3 +101,60 @@ def test_spark_entry_contract(spark):
     df = mod.entry(spark)
     assert df.columns == ["source", "n_unique", "total_bytes"]
     assert df.count() > 0
+
+
+# -- URL canonicalization: idempotence + batch form ---------------------------
+
+_url_paths = st.lists(
+    st.text(alphabet="abcdefghij0123456789-_", min_size=1, max_size=6),
+    min_size=0,
+    max_size=3,
+)
+_url_params = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["q", "page", "id", "utm_source", "utm_medium", "gclid", "ref"]
+        ),
+        st.text(alphabet="abc123", min_size=1, max_size=4),
+    ),
+    min_size=0,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+    host=st.sampled_from(["a.com", "WWW.Ex.ORG", "sub.domain.net"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    segs=_url_paths,
+    params=_url_params,
+    slash=st.booleans(),
+    frag=st.sampled_from(["", "#x", "#sec-2"]),
+)
+def test_canonicalize_url_idempotent(spark, scheme, host, port, segs, params, slash, frag):
+    """canonicalize(canonicalize(u)) == canonicalize(u): a canonical URL
+    must be a fixed point, for any combination of case, default/explicit
+    port, trailing slash, tracking params, and fragment."""
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.functions.web import canonicalize_url
+
+    path = "/" + "/".join(segs) if segs else ""
+    if slash and path:
+        path += "/"
+    query = "&".join(f"{k}={v}" for k, v in params)
+    url = f"{scheme}://{host}{port}{path}" + (f"?{query}" if query else "") + frag
+    df = spark.createDataFrame([(url,)], "u string")
+    once, twice = (
+        df.select(
+            canonicalize_url(F.col("u")).alias("c1"),
+        )
+        .select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+        .collect()[0]
+    )
+    assert once == twice, url

@@ -223,3 +223,31 @@ def test_pq_topk_recall_against_exact_l2(spark):
     by_rank1 = {r.query_id: r.vec_id for r in approx if r.rank == 1}
     self_kept = sum(1 for qid, vid in by_rank1.items() if qid == vid)
     assert self_kept >= len(by_rank1) * 0.7
+
+
+def test_kmeans_fixed_rounds_converges_on_separated_clusters(spark):
+    """Three well-separated point clouds: the deterministic k-means must
+    recover them exactly from any same-cloud seeds, and every point's
+    reported d2 must be its distance to its OWN cluster's centroid."""
+    import random
+
+    from archive_to_parquet_spark.operators.similarity import kmeans_fixed_rounds
+
+    rng = random.Random(7)
+    rows = []
+    for g, base in enumerate([0.0, 10.0, -10.0]):
+        for i in range(20):
+            rows.append(
+                (g * 20 + i, [base + rng.uniform(-0.5, 0.5) for _ in range(4)])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = emb.filter(F.col("vec_id") % 20 == 3).select(
+        (F.col("vec_id") / 20).cast("int").alias("cid"),
+        F.col("embedding").alias("centroid"),
+    )
+    out = kmeans_fixed_rounds(emb, init, n_rounds=2).collect()
+    assert len(out) == 60
+    for r in out:
+        assert r.cid == r.vec_id // 20
+    # inertia is bounded by the cloud radius (4 dims × (±0.5+mean err)²)
+    assert all(r.d2_e6 <= 4 * (1.1**2) * 1e6 for r in out)
