@@ -70,6 +70,9 @@ HEADLINE = [
     "rel_decayed_sum",
     "tokenize_bpe_encode",
     "rel_gapfill_hourly",
+    "ann_pq_topk",
+    "source_dpp_join",
+    "cluster_kmeans",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):
