@@ -781,6 +781,205 @@ FROM a2 GROUP BY cid
 
 
 
+# ---------------------------------------------------------------------------
+# Document chunking (RAG-style overlapping windows)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 50, 30
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping word windows (size 50,
+    stride 30) — the retrieval/RAG chunking pass. Window starts come
+    from ``sequence(1, n_words, stride)`` and each chunk is a
+    ``slice`` of the word array — pure per-row JVM expressions, the
+    explode is the only row fan-out and there is NO shuffle; the op is
+    scan-bandwidth-bound like the BPE encoder. Emits (doc_id,
+    chunk_idx, chunk_len, chunk_sha) — sha instead of raw text keeps
+    the result compact; the text itself is array_to_string of the same
+    slice."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.array_remove(F.split(F.lower("text"), r"\s+"), "")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n"), F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        docs.select("doc_id", words.alias("w"), n.alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "n",
+            "w",
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .filter(F.col("start") <= F.col("n"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(
+                F.lit(_CHUNK_SIZE), F.col("n") - F.col("start") + 1
+            ).cast("int").alias("chunk_len"),
+            F.sha2(
+                F.concat_ws(
+                    " ", F.slice(F.col("w"), F.col("start"), _CHUNK_SIZE)
+                ),
+                256,
+            ).alias("chunk_sha"),
+        )
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+), starts AS (
+  SELECT doc_id, words, len(words) AS n,
+         unnest(range(1, greatest(len(words), 1) + 1, {_CHUNK_STRIDE}))
+           AS start,
+         generate_subscripts(range(1, greatest(len(words), 1) + 1,
+                                   {_CHUNK_STRIDE}), 1) - 1 AS chunk_idx
+  FROM w WHERE len(words) > 0
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(least({_CHUNK_SIZE}, n - start + 1) AS INT) AS chunk_len,
+       sha256(array_to_string(words[start : start + {_CHUNK_SIZE} - 1], ' '))
+         AS chunk_sha
+FROM starts WHERE start <= n
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document: tf from one word explode, df
+    from the distinct (doc, word) set, idf = ln(N/df). Plan: two
+    map-side-combinable shuffles (word stats) + one ranking window on
+    doc_id; N arrives via a one-row broadcast.
+
+    Cross-engine float note: ln differs between JVM and libm in the
+    last ulp on ~8% of arguments (measured), so idf is rounded to 6dp
+    FIRST; tf·idf6 is then bit-identical on both engines and the final
+    6dp rounding of the product is the identity on an already-6dp
+    value — no boundary to disagree on."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_remove(F.split(F.lower("text"), r"\s+"), "")
+        ).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = (
+        tf.groupBy("word").agg(F.count("*").alias("df"))
+    )
+    idf6 = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(F.col("tf") * idf6, 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "rnk", "word", "tf", "tfidf")
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2
+), df AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs FROM documents
+)
+SELECT doc_id, rnk, word, tf, tfidf FROM (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         round(tf.tf * round(ln(n.n_docs / df.df), 6), 6) AS tfidf,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * round(ln(n.n_docs / df.df), 6), 6) DESC,
+                    tf.word ASC) AS INT) AS rnk
+  FROM tf JOIN df USING (word), n
+) WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding cosine vs a benchmark set)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: flag corpus vectors whose max
+    cosine against the benchmark slice (vec_id % 20 == 0) exceeds 0.98
+    — catches paraphrase-level contamination n-gram overlap misses.
+    The benchmark is broadcast (it is the small side by construction);
+    one corpus scan computes the running max — a map-side-combinable
+    agg, no window. For benchmark sets too big to broadcast, bucket
+    both sides with the LSH hyperplanes (`lsh_top_k` machinery) and
+    max within buckets — same output contract."""
+    from archive_to_parquet_spark.functions.vectors import (
+        cosine_similarity_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bv")
+    )
+    pairs = emb.join(F.broadcast(bench)).filter(
+        F.col("vec_id") != F.col("bench_id")
+    )
+    cos = F.round(cosine_similarity_col("embedding", "bv"), 6)
+    return (
+        pairs.select("vec_id", cos.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("max_cos"))
+        .select(
+            "vec_id",
+            "max_cos",
+            (F.col("max_cos") > 0.98).cast("int").alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SEMANTIC_SQL = """
+SELECT e.vec_id,
+       max(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6))
+         AS max_cos,
+       CAST(max(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 6))
+              > 0.98 AS INT) AS contaminated
+FROM embeddings e
+JOIN embeddings b ON b.vec_id % 20 = 0 AND e.vec_id <> b.vec_id
+GROUP BY e.vec_id
+"""
+
+
+
 CATALOG = {
     "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
     "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
@@ -798,4 +997,10 @@ CATALOG = {
     "source_dpp_join": (source_dpp_join, SOURCE_DPP_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
     "cluster_kmeans": (cluster_kmeans, _kmeans_oracle_sql()),
+    "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
+    "text_tfidf_terms": (text_tfidf_terms, TEXT_TFIDF_SQL),
+    "decontaminate_semantic": (
+        decontaminate_semantic,
+        DECONTAMINATE_SEMANTIC_SQL,
+    ),
 }

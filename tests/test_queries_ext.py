@@ -251,3 +251,24 @@ def test_kmeans_fixed_rounds_converges_on_separated_clusters(spark):
         assert r.cid == r.vec_id // 20
     # inertia is bounded by the cloud radius (4 dims × (±0.5+mean err)²)
     assert all(r.d2_e6 <= 4 * (1.1**2) * 1e6 for r in out)
+
+
+def test_chunk_documents_window_geometry(spark, tmp_path):
+    import hashlib
+
+    from archive_to_parquet_spark.queries_ext import chunk_documents
+
+    words = [f"w{i}" for i in range(120)]
+    _write_docs(spark, tmp_path, [" ".join(words), "short doc", ""])
+    out = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_len, r.chunk_sha)
+        for r in chunk_documents(spark, str(tmp_path)).collect()
+    )
+    # 120 words, size 50 stride 30 → starts 1,31,61,91; lens 50,50,50,30
+    doc0 = [(c, l) for d, c, l, _ in out if d == 0]
+    assert doc0 == [(0, 50), (1, 50), (2, 50), (3, 30)]
+    sha0 = [s for d, c, l, s in out if d == 0][0]
+    assert sha0 == hashlib.sha256(" ".join(words[:50]).encode()).hexdigest()
+    # 2-word doc → a single short chunk; empty doc → no chunks
+    assert [(c, l) for d, c, l, _ in out if d == 1] == [(0, 2)]
+    assert not [1 for d, *_ in out if d == 2]
