@@ -980,6 +980,76 @@ GROUP BY e.vec_id
 
 
 
+# ---------------------------------------------------------------------------
+# Native session_window aggregation (batch form of the streaming API)
+# ---------------------------------------------------------------------------
+
+
+def rel_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE ``session_window``
+    (the same operator the streaming sessionizer uses, in batch mode) —
+    complements `rel_sessionize`, which counts sessions with the
+    lag+cumsum idiom. One shuffle on the session key; the session
+    assignment itself is a sort-based merge inside the aggregation, not
+    a window function.
+
+    Boundary semantics (verified against an exactly-1800 s gap in the
+    sf0.1 data, and the oracle mirrors them): per-event windows
+    [t, t + gap] merge when they TOUCH, so an event at exactly
+    last_event + 1800 stays in the session — the same `> timeout`
+    split rule as the lag idiom; only strictly larger gaps start a new
+    session. Value sums are integer cents (see rel_gapfill_hourly).
+    """
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.select(
+            "user_id",
+            F.timestamp_seconds(F.col("ts_sec")).alias("t"),
+            cents.alias("cents"),
+        )
+        .groupBy("user_id", F.session_window("t", "1800 seconds").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("session_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("sw.start")).alias("session_start"),
+            "n_events",
+            "session_cents",
+        )
+    )
+
+
+REL_SESSION_WINDOW_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS ts_sec
+  FROM events
+), flagged AS (
+  SELECT user_id, ts_sec, value,
+         CASE WHEN ts_sec - LAG(ts_sec) OVER (
+                PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM t
+), numbered AS (
+  SELECT user_id, ts_sec, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_sec
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_sec) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS session_cents
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+
 CATALOG = {
     "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
     "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
@@ -1002,5 +1072,9 @@ CATALOG = {
     "decontaminate_semantic": (
         decontaminate_semantic,
         DECONTAMINATE_SEMANTIC_SQL,
+    ),
+    "rel_session_window_native": (
+        rel_session_window_native,
+        REL_SESSION_WINDOW_SQL,
     ),
 }
