@@ -261,3 +261,47 @@ def test_interval_join_stream_pairs(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(out) == [(1, 2)]
+
+
+def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Kill a file-source → file-sink stream mid-corpus, restart it from
+    the same checkpoint, and verify exactly-once delivery: the already-
+    processed shard is NOT re-emitted after restart (the source's file
+    log lives in the checkpoint), and nothing is lost."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    half1.coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_phase1 = spark.read.parquet(sink).count()
+    assert n_phase1 == half1.count()
+    # second shard arrives while the stream is DOWN; restart from ckpt
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == ev.count()  # nothing lost...
+    assert out.select("event_id").distinct().count() == ev.count()  # ...no dupes
