@@ -208,3 +208,51 @@ def test_tpch_q02_min_joinback_keeps_ties(spark):
     for r in rows:
         by_part.setdefault(r["p_partkey"], set()).add(r["min_price"])
     assert all(len(v) == 1 for v in by_part.values())
+
+
+def test_ext_scan_only_queries_have_no_exchange(spark):
+    """The continuation-4 zero-shuffle family: BPE encode, chunking, and
+    quarantine parse are per-row expression pipelines — a shuffle here
+    means the scan-bandwidth-bound claim in SCALING.md broke."""
+    from archive_to_parquet_spark import queries as q
+    from archive_to_parquet_spark.plans.bucketing import plan_has_exchange
+
+    for name in ("tokenize_bpe_encode", "chunk_documents", "parse_quarantine"):
+        df = q.queries()[name](spark, SF_DIR)
+        assert not plan_has_exchange(df), f"{name} gained a shuffle"
+
+
+def test_url_dedup_single_shuffle_with_partial_agg(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["dedup_url_canonical"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_decayed_sum_broadcasts_the_scalar(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["rel_decayed_sum"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pq_broadcasts_codebook_and_query_table(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["ann_pq_topk"](spark, SF_DIR))
+    # codebook join + ADC table join + re-rank query join are all
+    # broadcasts; the corpus is never on the build side
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3
+
+
+def test_semantic_decontaminate_broadcasts_benchmark(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["decontaminate_semantic"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the running max is an aggregate with map-side partials, NOT a window
+    assert "windowspecdefinition" not in plan
