@@ -115,6 +115,12 @@ TPCH = [
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
+    "tpch_q11_important_balances",
+    "tpch_q15_top_supplier",
+    "tpch_q16_brand_supplier_counts",
+    "tpch_q20_supplier_semi_chain",
+    "tpch_q21_multi_exists",
+    "tpch_q22_idle_customers",
 ]
 
 _INGEST_MEMBERS = 512
