@@ -37,6 +37,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _DOCS_SCHEMA = "doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING"
 
 
+
+def _stage_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic staging dir per (kind, sf_dir): repeated runs
+    overwrite the same location instead of leaking a fresh mkdtemp per
+    invocation (the writers below all use mode("overwrite"))."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"a2ps_stage_{kind}_{tag}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → gzipped JSONL shards → generic JSONL reader →
     projection. Proves the interchange format every public text corpus
@@ -51,7 +64,7 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit on read: no sampling inference pass over 100 TB.
     """
     docs = _t(spark, sf_dir, "documents")
-    stage = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    stage = _stage_dir("jsonl", sf_dir)
     out = os.path.join(stage, "shards")
     docs.select(
         F.to_json(
@@ -90,7 +103,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism. Explicit schema on read, header off: no inference.
     """
     docs = _t(spark, sf_dir, "documents")
-    stage = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    stage = _stage_dir("csv", sf_dir)
     out = os.path.join(stage, "shards")
     (
         docs.select("doc_id", "lang", "source", "n_chars", "text")
@@ -449,7 +462,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora ship in; Spark reads/writes it natively (predicate pushdown
     and column pruning both apply, same as parquet)."""
     docs = _t(spark, sf_dir, "documents")
-    stage = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    stage = _stage_dir("orc", sf_dir)
     out = os.path.join(stage, "shards")
     docs.write.mode("overwrite").orc(out)
     return spark.read.orc(out).select(
@@ -482,7 +495,7 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     contents — type and presence must survive the round-trip.
     """
     docs = _t(spark, sf_dir, "documents")
-    stage = tempfile.mkdtemp(prefix="part_prune_")
+    stage = _stage_dir("part", sf_dir)
     out = os.path.join(stage, "by_lang")
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
     back = spark.read.parquet(out).filter(F.col("lang") == "en")
@@ -519,7 +532,7 @@ def source_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the scan cost tracks the SELECTED partitions, not the table.
     """
     docs = _t(spark, sf_dir, "documents")
-    stage = tempfile.mkdtemp(prefix="dpp_")
+    stage = _stage_dir("dpp", sf_dir)
     out = os.path.join(stage, "by_lang")
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
     fact = spark.read.parquet(out)
