@@ -73,6 +73,9 @@ HEADLINE = [
     "ann_pq_topk",
     "source_dpp_join",
     "cluster_kmeans",
+    "chunk_documents",
+    "text_tfidf_terms",
+    "multimodal_header_decode",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):
