@@ -1,18 +1,34 @@
-"""Catalog extension: corpus-format sources, malformed-record routing,
-URL-level dedup, and time-decayed aggregation.
+"""Catalog extension (continuation 4): corpus formats, curation,
+time-series, tokenizer-apply, PQ/k-means, and multimodal decode.
 
 Same contract as ``queries.py``: each entry pairs an idiomatic-Spark
 query with an ANSI-SQL oracle DuckDB runs over the same parquet views,
 every computed column aliased identically on both sides.
 
-The two ``source_*_roundtrip`` entries exercise the corpus formats an
-LLM-training pipeline actually receives (gzipped JSONL shards, quoted
-CSV) end-to-end: the documents table is serialized to the format on
-the Spark side, read back through the generic reader, and projected —
-so the oracle (the original table) certifies the write→read cycle is
-lossless, including escapes, embedded newlines, quotes, and non-ASCII.
-The parse/serialize work is all JVM (``to_json`` / the CSV datasource);
-no Python touches row data.
+Groups:
+
+- ``source_*`` — corpus-format round-trips (gzipped JSONL / quoted CSV
+  / ORC; sha-certified lossless) and layout levers (Hive partitioning
+  with planning-time pruning, runtime dynamic partition pruning).
+- ``parse_quarantine`` / ``dedup_url_canonical`` /
+  ``curation_domain_cap`` — dirty-shard routing and crawl curation.
+- ``rel_decayed_sum`` / ``rel_gapfill_hourly`` /
+  ``rel_session_window_native`` — time-series patterns (decayed
+  aggregates, gap-fill + forward fill, native session windows).
+- ``tokenize_bpe_encode`` / ``chunk_documents`` / ``text_tfidf_terms``
+  / ``decontaminate_semantic`` — the tokenizer-apply / RAG side of the
+  training pipeline.
+- ``ann_pq_topk`` / ``cluster_kmeans`` — vector ops with every float
+  hazard removed (integer micro-unit distance math) so the oracles
+  replay them bit-for-bit.
+- ``multimodal_header_decode`` — constructed PNG/WAV bytes through the
+  real Arrow decoders, oracle = the closed-form geometry.
+
+Cross-engine determinism patterns used throughout (each documented at
+its first use): integer-cents/micro-unit aggregation instead of float
+sums, half-up integer division instead of round(), idf rounded before
+products because JVM vs libm ``ln`` differs in the last ulp, and
+boundary semantics pinned empirically (session_window gap merge).
 """
 
 from __future__ import annotations
