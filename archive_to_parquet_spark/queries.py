@@ -3591,7 +3591,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
     ).distinct()
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    pr = pagerank(edges, n_iter=3, damping=0.85)
+    # the union of a distinct pair set with its reverse is distinct by
+    # construction (src/dst prefixes are disjoint) — skip the internal
+    # distinct shuffle
+    pr = pagerank(edges, n_iter=3, damping=0.85, assume_distinct=True)
     return (
         pr.select("node", F.round("rank", 10).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("node").asc())
