@@ -1178,6 +1178,36 @@ FROM documents
 
 
 
+# ---------------------------------------------------------------------------
+# Unpivot (melt) — the inverse of rel_pivot_status
+# ---------------------------------------------------------------------------
+
+
+def rel_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long: melt each part's numeric metrics into (metric,
+    value) rows with the native ``unpivot`` operator (SQL ``stack``) —
+    the inverse of `rel_pivot_status`. Per-row fan-out only, no
+    shuffle; Catalyst prunes unselected metric columns from the scan.
+    """
+    part = _t(spark, sf_dir, "part")
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select("p_partkey", "metric", F.round(F.col("value"), 2).alias("value"))
+
+
+REL_UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS metric, round(CAST(p_size AS DOUBLE), 2) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, round(p_retailprice, 2) AS value
+FROM part
+"""
+
+
+
 CATALOG = {
     "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
     "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
@@ -1208,5 +1238,9 @@ CATALOG = {
     "multimodal_header_decode": (
         multimodal_header_decode,
         MULTIMODAL_HEADER_SQL,
+    ),
+    "rel_unpivot_part_metrics": (
+        rel_unpivot_part_metrics,
+        REL_UNPIVOT_SQL,
     ),
 }
