@@ -1208,6 +1208,80 @@ FROM part
 
 
 
+# ---------------------------------------------------------------------------
+# Streaming quarantine routing (PERMISSIVE parse inside a stream)
+# ---------------------------------------------------------------------------
+
+
+def stream_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine pattern under Structured Streaming: dirty JSONL
+    shards (same deterministic corruption as `parse_quarantine`) arrive
+    through a file-stream source, are routed by a PERMISSIVE
+    ``from_json``, and per-(ok, lang) counts aggregate in complete mode
+    — what a continuously-ingesting corpus pipeline runs. Bounded input
+    driven to completion makes the result equal the batch closed form,
+    which the oracle states. State is the (ok, lang) count table —
+    tiny, watermark-free by design.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = _t(spark, sf_dir, "documents")
+    valid = F.to_json(
+        F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("lang"))
+    )
+    raw = F.when(F.col("doc_id") % 5 == 0, F.substring(valid, 1, 10)).otherwise(
+        valid
+    )
+    stage = tempfile.mkdtemp(prefix="stream_quarantine_")
+    try:
+        docs.select(raw.alias("value")).coalesce(2).write.mode(
+            "overwrite"
+        ).text(stage)
+        stream = spark.readStream.format("text").load(stage)
+        parsed = F.from_json(
+            F.col("value"),
+            "id LONG, lang STRING, _bad STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
+        )
+        agg = (
+            stream.select(parsed.alias("p"))
+            .select(
+                F.col("p._bad").isNull().cast("int").alias("ok"),
+                F.col("p.lang").alias("parsed_lang"),
+            )
+            .groupBy("ok", "parsed_lang")
+            .agg(F.count("*").alias("n"))
+        )
+        name = f"stream_quarantine_{uuid.uuid4().hex[:8]}"
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        return spark.table(name).select("ok", "parsed_lang", "n")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAM_PARSE_QUARANTINE_SQL = """
+SELECT CAST(doc_id % 5 <> 0 AS INT) AS ok,
+       CASE WHEN doc_id % 5 <> 0 THEN lang END AS parsed_lang,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+
 CATALOG = {
     "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
     "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
@@ -1242,5 +1316,9 @@ CATALOG = {
     "rel_unpivot_part_metrics": (
         rel_unpivot_part_metrics,
         REL_UNPIVOT_SQL,
+    ),
+    "stream_parse_quarantine": (
+        stream_parse_quarantine,
+        STREAM_PARSE_QUARANTINE_SQL,
     ),
 }
