@@ -703,3 +703,116 @@ def kmeans_fixed_rounds(
         ]
     final_cent = spark.createDataFrame(cent_rows, "cid int, cv array<double>")
     return assign(final_cent)
+
+
+def dbscan_from_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    min_neighbors: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Density clustering (DBSCAN) given a precomputed ε-neighbor pair
+    list — the candidate generator is pluggable: exact broadcast pairs
+    for small corpora (`cosine_dbscan` below), `embedding_near_duplicates`
+    LSH buckets at 100 TB; the clustering logic is identical.
+
+    Standard DBSCAN roles: a point with ≥ ``min_neighbors`` ε-neighbors
+    is CORE; non-core points adjacent to a core point are BORDER
+    (attached to the smallest adjacent core cluster — the deterministic
+    tie-break); everything else is NOISE (cluster −1). Cluster labels
+    are the minimum core id of each core component.
+
+    Scale shape: one explode of the pair list + count agg for degrees,
+    `connected_components` over the core-core subgraph (min-label
+    propagation, shallow for density clusters), and one broadcast-sized
+    join to attach borders. Everything shuffles on point/pair ids only.
+    Returns (vec_id, role, cluster).
+    """
+    from archive_to_parquet_spark.operators.dedup import connected_components
+
+    # the pair list feeds FOUR consumers (degrees, two core semi-joins,
+    # border attach) — materialize it once or the candidate generator's
+    # join re-executes per consumer (measured 5× end-to-end on the
+    # exact-pairs form at sf0.1)
+    pairs = pairs.localCheckpoint()
+    directed = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"))
+    )
+    deg = directed.groupBy("id").agg(F.count("*").alias("n_nbrs"))
+    core = deg.filter(F.col("n_nbrs") >= min_neighbors).select("id")
+    core_edges = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
+    # isolated core points (no core neighbor) still form their own
+    # cluster — seed the component table with self-loops
+    comps = connected_components(
+        core_edges.unionByName(
+            core.select(F.col("id").alias("id_a"), F.col("id").alias("id_b"))
+        )
+    )
+    core_lbl = comps.select("id", F.col("component").alias("cluster"))
+    border_lbl = (
+        directed.join(core_lbl.withColumnRenamed("id", "nbr"), "nbr")
+        .join(core, "id", "left_anti")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    labeled = core_lbl.select(
+        "id", F.lit("core").alias("role"), "cluster"
+    ).unionByName(
+        border_lbl.select("id", F.lit("border").alias("role"), "cluster")
+    )
+    return (
+        points.select(F.col(id_col).alias("id"))
+        .join(labeled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            F.coalesce("cluster", F.lit(-1)).alias("cluster"),
+        )
+    )
+
+
+def cosine_dbscan(
+    df: DataFrame,
+    threshold: float = 0.95,
+    min_neighbors: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DBSCAN with exact cosine ε-neighbors (similarity ≥ threshold,
+    compared after 6dp rounding so an engine-order ulp can't flip a
+    boundary pair). The all-pairs generator is the exact-baseline path
+    (norms hoisted below the join); swap in LSH pairs at corpus scale.
+    """
+    from archive_to_parquet_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm_col,
+    )
+
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm_col(vec_col).alias("n"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                cosine_from_norms(
+                    F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")
+                ),
+                6,
+            ).alias("cos6"),
+        )
+        .filter(F.col("cos6") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return dbscan_from_pairs(df, pairs, min_neighbors, id_col)

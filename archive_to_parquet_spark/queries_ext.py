@@ -1282,6 +1282,71 @@ GROUP BY 1, 2
 
 
 
+# ---------------------------------------------------------------------------
+# Density clustering (DBSCAN) over embeddings
+# ---------------------------------------------------------------------------
+
+
+def cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embedding corpus with planted density structure:
+    the natural vectors are mutually distant (max pairwise cosine
+    ≈ 0.51, far below the 0.95 ε), so every natural point is NOISE;
+    each seed (vec_id % 50 == 0) gets deterministic ±1–2%-per-dim
+    perturbed copies — one copy for even seed ranks (a pair: both
+    degree-1, still noise at min_neighbors=2) and two copies for odd
+    ranks (a triangle: all three CORE, cluster = seed id). The oracle
+    states the closed form the construction implies; the generic
+    machinery (exact ε-pairs → degrees → core components → border
+    attach) is exercised on crafted geometry incl. borders in
+    tests/test_queries_ext. See operators/similarity.dbscan_from_pairs
+    for the LSH-pair form at corpus scale.
+    """
+    from archive_to_parquet_spark.operators.similarity import cosine_dbscan
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seeds = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def planted(k: int):
+        src = seeds if k == 1 else seeds.filter(
+            (F.col("vec_id") / 50).cast("long") % 2 == 1
+        )
+        return src.select(
+            (F.col("vec_id") + k * 1000000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * (1 + 0.01 * k * (((i + 1 + k) % 3) - 1).cast("double")),
+            ).alias("embedding"),
+        )
+
+    corpus = emb.unionByName(planted(1)).unionByName(planted(2))
+    return cosine_dbscan(corpus, threshold=0.95, min_neighbors=2)
+
+
+CLUSTER_DBSCAN_SQL = """
+WITH pts AS (
+  SELECT vec_id, CAST(vec_id AS BIGINT) AS seed, 0 AS is_copy
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, vec_id, 1 FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT vec_id + 2000000, vec_id, 1 FROM embeddings
+  WHERE vec_id % 50 = 0 AND (vec_id // 50) % 2 = 1
+)
+SELECT vec_id,
+       CASE WHEN (seed % 50 = 0 AND (seed // 50) % 2 = 1)
+             AND (is_copy = 1 OR vec_id = seed)
+            THEN 'core' ELSE 'noise' END AS role,
+       CASE WHEN (seed % 50 = 0 AND (seed // 50) % 2 = 1)
+             AND (is_copy = 1 OR vec_id = seed)
+            THEN seed ELSE -1 END AS cluster
+FROM pts
+"""
+
+
+
 CATALOG = {
     "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
     "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
@@ -1321,4 +1386,5 @@ CATALOG = {
         stream_parse_quarantine,
         STREAM_PARSE_QUARANTINE_SQL,
     ),
+    "cluster_dbscan": (cluster_dbscan, CLUSTER_DBSCAN_SQL),
 }

@@ -272,3 +272,35 @@ def test_chunk_documents_window_geometry(spark, tmp_path):
     # 2-word doc → a single short chunk; empty doc → no chunks
     assert [(c, l) for d, c, l, _ in out if d == 1] == [(0, 2)]
     assert not [1 for d, *_ in out if d == 2]
+
+
+def test_cosine_dbscan_roles_on_crafted_geometry(spark):
+    """A 15°-apart chain A-B-C (cos 15° ≈ .966 ≥ .95, cos 30° ≈ .866 <
+    .95): B is core, A and C are border attached to B's cluster. An
+    isolated far vector is noise; a separate 4-clique is all core."""
+    import math
+
+    from archive_to_parquet_spark.operators.similarity import cosine_dbscan
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    rows = [
+        (0, rot(0)),      # A: border (only neighbor B)
+        (1, rot(15)),     # B: core (A and C within 15°)
+        (2, rot(30)),     # C: border
+        (9, [0.0, 0.0, 1.0, 0.0]),  # orthogonal: noise
+        # 4-clique at 90°: 1° apart pairwise → all core
+        (20, rot(90)),
+        (21, rot(91)),
+        (22, rot(92)),
+        (23, rot(89)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.role, r.cluster) for r in cosine_dbscan(df, 0.95, 2).collect()}
+    assert out[1] == ("core", 1)
+    assert out[0] == ("border", 1) and out[2] == ("border", 1)
+    assert out[9] == ("noise", -1)
+    for v in (20, 21, 22, 23):
+        assert out[v] == ("core", 20)
