@@ -1347,6 +1347,59 @@ FROM pts
 
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution: mergeSchema read across dataset generations
+# ---------------------------------------------------------------------------
+
+
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two dataset generations under one root — generation 1 without a
+    ``quality`` column, generation 2 with it — read back in one scan
+    with ``mergeSchema``: old rows surface NULL quality, new rows keep
+    theirs, and a filter on the evolved column still prunes. This is
+    the append-only corpus evolution story (new curation columns arrive
+    mid-corpus; no rewrite of old shards).
+
+    Scale note: ``mergeSchema`` reconciles footers at planning time —
+    cost scales with file count, not data; production pins the merged
+    schema explicitly once known (as any fixed-schema read here would).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    stage = _stage_dir("evolve", sf_dir)
+    out = os.path.join(stage, "gens")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    g1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    g2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") % 100).cast("int").alias("quality"),
+    )
+    g1.write.parquet(os.path.join(out, "gen=1"))
+    g2.write.parquet(os.path.join(out, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("quality").alias("n_with_quality"),
+        F.coalesce(F.sum("quality"), F.lit(0)).alias("quality_sum"),
+    )
+
+
+SOURCE_SCHEMA_EVOLUTION_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_quality,
+       CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END), 0)
+         AS BIGINT) AS quality_sum
+FROM documents
+GROUP BY lang
+"""
+
+
+
 CATALOG = {
     "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
     "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
@@ -1387,4 +1440,8 @@ CATALOG = {
         STREAM_PARSE_QUARANTINE_SQL,
     ),
     "cluster_dbscan": (cluster_dbscan, CLUSTER_DBSCAN_SQL),
+    "source_schema_evolution": (
+        source_schema_evolution,
+        SOURCE_SCHEMA_EVOLUTION_SQL,
+    ),
 }
