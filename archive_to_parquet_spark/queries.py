@@ -3465,6 +3465,13 @@ _CATALOG.update(_tpch.CATALOG)
 from archive_to_parquet_spark import queries_ext as _ext  # noqa: E402
 
 _CATALOG.update(_ext.CATALOG)
+# the index-probe twin must be score-exact vs the corpus-scan BM25 —
+# same oracle (set here: a module-level import in queries_ext would be
+# circular)
+_CATALOG["search_index_probe"] = (
+    _CATALOG["search_index_probe"][0],
+    SEARCH_BM25_SQL,
+)
 
 
 def queries() -> dict[str, QueryFn]:

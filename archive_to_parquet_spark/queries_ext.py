@@ -1400,6 +1400,97 @@ GROUP BY lang
 
 
 
+# ---------------------------------------------------------------------------
+# Persisted search index + probe (corpus never rescanned per query)
+# ---------------------------------------------------------------------------
+
+
+def search_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against a PERSISTED inverted index: the postings table
+    (term, doc_id, tf) and doc-length table are built once and written
+    as parquet artifacts (postings sorted by term within files, so
+    row-group stats narrow term lookups); the probe phase answers the
+    same queries as `search_bm25` reading ONLY the index — the corpus
+    text is never rescanned per query batch, which is the economics of
+    a standing search index at 100 TB (index build amortizes, probes
+    touch postings for query terms only via pushed-down term filters).
+    Output contract and oracle are identical to `search_bm25` — the
+    index round-trip must be score-exact.
+    """
+    from pyspark.sql import Window
+
+    from archive_to_parquet_spark.queries import _BM25_QUERIES
+
+    docs = _t(spark, sf_dir, "documents")
+    stage = _stage_dir("searchidx", sf_dir)
+    postings_path = os.path.join(stage, "postings")
+    doclen_path = os.path.join(stage, "doclen")
+
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf_build = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    (
+        tf_build.repartition("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(postings_path)
+    )
+    tf_build.groupBy("doc_id").agg(F.sum("tf").alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(doclen_path)
+
+    # ---- probe phase: index artifacts only ----
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    tf = spark.read.parquet(postings_path).filter(F.col("term").isin(terms))
+    dl = spark.read.parquet(doclen_path)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_counts), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )
+
+
+
+# search_index_probe's oracle is SEARCH_BM25_SQL (identical output
+# contract); queries.py patches it in after the merge — a module-level
+# import here would be circular.
 CATALOG = {
     "source_jsonl_roundtrip": (source_jsonl_roundtrip, SOURCE_JSONL_SQL),
     "source_csv_roundtrip": (source_csv_roundtrip, SOURCE_CSV_SQL),
@@ -1444,4 +1535,5 @@ CATALOG = {
         source_schema_evolution,
         SOURCE_SCHEMA_EVOLUTION_SQL,
     ),
+    "search_index_probe": (search_index_probe, None),
 }
