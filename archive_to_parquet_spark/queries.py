@@ -190,6 +190,8 @@ FROM documents GROUP BY 1
 
 
 def q4b_distinct_hash_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 cardinality check: COUNT(DISTINCT sha256(content)) — the
+    dedup set size without depending on nondeterministic winners."""
     return _t(spark, sf_dir, "documents").agg(
         F.countDistinct(F.sha2("text", 256)).alias("n_distinct")
     )
