@@ -1488,6 +1488,172 @@ def search_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+# ---------------------------------------------------------------------------
+# Distributed model training: logistic regression, bit-exact
+# ---------------------------------------------------------------------------
+
+_LOGREG_ROUNDS = 5
+_LOGREG_LR = 10.0
+
+
+def train_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed supervised training, oracle-exact: a logistic
+    regression predicting the corpus's length gate (``n_chars >= 300``
+    — the only label the synthetic corpus makes learnable: its ``lang``
+    column is uncorrelated with the text) from capped text features
+    (bias, word count, mean word length, char length), trained with
+    full-batch gradient descent. The demonstration is the MACHINERY —
+    distributed GD recovering a separating rule bit-exactly — not
+    feature engineering.
+
+    The fasttext-style quality/language classifier pattern at corpus
+    scale: each round is ONE map-side-combinable aggregation over the
+    corpus (per-feature gradient sums); weights are vocabulary-sized
+    driver state (the bpe_merge_rounds / kmeans precedent). Bit-exact
+    across engines by the integer discipline: features and per-row
+    gradients are integer micro-units (so gradient SUMS are exact in
+    any order), weights are integers, and the only transcendental
+    (sigmoid) is integerized per row immediately after evaluation.
+    Returns one row: final weights (micro-units), n_rows, and training
+    accuracy by sign check (z >= 0 — no float rounding in the metric).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.array_remove(F.split(F.lower("text"), r"\s+"), "")
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("double")
+
+    def e6(col):
+        return F.round(col * 1e6, 0).cast("long")
+
+    raw = docs.select(
+        (F.length("text") >= 300).cast("int").alias("y"),
+        e6(F.least(n_words, F.lit(200.0)) / 200.0).alias("x1"),
+        e6(
+            F.least(F.length("text") / n_words, F.lit(20.0)) / 20.0
+        ).alias("x2"),
+        e6(F.least(F.length("text"), F.lit(1000)) / 1000.0).alias("x3"),
+    ).localCheckpoint()
+    # center the non-bias features on the corpus mean (one distributed
+    # agg; integer half-up means so both engines center identically) —
+    # uncentered all-positive features make full-batch GD crawl: the
+    # separating rule then lives almost entirely in the intercept
+    mrow = raw.agg(
+        *[
+            F.expr(f"(2 * sum(x{k}) + count(*)) div (2 * count(*))").alias(
+                f"m{k}"
+            )
+            for k in (1, 2, 3)
+        ]
+    ).first()
+    feats = raw.select(
+        "y",
+        F.lit(1000000).cast("long").alias("x0"),
+        *[
+            (F.col(f"x{k}") - F.lit(int(mrow[f"m{k}"]))).alias(f"x{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+
+    ks = range(4)
+    w = [0, 0, 0, 0]  # integer micro-units
+    n_rows = None
+    for _ in range(_LOGREG_ROUNDS):
+        z = sum(
+            (F.lit(w[k]) / F.lit(1e6)) * (F.col(f"x{k}") / F.lit(1e6))
+            for k in ks
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        aggs = [
+            F.sum(
+                F.round((p - F.col("y")) * (F.col(f"x{k}") / 1e6) * 1e6, 0)
+            ).cast("long").alias(f"g{k}")
+            for k in ks
+        ]
+        row = feats.agg(F.count("*").alias("n"), *aggs).first()
+        n_rows = row["n"]
+        w = [
+            w[k] - int(round(_LOGREG_LR * row[f"g{k}"] / n_rows))
+            for k in ks
+        ]
+    zf = sum(
+        (F.lit(w[k]) / F.lit(1e6)) * (F.col(f"x{k}") / F.lit(1e6)) for k in ks
+    )
+    acc = feats.agg(
+        F.sum(((zf >= 0).cast("int") == F.col("y")).cast("int")).alias(
+            "n_correct"
+        )
+    ).first()["n_correct"]
+    return spark.createDataFrame(
+        [(w[0], w[1], w[2], w[3], n_rows, acc)],
+        "w0_e6 long, w1_e6 long, w2_e6 long, w3_e6 long, "
+        "n_rows long, n_correct long",
+    )
+
+
+def _logreg_oracle_sql() -> str:
+    ks = range(4)
+    nw = (
+        "greatest(len(list_filter(string_split_regex(lower(text), "
+        "'\\s+'), w -> w <> '')), 1)"
+    )
+
+    def z(wtbl):
+        return " + ".join(
+            f"({wtbl}.w{k} / 1e6) * (f.x{k} / 1e6)" for k in ks
+        )
+
+    sql = f"""
+WITH raw_feats AS (
+  SELECT CAST(length(text) >= 300 AS INT) AS y,
+         CAST(1000000 AS BIGINT) AS x0,
+         CAST(round(least({nw}, 200) / 200.0 * 1e6) AS BIGINT) AS x1,
+         CAST(round(least(length(text) / CAST({nw} AS DOUBLE), 20.0)
+             / 20.0 * 1e6) AS BIGINT) AS x2,
+         CAST(round(least(length(text), 1000) / 1000.0 * 1e6)
+           AS BIGINT) AS x3
+  FROM documents
+), means AS (
+  SELECT CAST((2 * SUM(x1) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS m1,
+         CAST((2 * SUM(x2) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS m2,
+         CAST((2 * SUM(x3) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS m3
+  FROM raw_feats
+), feats AS (
+  SELECT y, x0, x1 - m1 AS x1, x2 - m2 AS x2, x3 - m3 AS x3
+  FROM raw_feats, means
+), n AS (SELECT COUNT(*) AS n FROM feats),
+w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)
+"""
+    prev = "w0"
+    for r in range(1, _LOGREG_ROUNDS + 1):
+        gsel = ", ".join(
+            f"CAST(SUM(round(((1.0 / (1.0 + exp(-({z(prev)})))) - f.y)"
+            f" * (f.x{k} / 1e6) * 1e6)) AS BIGINT) AS g{k}"
+            for k in ks
+        )
+        wsel = ", ".join(
+            f"CAST({prev}.w{k} - round({_LOGREG_LR} * g.g{k} / n.n) AS BIGINT)"
+            f" AS w{k}"
+            for k in ks
+        )
+        sql += f""", g{r} AS (
+  SELECT {gsel} FROM feats f, {prev}
+), w{r} AS (
+  SELECT {wsel} FROM g{r} g, {prev}, n
+)
+"""
+        prev = f"w{r}"
+    zf = z(prev)
+    sql += f"""
+SELECT {prev}.w0 AS w0_e6, {prev}.w1 AS w1_e6, {prev}.w2 AS w2_e6,
+       {prev}.w3 AS w3_e6, n.n AS n_rows,
+       (SELECT CAST(SUM(CAST((CAST(({zf}) >= 0 AS INT)) = f.y AS INT))
+          AS BIGINT) FROM feats f, {prev}) AS n_correct
+FROM {prev}, n
+"""
+    return sql
+
+
 # search_index_probe's oracle is SEARCH_BM25_SQL (identical output
 # contract); queries.py patches it in after the merge — a module-level
 # import here would be circular.
@@ -1536,4 +1702,5 @@ CATALOG = {
         SOURCE_SCHEMA_EVOLUTION_SQL,
     ),
     "search_index_probe": (search_index_probe, None),
+    "train_logreg_quality": (train_logreg_quality, _logreg_oracle_sql()),
 }

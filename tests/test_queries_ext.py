@@ -304,3 +304,17 @@ def test_cosine_dbscan_roles_on_crafted_geometry(spark):
     assert out[9] == ("noise", -1)
     for v in (20, 21, 22, 23):
         assert out[v] == ("core", 20)
+
+
+def test_logreg_learns_separable_rule(spark, tmp_path):
+    """On a cleanly separable corpus (short vs long texts), the trained
+    model must classify near-perfectly and weight the length feature
+    positively."""
+    texts = ["word " * 20] * 15 + ["word " * 200] * 15  # 100 vs 1000 chars
+    _write_docs(spark, tmp_path, texts)
+    from archive_to_parquet_spark.queries_ext import train_logreg_quality
+
+    r = train_logreg_quality(spark, str(tmp_path)).collect()[0]
+    assert r.n_rows == 30
+    assert r.n_correct == 30, (r.w0_e6, r.w1_e6, r.w2_e6, r.w3_e6)
+    assert r.w3_e6 > 0
