@@ -3474,6 +3474,10 @@ _CATALOG["search_index_probe"] = (
     _CATALOG["search_index_probe"][0],
     SEARCH_BM25_SQL,
 )
+_CATALOG["eval_ndcg_bm25"] = (
+    _CATALOG["eval_ndcg_bm25"][0],
+    _ext._ndcg_oracle_sql(),
+)
 
 
 def queries() -> dict[str, QueryFn]:

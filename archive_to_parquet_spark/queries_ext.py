@@ -1654,6 +1654,133 @@ FROM {prev}, n
     return sql
 
 
+
+# ---------------------------------------------------------------------------
+# Ranking evaluation: nDCG@10 for the BM25 retriever
+# ---------------------------------------------------------------------------
+
+# log2 discounts as PRECOMPUTED nano-unit integers (1e9/log2(rank+1)),
+# plus their prefix sums for the ideal DCG — embedding the constants as
+# literals sidesteps the JVM-vs-libm log ulp divergence entirely, and
+# integer DCG sums are exact in any accumulation order.
+_NDCG_DISC_E9 = [1000000000, 630929754, 500000000, 430676558, 386852807, 356207187, 333333333, 315464877, 301029996, 289064826]
+_NDCG_IDCG_E9 = [1000000000, 1630929754, 2130929754, 2561606312, 2948459119, 3304666306, 3637999639, 3953464516, 4254494512, 4543559338]
+
+
+def eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 retriever against a deterministic relevance
+    rule — a document is relevant to a query iff it contains EVERY
+    query term. The evaluation-harness pattern for a retrieval stack:
+    rankings from `search_bm25` (unchanged), relevance labels from one
+    corpus scan with the broadcast term list, DCG/IDCG in exact integer
+    nano-units, ndcg = round(dcg/idcg, 6) on bit-identical integers.
+    Returns (query_id, n_rel, ndcg).
+    """
+    from archive_to_parquet_spark.queries import _BM25_QUERIES, search_bm25
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = search_bm25(spark, sf_dir)
+    qterms = spark.createDataFrame(
+        [(qid, t, len(terms)) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, term string, n_terms int",
+    )
+    # relevant (query_id, doc_id): docs containing every term
+    rel = (
+        docs.crossJoin(F.broadcast(qterms))
+        .filter(F.contains(F.lower("text"), F.col("term")))
+        .groupBy("query_id", "doc_id", "n_terms")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    n_rel = rel.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC_E9]), F.col("rank")
+    )
+    dcg = (
+        ranked.join(
+            rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce("is_rel", F.lit(0)).cast("long") * disc
+            ).alias("dcg_e9")
+        )
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(v) for v in _NDCG_IDCG_E9]),
+        F.least(F.col("n_rel"), F.lit(10)).cast("int"),
+    )
+    return (
+        dcg.join(n_rel, "query_id", "full")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            F.when(F.coalesce("n_rel", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("dcg_e9", F.lit(0)) / idcg, 6
+                )
+            )
+            .alias("ndcg"),
+        )
+    )
+
+
+def _ndcg_oracle_sql() -> str:
+    from archive_to_parquet_spark.queries import (
+        _BM25_QUERIES,
+        SEARCH_BM25_SQL,
+    )
+
+    terms = ", ".join(
+        "('{qid}', '{t}', {n})".format(qid=qid, t=t, n=len(ts))
+        for qid, ts in _BM25_QUERIES
+        for t in ts
+    )
+    disc = ", ".join(
+        "({i}, CAST({d} AS BIGINT))".format(i=i + 1, d=d)
+        for i, d in enumerate(_NDCG_DISC_E9)
+    )
+    idcg = ", ".join(
+        "({i}, CAST({v} AS BIGINT))".format(i=i + 1, v=v)
+        for i, v in enumerate(_NDCG_IDCG_E9)
+    )
+    bm25 = SEARCH_BM25_SQL
+    return f"""
+WITH ranked AS ({bm25}),
+q(query_id, term, n_terms) AS (VALUES {terms}),
+disc(rank, d_e9) AS (VALUES {disc}),
+idcg_t(k, idcg_e9) AS (VALUES {idcg}),
+rel AS (
+  SELECT q.query_id, d.doc_id
+  FROM documents d CROSS JOIN q
+  WHERE contains(lower(d.text), q.term)
+  GROUP BY q.query_id, d.doc_id, q.n_terms
+  HAVING COUNT(*) = q.n_terms
+),
+n_rel AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY 1),
+dcg AS (
+  SELECT r.query_id,
+         SUM(CASE WHEN rel.doc_id IS NOT NULL THEN disc.d_e9 ELSE 0 END)
+           AS dcg_e9
+  FROM ranked r
+  JOIN disc ON disc.rank = r.rank
+  LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  GROUP BY r.query_id
+)
+SELECT COALESCE(d.query_id, n.query_id) AS query_id,
+       COALESCE(n.n_rel, 0) AS n_rel,
+       CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN 0.0
+            ELSE round(COALESCE(d.dcg_e9, 0)
+                   / CAST(i.idcg_e9 AS DOUBLE), 6) END AS ndcg
+FROM dcg d
+FULL JOIN n_rel n ON d.query_id = n.query_id
+LEFT JOIN idcg_t i ON i.k = least(COALESCE(n.n_rel, 0), 10)
+"""
+
+
 # search_index_probe's oracle is SEARCH_BM25_SQL (identical output
 # contract); queries.py patches it in after the merge — a module-level
 # import here would be circular.
@@ -1703,4 +1830,5 @@ CATALOG = {
     ),
     "search_index_probe": (search_index_probe, None),
     "train_logreg_quality": (train_logreg_quality, _logreg_oracle_sql()),
+    "eval_ndcg_bm25": (eval_ndcg_bm25, None),
 }
