@@ -1781,6 +1781,62 @@ LEFT JOIN idcg_t i ON i.k = least(COALESCE(n.n_rel, 0), 10)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Privacy: k-anonymity audit + suppression
+# ---------------------------------------------------------------------------
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity over the quasi-identifier pair (lang, source): every
+    equivalence class smaller than k=5 is SUPPRESSED (its identifiers
+    generalized to '*'), the rest released as-is — the
+    compliance-release step that complements `text_pii_redact` (cell
+    content) with group-level protection. Output is the released
+    class table: identifiers, class size, and suppression flag; the
+    suppressed remainder is pooled into one '*' row so the release
+    still accounts for every document.
+
+    Scale: one groupBy on the quasi-identifier tuple with map-side
+    partials + a re-agg of the (tiny) suppressed classes. k-anonymity
+    at 100 TB is exactly this shape — the class table is orders of
+    magnitude smaller than the corpus.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    classes = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("class_size")
+    )
+    released = classes.filter(F.col("class_size") >= 5).select(
+        "lang", "source", "class_size", F.lit(0).alias("suppressed")
+    )
+    pooled = (
+        classes.filter(F.col("class_size") < 5)
+        .agg(F.coalesce(F.sum("class_size"), F.lit(0)).alias("class_size"))
+        .select(
+            F.lit("*").alias("lang"),
+            F.lit("*").alias("source"),
+            "class_size",
+            F.lit(1).alias("suppressed"),
+        )
+        .filter(F.col("class_size") > 0)
+    )
+    return released.unionByName(pooled)
+
+
+PRIVACY_K_ANON_SQL = """
+WITH classes AS (
+  SELECT lang, source, COUNT(*) AS class_size
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, class_size, 0 AS suppressed
+FROM classes WHERE class_size >= 5
+UNION ALL
+SELECT '*', '*', SUM(class_size), 1
+FROM classes WHERE class_size < 5
+HAVING SUM(class_size) > 0
+"""
+
+
 # search_index_probe's oracle is SEARCH_BM25_SQL (identical output
 # contract); queries.py patches it in after the merge — a module-level
 # import here would be circular.
@@ -1831,4 +1887,5 @@ CATALOG = {
     "search_index_probe": (search_index_probe, None),
     "train_logreg_quality": (train_logreg_quality, _logreg_oracle_sql()),
     "eval_ndcg_bm25": (eval_ndcg_bm25, None),
+    "privacy_k_anonymity": (privacy_k_anonymity, PRIVACY_K_ANON_SQL),
 }
