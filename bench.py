@@ -76,6 +76,11 @@ HEADLINE = [
     "chunk_documents",
     "text_tfidf_terms",
     "multimodal_header_decode",
+    "train_logreg_quality",
+    "eval_ndcg_bm25",
+    "search_index_probe",
+    "rel_session_window_native",
+    "privacy_k_anonymity",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):
