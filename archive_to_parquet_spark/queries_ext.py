@@ -1837,6 +1837,128 @@ HAVING SUM(class_size) > 0
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch heuristic)
+# ---------------------------------------------------------------------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three regex counts —
+    words, sentences, vowel-group "syllables" — the classic readability
+    quality signal. 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words); all inputs are integer counts, so the
+    score is the same double on both engines (rounded 4dp). Pure
+    per-row JVM regex, no shuffle. The regexes are shared verbatim
+    with the oracle (Java-regex/RE2 common subset).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    )
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    w = F.greatest(words, F.lit(1)).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / w)
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(score, 4).alias("flesch"),
+    )
+
+
+TEXT_READABILITY_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+       greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+       len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+       round(206.835
+             - 1.015 * (CAST(greatest(len(regexp_extract_all(lower(text),
+                 '[a-z0-9]+')), 1) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                 '[aeiouy]+')) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')), 1)), 4) AS flesch
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit: Benford first-digit distribution
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in nano-units — precomputed so neither engine
+# evaluates a transcendental
+_BENFORD_E9 = [(1, 301029996), (2, 176091259), (3, 124938737), (4, 96910013), (5, 79181246), (6, 66946790), (7, 57991947), (8, 51152522), (9, 45757491)]
+
+
+def audit_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of l_extendedprice: observed first-digit
+    frequencies vs the expected log distribution — the classic
+    fabricated-numbers screen for a numeric column. One groupBy on the
+    digit (9 groups); expectation as integer nano-unit literals.
+    Emits per digit: count, observed_e9 (exact integer half-up rate),
+    expected_e9, and the absolute gap.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        li.select(digit.alias("digit"))
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = spark.createDataFrame(
+        _BENFORD_E9, "digit int, expected_e9 long"
+    )
+    obs = F.expr("(2 * n * 1000000000 + total) div (2 * total)")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(expected), "digit")
+        .select(
+            "digit",
+            "n",
+            obs.alias("observed_e9"),
+            "expected_e9",
+            F.abs(obs - F.col("expected_e9")).alias("gap_e9"),
+        )
+    )
+
+
+AUDIT_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM lineitem
+), counts AS (
+  SELECT digit, COUNT(*) AS n FROM d WHERE digit >= 1 GROUP BY digit
+), t AS (SELECT SUM(n) AS total FROM counts),
+e(digit, expected_e9) AS (VALUES (1, 301029996), (2, 176091259), (3, 124938737), (4, 96910013), (5, 79181246), (6, 66946790), (7, 57991947), (8, 51152522), (9, 45757491))
+SELECT c.digit, c.n,
+       (2 * c.n * 1000000000 + t.total) // (2 * t.total) AS observed_e9,
+       e.expected_e9,
+       abs((2 * c.n * 1000000000 + t.total) // (2 * t.total)
+           - e.expected_e9) AS gap_e9
+FROM counts c, t
+JOIN e ON e.digit = c.digit
+"""
+
+
 # search_index_probe's oracle is SEARCH_BM25_SQL (identical output
 # contract); queries.py patches it in after the merge — a module-level
 # import here would be circular.
@@ -1888,4 +2010,6 @@ CATALOG = {
     "train_logreg_quality": (train_logreg_quality, _logreg_oracle_sql()),
     "eval_ndcg_bm25": (eval_ndcg_bm25, None),
     "privacy_k_anonymity": (privacy_k_anonymity, PRIVACY_K_ANON_SQL),
+    "text_readability": (text_readability, TEXT_READABILITY_SQL),
+    "audit_benford_prices": (audit_benford_prices, AUDIT_BENFORD_SQL),
 }
