@@ -161,6 +161,28 @@ def main(argv: list[str] | None = None) -> int:
             )
             from archive_to_parquet_spark.plans.crawl import crawl_to_documents
 
+            if args.incremental:
+                if args.output_format == "jsonl":
+                    print(
+                        "error: --incremental requires the parquet output "
+                        "format (the doc_id probe reads the existing "
+                        "dataset's id column)",
+                        file=sys.stderr,
+                    )
+                    return 2
+                from archive_to_parquet_spark.plans.crawl import (
+                    crawl_to_documents_incremental,
+                )
+
+                rows, chars = crawl_to_documents_incremental(
+                    spark, paths, args.output, options, urls=args.urls
+                )
+                if not args.no_progress:
+                    print(
+                        f"appended {rows} new documents ({chars} chars) "
+                        f"to {args.output}"
+                    )
+                return 0
             obs = Observation("crawl")
             df = crawl_to_documents(spark, paths, options, urls=args.urls).observe(
                 obs, F.count(F.lit(1)).alias("rows"), F.sum("n_chars").alias("chars")

@@ -88,3 +88,40 @@ def crawl_to_documents(
     return documents_from_entries(
         read_archives(spark, inputs, options, urls=urls)
     )
+
+
+def crawl_to_documents_incremental(
+    spark,
+    paths,
+    output: str,
+    options=None,
+    urls: bool = False,
+):
+    """Append-only crawl ingestion: documents whose ``doc_id`` (the
+    content-hash-derived id) already exists in ``output`` are skipped —
+    the steady-state mode for a continuously-recrawled corpus. Same
+    anti-join economics as ``convert_incremental``: the probe reads
+    ONLY the doc_id column of the existing dataset; cost tracks the new
+    batch + the id index, never total corpus bytes. Returns
+    (n_new_rows, n_new_chars) after the append.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = crawl_to_documents(spark, paths, options, urls=urls)
+    try:
+        existing = spark.read.parquet(output).select("doc_id")
+    except AnalysisException:
+        existing = None  # first batch
+    if existing is not None:
+        df = df.join(existing, "doc_id", "left_anti")
+    obs = Observation("crawl_incremental")
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+    )
+    df.write.mode("append").parquet(output)
+    got = obs.get
+    return int(got["rows"]), int(got["chars"] or 0)

@@ -278,3 +278,48 @@ def test_cli_documents_jsonl_output(tmp_path):
     assert lines[0]["url"] == "http://j.example/"
     assert lines[0]["title"] == "J"
     assert lines[0]["text"] == "the jsonl output works for the crawl"
+
+
+def test_cli_documents_incremental_appends_only_new(tmp_path):
+    """--documents --incremental: a re-crawl containing an already-
+    ingested page plus a new one appends ONLY the new document."""
+    import pyarrow.parquet as pq
+
+    from archive_to_parquet_spark.cli import main
+
+    def crawl_file(name, pages):
+        body = b"".join(
+            warc_record("response", http_response(html), uri=uri)
+            for uri, html in pages
+        )
+        path = tmp_path / name
+        path.write_bytes(gzip.compress(body))
+        return str(path)
+
+    page_a = (
+        "http://a.example/",
+        b"<html><body><p>the first page of the crawl corpus</p></body></html>",
+    )
+    page_b = (
+        "http://b.example/",
+        b"<html><body><p>the second page arrives in the recrawl</p></body></html>",
+    )
+    out = str(tmp_path / "docs.parquet")
+    rc = main(
+        ["--documents", "--incremental", "--no-progress", out,
+         crawl_file("c1.warc.gz", [page_a])]
+    )
+    assert rc == 0
+    assert pq.read_table(out).num_rows == 1
+    # recrawl ships page_a AGAIN plus the new page_b
+    rc = main(
+        ["--documents", "--incremental", "--no-progress", out,
+         crawl_file("c2.warc.gz", [page_a, page_b])]
+    )
+    assert rc == 0
+    table = pq.read_table(out)
+    assert table.num_rows == 2
+    assert sorted(r["url"] for r in table.to_pylist()) == [
+        "http://a.example/",
+        "http://b.example/",
+    ]
