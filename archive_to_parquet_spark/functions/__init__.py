@@ -23,7 +23,6 @@ from archive_to_parquet_spark.functions.strings import (
 from archive_to_parquet_spark.functions.text import (
     language_id_col,
     quality_score_cols,
-    simhash64,
     token_count_col,
 )
 from archive_to_parquet_spark.functions.vectors import (
@@ -45,7 +44,6 @@ __all__ = [
     "token_count_col",
     "language_id_col",
     "quality_score_cols",
-    "simhash64",
     "cosine_similarity_col",
     "l2_norm_col",
 ]

@@ -1,15 +1,13 @@
 """Text-analysis functions for training-data pipelines.
 
-All hot-path functions are pure column expressions (JVM-side,
-whole-stage codegen) — language ID, quality scoring, token counting,
-and fingerprinting all stay out of Python. SimHash is the one
-Arrow-batched pandas_udf (bit-bucketing over hashed shingles has no
-built-in equivalent).
+All functions are pure column expressions (JVM-side, whole-stage
+codegen) — language ID, quality scoring, token counting, and
+fingerprinting all stay out of Python. SimHash lives in
+``operators.dedup.simhash_chunk_signatures`` (also fully JVM-side).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -308,47 +306,10 @@ def fingerprint64_col(text: Column | str) -> Column:
     return F.xxhash64(normalized)
 
 
-# -- SimHash (pandas UDF — numpy bit-matrix voting) ----------------------------
+# -- SimHash ------------------------------------------------------------------
 #
-# NOTE: the dedup pipeline no longer uses this — operators/dedup.py
-# computes SimHash fully JVM-side (md5 nibble bit-votes, oracle-checkable
-# against DuckDB). This stays as a standalone utility for callers who
-# want a single int64 signature column; the bit voting is vectorized
-# (one (n_grams, 64) unpacked bit matrix per row, column-summed) so the
-# only per-gram Python work is the blake2b call itself.
-
-
-def _simhash64_py(text: str, shingle: int = 3) -> int:
-    """64-bit SimHash over word shingles using Python's stable blake2b."""
-    import hashlib
-
-    import numpy as np
-
-    words = text.lower().split()
-    if not words:
-        return 0
-    grams = (
-        [" ".join(words[i : i + shingle]) for i in range(len(words) - shingle + 1)]
-        if len(words) >= shingle
-        else [" ".join(words)]
-    )
-    hashes = np.frombuffer(
-        b"".join(
-            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest() for g in grams
-        ),
-        dtype=">u8",
-    )
-    # bits[i, b] = bit b of hash i; votes = Σ(2·bit − 1) per column
-    bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    weights = np.where(votes > 0, np.uint64(1), np.uint64(0)) << np.arange(
-        64, dtype=np.uint64
-    )
-    out = int(weights.sum(dtype=np.uint64))
-    # two's-complement into signed int64 for Spark LongType
-    return out - (1 << 64) if out >= (1 << 63) else out
-
-
-@F.pandas_udf(T.LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: _simhash64_py(t or ""))
+# SimHash is computed fully JVM-side: see
+# ``operators.dedup.simhash_chunk_signatures`` (md5 half-parses + 64
+# map-side-combinable bit votes, whole-stage codegen, DuckDB-oracle
+# reproducible). The former row-at-a-time ``simhash64`` pandas_udf was
+# removed so no Python kernel is reachable from the public API.

@@ -7,15 +7,18 @@ take the row-at-a-time Python path.
 
 Decode tiers (no image/audio libs exist in this container):
 
-- ``decode="real"`` — REAL header parsing, pure Python: PNG (IHDR),
+- ``decode="real"`` — REAL parsing, pure Python. Headers: PNG (IHDR),
   JPEG (SOFn), GIF, BMP, TIFF (IFD walk, both byte orders), WEBP
   (VP8/VP8L/VP8X), PPM/PGM dimensions+channels; WAV/RIFF, FLAC
   STREAMINFO, and MP3 frame headers for sample rate / sample count /
   duration; MP4/MOV mvhd and AVI avih for video duration / frame count
-  / dimensions. The *feature* vectors remain hash-derived content
-  fingerprints (a real embedding needs pixel/PCM decode → PIL/librosa);
-  ``NotImplementedError`` is raised only for codec-requiring inputs the
-  header parsers don't cover (e.g. frame extraction, ogg audio).
+  / dimensions. CONTENT, codec-free: PPM/PGM/uncompressed-BMP pixel
+  grids (grid-mean features, perceptual hashes), WAV PCM samples
+  (log-RMS features, energy fingerprints), and MP4 keyframe bitstream
+  samples sliced out of mdat via the stss/stsc/stco/stsz box walk.
+  Formats whose *feature* needs an actual codec (JPEG pixels, MP3 PCM,
+  H.264 frame decode) keep hash-derived fingerprints or raise
+  ``NotImplementedError`` — that is the codec boundary.
 - ``decode="fake"`` — fully deterministic stand-in decode from the byte
   hash; keeps schema/batch shape real for plumbing tests.
 """
@@ -317,6 +320,18 @@ def _fake_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
 
 
 def _real_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
+    """Codec-free formats (PPM/PGM/uncompressed BMP) yield REAL pixel
+    features: a 4×4 grid of box-mean luminances scaled to [-1, 1].
+    Header-only formats (PNG/JPEG/GIF/TIFF/WEBP) yield true dims with a
+    hash-fingerprint feature (pixels need a codec lib); unknown magic
+    raises NotImplementedError."""
+    gray = decode_pixels(data)
+    if gray is not None:
+        parsed = parse_image_header(data)
+        channels = parsed[2] if parsed else 1
+        grid = _grid_mean(gray, 4, 4)
+        feature = [float(v) / 255.0 * 2.0 - 1.0 for v in grid.ravel()]
+        return gray.shape[1], gray.shape[0], channels, feature
     parsed = parse_image_header(data)
     if parsed is None:
         magic = (data or b"")[:4].hex()
@@ -384,6 +399,30 @@ def _fake_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
 
 
 def _real_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
+    """Uncompressed PCM WAV yields REAL sample features: log-RMS energy
+    over 13 equal time blocks (MFCC-shaped, codec-free). Compressed
+    formats with parseable headers (FLAC/MP3) yield true rate/length
+    with a hash-fingerprint feature; unknown magic raises
+    NotImplementedError."""
+    decoded = decode_pcm(data)
+    if decoded is not None:
+        import math
+
+        import numpy as np
+
+        rate, mono = decoded
+        n = mono.size
+        if n < 13:
+            mono = np.repeat(mono, -(-13 // n))
+            n = mono.size
+        bounds = (np.arange(14) * n) // 13
+        sq = np.zeros(n + 1)
+        sq[1:] = np.cumsum(mono * mono)
+        rms = np.sqrt(
+            (sq[bounds[1:]] - sq[bounds[:-1]]) / (bounds[1:] - bounds[:-1])
+        )
+        feat = [float(20.0 * math.log10(max(v, 1e-10))) for v in rms]
+        return rate, int(decoded[1].size), decoded[1].size / rate, feat
     parsed = (
         parse_wav_header(data)
         or parse_flac_header(data)
@@ -433,35 +472,174 @@ def extract_audio_features(
     return df.select(id_col, data_col).mapInPandas(batches, AUDIO_FEATURES_DDL)
 
 
+def _mp4_boxes(d: bytes, start: int, end: int):
+    """Iterate (box_type, payload_start, payload_end) over an ISO BMFF
+    box range. Handles 64-bit largesize; stops on malformed sizes."""
+    i = start
+    while i + 8 <= end:
+        size, = struct.unpack(">I", d[i : i + 4])
+        btype = d[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size, = struct.unpack(">Q", d[i + 8 : i + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - i  # box extends to end of enclosing range
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _mp4_find(d: bytes, start: int, end: int, path: list[bytes]):
+    """Descend a box path; yields payload ranges of every match of the
+    final component (e.g. multiple ``trak`` boxes)."""
+    head, rest = path[0], path[1:]
+    for btype, ps, pe in _mp4_boxes(d, start, end):
+        if btype != head:
+            continue
+        if not rest:
+            yield ps, pe
+        else:
+            yield from _mp4_find(d, ps, pe, rest)
+
+
+def mp4_keyframe_samples(data: bytes) -> list[tuple[int, int, int]] | None:
+    """Keyframe (sample_number, byte_offset, byte_size) triples from an
+    MP4/MOV sample table — a pure ``moov→trak→mdia→minf→stbl`` box walk
+    over ``stss`` (sync samples) + ``stsc`` (sample→chunk runs) +
+    ``stco``/``co64`` (chunk offsets) + ``stsz`` (sample sizes). No
+    codec: offsets address the raw codec bitstream samples inside
+    ``mdat``. Returns None when the bytes aren't ISO BMFF or carry no
+    video sample table; absent ``stss`` means every sample is a sync
+    sample (ISO 14496-12 §8.6.2)."""
+    d = data or b""
+    if len(d) < 12 or d[4:8] not in (b"ftyp", b"moov", b"mdat", b"wide", b"free"):
+        return None
+    for trak_s, trak_e in _mp4_find(d, 0, len(d), [b"moov", b"trak"]):
+        # video track? hdlr handler_type at payload offset 8
+        is_video = any(
+            d[hs + 8 : hs + 12] == b"vide"
+            for hs, _he in _mp4_find(d, trak_s, trak_e, [b"mdia", b"hdlr"])
+        )
+        if not is_video:
+            continue
+        stbl = next(
+            iter(
+                _mp4_find(
+                    d, trak_s, trak_e, [b"mdia", b"minf", b"stbl"]
+                )
+            ),
+            None,
+        )
+        if stbl is None:
+            continue
+        boxes = {t: (s, e) for t, s, e in _mp4_boxes(d, stbl[0], stbl[1])}
+        if b"stsz" not in boxes or b"stsc" not in boxes:
+            continue
+        co_key = b"stco" if b"stco" in boxes else b"co64"
+        if co_key not in boxes:
+            continue
+        # stsz: version/flags(4), uniform_size(4), count(4) [, sizes]
+        s, _e = boxes[b"stsz"]
+        uniform, n_samples = struct.unpack(">II", d[s + 4 : s + 12])
+        sizes = (
+            [uniform] * n_samples
+            if uniform
+            else list(struct.unpack(f">{n_samples}I", d[s + 12 : s + 12 + 4 * n_samples]))
+        )
+        # chunk offsets
+        s, _e = boxes[co_key]
+        (n_chunks,) = struct.unpack(">I", d[s + 4 : s + 8])
+        fmt, width = (">I", 4) if co_key == b"stco" else (">Q", 8)
+        chunk_off = [
+            struct.unpack(fmt, d[s + 8 + i * width : s + 8 + (i + 1) * width])[0]
+            for i in range(n_chunks)
+        ]
+        # stsc runs → samples_per_chunk for every chunk
+        s, _e = boxes[b"stsc"]
+        (n_runs,) = struct.unpack(">I", d[s + 4 : s + 8])
+        runs = [
+            struct.unpack(">III", d[s + 8 + i * 12 : s + 20 + i * 12])[:2]
+            for i in range(n_runs)
+        ]
+        per_chunk: list[int] = []
+        for ri, (first, spc) in enumerate(runs):
+            last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+            per_chunk.extend([spc] * (last - first + 1))
+        # sample_number (1-based) → byte offset
+        offsets: dict[int, int] = {}
+        sample_n = 1
+        for ci, spc in enumerate(per_chunk[:n_chunks]):
+            off = chunk_off[ci]
+            for _ in range(spc):
+                if sample_n > n_samples:
+                    break
+                offsets[sample_n] = off
+                off += sizes[sample_n - 1]
+                sample_n += 1
+        # stss: sync sample numbers; absent → all samples are keyframes
+        if b"stss" in boxes:
+            s, _e = boxes[b"stss"]
+            (n_sync,) = struct.unpack(">I", d[s + 4 : s + 8])
+            sync = struct.unpack(f">{n_sync}I", d[s + 8 : s + 8 + 4 * n_sync])
+        else:
+            sync = range(1, n_samples + 1)
+        return [
+            (k, offsets[k], sizes[k - 1]) for k in sync if k in offsets
+        ]
+    return None
+
+
 def sample_video_frames(
     df: DataFrame, data_col: str = "data", id_col: str = "media_id",
     every_n: int = 30, decode: str = "fake",
 ) -> DataFrame:
     """video binary → exploded frame rows (frame_idx, frame binary).
 
-    Frame extraction is genuinely codec-bound (no header shortcut), so
-    ``decode="real"`` raises NotImplementedError until PyAV exists; the
-    fake path derives a deterministic pseudo-frame count from the blob
-    and emits sha256-derived 'frames' so the explode/batch plumbing is
-    real and tested.
+    ``decode="real"`` walks the MP4/MOV sample table (stss/stsc/stco/
+    stsz — see ``mp4_keyframe_samples``) and emits every ``every_n``-th
+    KEYFRAME's raw codec bitstream sample sliced straight out of
+    ``mdat`` (frame_idx = 1-based sample number). That is real,
+    codec-free frame *sampling*; decoding those samples to pixels is
+    the codec boundary and raises NotImplementedError for non-BMFF
+    containers. The fake path derives a deterministic pseudo-frame
+    count from the blob so the explode/batch plumbing is testable
+    without media fixtures.
     """
-    if decode == "real":
-        raise NotImplementedError("real video decode requires PyAV")
-
     out_ddl = "media_id long, frame_idx int, frame binary"
+
+    if decode == "real":
+        def rows_for(mid, data: bytes):
+            samples = mp4_keyframe_samples(data)
+            if samples is None:
+                magic = (data or b"")[:8].hex()
+                raise NotImplementedError(
+                    f"keyframe sampling needs an MP4/MOV sample table; "
+                    f"bytes with magic {magic!r} need a demuxer (PyAV)"
+                )
+            for k, off, size in samples[:: max(1, every_n)]:
+                yield mid, k, data[off : off + size]
+    elif decode == "fake":
+        def rows_for(mid, data: bytes):
+            n_frames = 1 + (len(data) % 120)
+            for fi in range(0, n_frames, every_n):
+                yield mid, fi, hashlib.sha256(
+                    data + fi.to_bytes(4, "big")
+                ).digest()
+    else:
+        raise ValueError(f"unknown decode mode {decode!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, data in zip(pdf[id_col], pdf[data_col]):
-                data = data or b""
-                n_frames = 1 + (len(data) % 120)
-                for fi in range(0, n_frames, every_n):
-                    ids.append(mid)
+                for m, fi, fr in rows_for(mid, bytes(data) if data else b""):
+                    ids.append(m)
                     idxs.append(fi)
-                    frames.append(
-                        hashlib.sha256(data + fi.to_bytes(4, "big")).digest()
-                    )
+                    frames.append(fr)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, data_col).mapInPandas(batches, out_ddl)

@@ -33,9 +33,12 @@ import gzip
 import hashlib
 import io
 import lzma
+import shutil
 import struct
+import subprocess
 import tarfile
 import tempfile
+import threading
 import zipfile
 import zlib
 from collections.abc import Iterator
@@ -55,6 +58,10 @@ try:  # optional codec — not in every container
     _HAS_ZSTD = True
 except ImportError:
     _HAS_ZSTD = False
+
+# subprocess fallback: the zstd(1) binary decodes when the module is
+# absent (reference decodes zstd natively, src/anyreader/compression.rs:47-55)
+_ZSTD_BIN = shutil.which("zstd")
 
 _COPY_BUF = 8 * 1024  # reference src/batch.rs:42
 _SPOOL_MAX = 64 * 1024 * 1024  # zip spool: memory below this, disk above
@@ -90,10 +97,70 @@ def _wrap_decoder(stream: io.BufferedReader, kind: str):
         # mirroring the reference's new_multi_decoder (compression.rs:57)
         return lzma.LZMAFile(stream, format=lzma.FORMAT_XZ)
     if kind == "zstd":
-        if not _HAS_ZSTD:
-            raise RuntimeError("zstd input but the zstandard module is unavailable")
-        return zstandard.ZstdDecompressor().stream_reader(stream)
+        if _HAS_ZSTD:
+            return zstandard.ZstdDecompressor().stream_reader(stream)
+        if _ZSTD_BIN:
+            return _SubprocessZstdReader(stream)
+        raise RuntimeError(
+            "zstd input but neither the zstandard module nor a zstd binary "
+            "is available"
+        )
     raise AssertionError(kind)
+
+
+class _SubprocessZstdReader:
+    """Streaming zstd decode through the ``zstd -dc`` binary — the
+    fallback when the ``zstandard`` module is absent (reference decodes
+    zstd natively, src/anyreader/compression.rs:47-55; the CLI handles
+    concatenated + skippable frames the same way).
+
+    A feeder thread pumps the source stream into the child's stdin so
+    decode is pipelined and memory stays bounded by pipe buffers.
+    Decode errors surface as EOF at the failure point, matching the
+    in-process decoders under the infallable-copy contract."""
+
+    def __init__(self, stream):
+        self._proc = subprocess.Popen(
+            [_ZSTD_BIN, "-dc"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+        self._feeder = threading.Thread(
+            target=self._feed, args=(stream,), daemon=True
+        )
+        self._feeder.start()
+
+    def _feed(self, stream) -> None:
+        try:
+            while True:
+                chunk = stream.read(64 * 1024)
+                if not chunk:
+                    break
+                self._proc.stdin.write(chunk)
+        except (OSError, ValueError):
+            pass  # reader stopped early (BrokenPipe) or source failed
+        finally:
+            try:
+                self._proc.stdin.close()
+            except OSError:
+                pass
+
+    def read(self, n: int = -1) -> bytes:
+        return self._proc.stdout.read(n)
+
+    def close(self) -> None:
+        try:
+            self._proc.stdout.close()
+        finally:
+            self._proc.kill()
+            self._proc.wait()
+
+    def __del__(self):  # backstop: no fd/process leak on abandoned readers
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def sniff_stream(stream) -> tuple[str, io.BufferedReader]:
@@ -209,10 +276,72 @@ def _hashed_copy(stream) -> tuple[bytes, bytes, int]:
 # -- WARC record machinery -----------------------------------------------------
 
 
+class _LineBufferedStream:
+    """Chunked sequential reader with LF-line splitting for the WARC
+    header parse. Replaces the former per-byte ``read(1)`` loop (a
+    100M-record Common Crawl segment paid hundreds of Python calls per
+    record before any payload moved) with 64 KiB buffered chunks and
+    ``bytes.find(b"\\n")``; ``read()`` consumes the buffer first so
+    over-read bytes are never lost, then reads the tail directly from
+    the inner stream (no extra copy for large payloads)."""
+
+    __slots__ = ("_inner", "_chunk", "_buf", "_pos")
+
+    def __init__(self, inner, chunk: int = 64 * 1024):
+        self._inner = inner
+        self._chunk = chunk
+        self._buf = b""
+        self._pos = 0
+
+    def readline_lf(self, limit: int = 64 * 1024) -> bytes | None:
+        """One LF-terminated line (terminator included). At EOF a
+        partial line is returned as-is; EOF at line start → None; a
+        line longer than ``limit`` → None (malformed input)."""
+        parts: list[bytes] = []
+        size = 0
+        while size <= limit:
+            if self._pos >= len(self._buf):
+                data = self._inner.read(self._chunk)
+                if not data:
+                    return b"".join(parts) if parts else None
+                self._buf = data
+                self._pos = 0
+            nl = self._buf.find(b"\n", self._pos)
+            if nl >= 0:
+                parts.append(self._buf[self._pos : nl + 1])
+                self._pos = nl + 1
+                line = b"".join(parts)
+                return line if len(line) <= limit else None
+            parts.append(self._buf[self._pos :])
+            size += len(self._buf) - self._pos
+            self._pos = len(self._buf)
+        return None
+
+    def read(self, n: int) -> bytes:
+        out: list[bytes] = []
+        got = 0
+        while got < n:
+            if self._pos < len(self._buf):
+                take = self._buf[self._pos : self._pos + (n - got)]
+                self._pos += len(take)
+                out.append(take)
+                got += len(take)
+                continue
+            data = self._inner.read(n - got)
+            if not data:
+                break
+            out.append(data)
+            got += len(data)
+        return b"".join(out)
+
+
 def _read_crlf_line(stream, limit: int = 64 * 1024) -> bytes | None:
-    """Read one LF-terminated line byte-at-a-time (the stream is
-    sequential; no readline on the decoder adapters). None on EOF at
-    line start; a line longer than ``limit`` aborts (malformed input)."""
+    """Read one LF-terminated line. Buffered streams split in-buffer;
+    other sequential decoder adapters (no readline) fall back to
+    byte-at-a-time. None on EOF at line start; a line longer than
+    ``limit`` aborts (malformed input)."""
+    if isinstance(stream, _LineBufferedStream):
+        return stream.readline_lf(limit)
     out = bytearray()
     while len(out) < limit:
         b = stream.read(1)
@@ -677,6 +806,7 @@ class Walker:
         archive body (e.g. a .tar.gz download) expands in place. A
         malformed version line or header block stops the walk silently
         (stop-at-first-bad-entry contract, tarfile.rs:23)."""
+        stream = _LineBufferedStream(stream)
         n_records = 0
         while True:
             # version line, tolerating blank separator lines before it

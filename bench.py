@@ -171,6 +171,45 @@ def _ingest_fixture(
     return paths, total
 
 
+def _warc_fixture(
+    tmp_dir: str, n_inputs: int = _INGEST_INPUTS
+) -> tuple[list[str], int]:
+    """Deterministic ``.warc.gz`` fixtures (cached): per-record gzip
+    members — the Common Crawl layout — carrying the same payload bytes
+    as the tar fixtures so tar-vs-WARC MB/s compare like-for-like."""
+    import gzip
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    paths = []
+    total = 0
+    for i in range(n_inputs):
+        path = os.path.join(
+            tmp_dir, f"bench_{i}_{_INGEST_MEMBERS}x{_INGEST_MEMBER_BYTES}.warc.gz"
+        )
+        paths.append(path)
+        total += _INGEST_MEMBERS * _INGEST_MEMBER_BYTES
+        if os.path.exists(path):
+            continue
+        with open(path, "wb") as fh:
+            for m in range(_INGEST_MEMBERS):
+                unit = (
+                    f"input{i} member{m} ".encode() * 16
+                    + bytes((m * 31 + j * 7 + i) % 251 for j in range(256))
+                )
+                reps = _INGEST_MEMBER_BYTES // len(unit) + 1
+                data = (unit * reps)[:_INGEST_MEMBER_BYTES]
+                record = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: resource\r\n"
+                    + f"WARC-Target-URI: http://bench/input{i}/rec{m}\r\n".encode()
+                    + f"Content-Length: {len(data)}\r\n\r\n".encode()
+                    + data
+                    + b"\r\n\r\n"
+                )
+                fh.write(gzip.compress(record, compresslevel=1))
+    return paths, total
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
@@ -231,6 +270,23 @@ def main() -> int:
         "entries_per_s": round(_INGEST_MEMBERS * len(paths) / ingest_sec, 0),
     }
 
+    # WARC ingest: same payload bytes via per-record-gzip .warc.gz (the
+    # Common Crawl layout) — MB/s is payload bytes, comparable with tar
+    warc_paths, warc_bytes = _warc_fixture("/tmp/a2p_bench_fixtures")
+    run_noop(entries_pipeline(spark, warc_paths, ConvertOptions(threads=cpus)))
+    warc_sec = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        run_noop(entries_pipeline(spark, warc_paths, ConvertOptions(threads=cpus)))
+        warc_sec = min(warc_sec, time.time() - t0)
+    ingest_warc = {
+        "sec": round(warc_sec, 3),
+        "bytes": warc_bytes,
+        "mb_per_s": round(warc_bytes / warc_sec / 1e6, 1),
+        "entries": _INGEST_MEMBERS * len(warc_paths),
+        "entries_per_s": round(_INGEST_MEMBERS * len(warc_paths) / warc_sec, 0),
+    }
+
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -246,6 +302,7 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "tpch": {"total": round(sum(tpch.values()), 3), **tpch},
                 "ingest": ingest,
+                "ingest_warc": ingest_warc,
             }
         )
     )

@@ -1,0 +1,162 @@
+"""Tests: codec-free content-level multimodal decode — real pixel
+features (PPM/BMP), real PCM audio features (WAV), and MP4 keyframe
+byte-offset sampling via the stss/stsc/stco/stsz box walk."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tests.test_phash import make_ppm, make_wav
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def make_mp4(
+    samples: list[bytes],
+    sync: list[int] | None = (1, 4),
+    samples_per_chunk: int = 3,
+) -> bytes:
+    """Minimal ISO BMFF file: ftyp + moov (one video trak with a full
+    sample table) + mdat holding ``samples`` packed into chunks of
+    ``samples_per_chunk``. Chunk offsets are absolute file offsets into
+    mdat, like real muxers write."""
+    n = len(samples)
+    sizes = [len(s) for s in samples]
+    mdat_payload = b"".join(samples)
+
+    stsz = _box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n) + struct.pack(f">{n}I", *sizes),
+    )
+    n_chunks = -(-n // samples_per_chunk)
+    stsc = _box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, samples_per_chunk, 1))
+    stss = (
+        _box(b"stss", struct.pack(">II", 0, len(sync)) + struct.pack(f">{len(sync)}I", *sync))
+        if sync is not None
+        else b""
+    )
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+
+    # chunk offsets depend on total header size — build with a placeholder
+    # stco then patch (fixed-width fields keep sizes stable)
+    def build(chunk_offsets: list[int]) -> bytes:
+        stco = _box(
+            b"stco",
+            struct.pack(">II", 0, n_chunks)
+            + struct.pack(f">{n_chunks}I", *chunk_offsets),
+        )
+        stbl = _box(b"stbl", stss + stsc + stco + stsz)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", hdlr + minf)
+        trak = _box(b"trak", mdia)
+        moov = _box(b"moov", trak)
+        ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        return ftyp + moov + _box(b"mdat", mdat_payload)
+
+    draft = build([0] * n_chunks)
+    mdat_start = len(draft) - len(mdat_payload)
+    offsets = []
+    pos = mdat_start
+    for c in range(n_chunks):
+        offsets.append(pos)
+        pos += sum(sizes[c * samples_per_chunk : (c + 1) * samples_per_chunk])
+    final = build(offsets)
+    assert len(final) == len(draft)
+    return final
+
+
+def test_mp4_keyframe_samples_box_walk():
+    from archive_to_parquet_spark.operators.multimodal import mp4_keyframe_samples
+
+    samples = [f"frame-{i}".encode() * (i + 1) for i in range(7)]
+    blob = make_mp4(samples, sync=[1, 4, 6])
+    got = mp4_keyframe_samples(blob)
+    assert [k for k, _, _ in got] == [1, 4, 6]
+    for k, off, size in got:
+        assert blob[off : off + size] == samples[k - 1]
+
+
+def test_mp4_keyframe_samples_no_stss_means_all_sync():
+    from archive_to_parquet_spark.operators.multimodal import mp4_keyframe_samples
+
+    samples = [b"aaaa", b"bb", b"cccccc", b"d"]
+    blob = make_mp4(samples, sync=None, samples_per_chunk=2)
+    got = mp4_keyframe_samples(blob)
+    assert [k for k, _, _ in got] == [1, 2, 3, 4]
+    for k, off, size in got:
+        assert blob[off : off + size] == samples[k - 1]
+
+
+def test_mp4_keyframe_samples_rejects_non_bmff():
+    from archive_to_parquet_spark.operators.multimodal import mp4_keyframe_samples
+
+    assert mp4_keyframe_samples(b"RIFF\x00\x00\x00\x00AVI LIST") is None
+    assert mp4_keyframe_samples(b"") is None
+
+
+def test_sample_video_frames_real_slices_keyframes(spark):
+    from archive_to_parquet_spark.operators.multimodal import sample_video_frames
+
+    samples = [f"s{i}".encode() * 5 for i in range(6)]
+    blob = make_mp4(samples, sync=[1, 3, 5])
+    df = spark.createDataFrame([(1, bytearray(blob))], ["media_id", "data"])
+    rows = sample_video_frames(df, every_n=1, decode="real").collect()
+    assert [(r.frame_idx, bytes(r.frame)) for r in rows] == [
+        (1, samples[0]),
+        (3, samples[2]),
+        (5, samples[4]),
+    ]
+    # every_n subsamples the keyframe list
+    rows2 = sample_video_frames(df, every_n=2, decode="real").collect()
+    assert [r.frame_idx for r in rows2] == [1, 5]
+
+
+def test_sample_video_frames_real_rejects_non_mp4(spark):
+    from archive_to_parquet_spark.operators.multimodal import sample_video_frames
+
+    df = spark.createDataFrame([(1, bytearray(b"not a video"))], ["media_id", "data"])
+    with pytest.raises(Exception, match="demuxer|NotImplemented"):
+        sample_video_frames(df, decode="real").collect()
+
+
+def test_image_features_real_pixels_for_ppm(spark):
+    from archive_to_parquet_spark.operators.multimodal import (
+        _grid_mean,
+        decode_pixels,
+        extract_image_features,
+    )
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:, 4:] = 255  # left black, right white
+    blob = make_ppm(px)
+    df = spark.createDataFrame([(1, bytearray(blob))], ["media_id", "data"])
+    row = extract_image_features(df, decode="real").collect()[0]
+    assert (row.width, row.height, row.channels) == (8, 8, 3)
+    want = [
+        float(v) / 255.0 * 2.0 - 1.0
+        for v in _grid_mean(decode_pixels(blob), 4, 4).ravel()
+    ]
+    assert row.feature == pytest.approx(want, abs=1e-6)
+    # the left half must read dark, the right half bright
+    assert row.feature[0] < -0.9 and row.feature[3] > 0.9
+
+
+def test_audio_features_real_pcm_for_wav(spark):
+    from archive_to_parquet_spark.operators.multimodal import extract_audio_features
+
+    t = np.linspace(0, 1, 8000)
+    sig = np.sin(2 * np.pi * 440 * t) * (t > 0.5)  # silent first half
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav(sig)))], ["media_id", "data"]
+    )
+    row = extract_audio_features(df, decode="real").collect()[0]
+    assert row.sample_rate == 8000
+    assert row.n_samples == 8000
+    assert row.duration_s == pytest.approx(1.0, abs=1e-6)
+    # log-RMS energy: first blocks near the -200 dB floor, last well above
+    assert row.mfcc[0] < -150 and row.mfcc[-1] > -40

@@ -103,6 +103,37 @@ def test_spark_entry_contract(spark):
     assert df.count() > 0
 
 
+def test_catalog_docs_count_in_sync():
+    """CATALOG.md / PARITY.md entry counts must match len(_CATALOG) —
+    parity docs are the map the next round navigates by (r2 verdict
+    'What's wrong' #3)."""
+    import re
+
+    from archive_to_parquet_spark import queries as q
+
+    n = len(q._CATALOG)
+    catalog_md = open("/root/repo/CATALOG.md").read()
+    m = re.search(r"^(\d+) entries;", catalog_md, re.M)
+    assert m and int(m.group(1)) == n, f"CATALOG.md says {m and m.group(1)}, catalog has {n}"
+    parity_md = open("/root/repo/PARITY.md").read()
+    stale = [c for c in re.findall(r"(?:catalog now|Catalog:) (\d+) entries", parity_md) if int(c) != n]
+    assert not stale, f"PARITY.md stale counts {stale}, catalog has {n}"
+
+
+def test_catalog_rotation_never_green_first():
+    """queries() must order never-driver-green entries first so the
+    driver's first-N correctness window reaches them (r2 verdict top
+    ask)."""
+    from archive_to_parquet_spark import queries as q
+
+    names = list(q.queries())
+    green = q._driver_green_names()
+    n_pending = len(names) - len(green & set(names))
+    head, tail = names[:n_pending], names[n_pending:]
+    assert not (set(head) & green), "green entry ahead of a never-checked one"
+    assert set(tail) <= green
+
+
 # -- URL canonicalization: idempotence + batch form ---------------------------
 
 _url_paths = st.lists(

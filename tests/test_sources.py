@@ -86,16 +86,79 @@ def test_custom_walker_subclass():
     assert w.archives_left == 2
 
 
-def test_zstd_input_without_module_is_clear_error(monkeypatch):
-    """zstd inputs need the optional zstandard module; without it the
-    error must be explicit, not a mis-sniffed empty row."""
+def test_zstd_input_without_module_or_binary_is_clear_error(monkeypatch):
+    """With neither the zstandard module nor a zstd binary the error
+    must be explicit, not a mis-sniffed empty row."""
+    import archive_to_parquet_spark.sources.walker as walker_mod
+
+    monkeypatch.setattr(walker_mod, "_HAS_ZSTD", False)
+    monkeypatch.setattr(walker_mod, "_ZSTD_BIN", None)
+    blob = b"\x28\xb5\x2f\xfd" + b"\x00" * 64  # zstd frame magic
+    with pytest.raises(RuntimeError, match="zstd"):
+        list(walk_stream("x.zst", io.BytesIO(blob), len(blob)))
+
+
+def _zstd_compress(data: bytes) -> bytes:
+    """Compress via module or binary — whichever this environment has."""
     import archive_to_parquet_spark.sources.walker as walker_mod
 
     if walker_mod._HAS_ZSTD:
-        pytest.skip("zstandard installed in this environment")
-    blob = b"\x28\xb5\x2f\xfd" + b"\x00" * 64  # zstd frame magic
-    with pytest.raises(RuntimeError, match="zstandard"):
-        list(walk_stream("x.zst", io.BytesIO(blob), len(blob)))
+        import zstandard
+
+        return zstandard.ZstdCompressor().compress(data)
+    if walker_mod._ZSTD_BIN:
+        import subprocess
+
+        return subprocess.run(
+            [walker_mod._ZSTD_BIN, "-c"], input=data, capture_output=True, check=True
+        ).stdout
+    pytest.skip("no zstd codec in this environment")
+
+
+def test_tar_zst_walks_end_to_end():
+    """A nested .tar.zst decodes and walks — module path or the
+    subprocess-binary fallback (reference compression.rs:47-55 parity)."""
+    inner = tar_archive({"a.txt": b"zstd alpha", "d/b.txt": b"zstd beta"})
+    blob = _zstd_compress(inner)
+    rows = list(walk_stream("x.tar.zst", io.BytesIO(blob), len(blob)))
+    assert [(r.path, r.content) for r in rows] == [
+        ("a.txt", b"zstd alpha"),
+        ("d/b.txt", b"zstd beta"),
+    ]
+
+
+def test_zstd_subprocess_fallback_decodes(monkeypatch):
+    """Force the subprocess path even when the module is present."""
+    import archive_to_parquet_spark.sources.walker as walker_mod
+
+    if not walker_mod._ZSTD_BIN:
+        pytest.skip("no zstd binary in this environment")
+    blob = _zstd_compress(tar_archive({"f.txt": b"via subprocess"}))
+    monkeypatch.setattr(walker_mod, "_HAS_ZSTD", False)
+    rows = list(walk_stream("x.tar.zst", io.BytesIO(blob), len(blob)))
+    assert [(r.path, r.content) for r in rows] == [("f.txt", b"via subprocess")]
+
+
+def test_zstd_concatenated_and_skippable_frames(monkeypatch):
+    """Concatenated zstd frames + a leading skippable frame decode as one
+    logical stream (multi-frame contract, like the xz multi-stream path)."""
+    import archive_to_parquet_spark.sources.walker as walker_mod
+
+    if not walker_mod._ZSTD_BIN:
+        pytest.skip("no zstd binary in this environment")
+    monkeypatch.setattr(walker_mod, "_HAS_ZSTD", False)
+    import struct
+
+    skippable = b"\x50\x2a\x4d\x18" + struct.pack("<I", 4) + b"meta"
+    payload = tar_archive({"f.txt": b"frame two"})
+    half = len(payload) // 2
+    blob = (
+        skippable
+        + _zstd_compress(payload[:half])
+        + _zstd_compress(payload[half:])
+    )
+    rows = list(walk_stream("x.tar.zst", io.BytesIO(blob), len(blob)))
+    assert [(r.path, r.content) for r in rows] == [("f.txt", b"frame two")]
 
 
 def test_hash_prefix_partitioned_sink(spark, tmp_path):
