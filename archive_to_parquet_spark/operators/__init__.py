@@ -29,6 +29,10 @@ from archive_to_parquet_spark.operators.similarity import (
     ivf_top_k_fixed_centroids,
     lsh_top_k,
 )
+from archive_to_parquet_spark.operators.profiling import (
+    benford_first_digit,
+    flesch_readability,
+)
 from archive_to_parquet_spark.operators.sketches import (
     frequent_item_candidates,
     heavy_hitters,
@@ -45,6 +49,7 @@ __all__ = [
     "apply_size_filter",
     "bpe_merge_rounds",
     "bpe_pair_counts",
+    "benford_first_digit",
     "brute_force_top_k",
     "cap_hot_buckets",
     "connected_components",
@@ -54,6 +59,7 @@ __all__ = [
     "dedup_exact_deterministic",
     "embedding_near_duplicates",
     "fixed_hyperplanes",
+    "flesch_readability",
     "frequent_item_candidates",
     "hamming_near_duplicates",
     "heavy_hitters",

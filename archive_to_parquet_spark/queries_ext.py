@@ -1852,30 +1852,10 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row JVM regex, no shuffle. The regexes are shared verbatim
     with the oracle (Java-regex/RE2 common subset).
     """
+    from archive_to_parquet_spark.operators.profiling import flesch_readability
+
     docs = _t(spark, sf_dir, "documents")
-    words = F.size(
-        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
-    )
-    sentences = F.greatest(
-        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
-        F.lit(1),
-    )
-    syllables = F.size(
-        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
-    )
-    w = F.greatest(words, F.lit(1)).cast("double")
-    score = (
-        F.lit(206.835)
-        - F.lit(1.015) * (w / sentences.cast("double"))
-        - F.lit(84.6) * (syllables.cast("double") / w)
-    )
-    return docs.select(
-        "doc_id",
-        words.alias("n_words"),
-        sentences.alias("n_sentences"),
-        syllables.alias("n_syllables"),
-        F.round(score, 4).alias("flesch"),
-    )
+    return flesch_readability(docs, text_col="text", keep_cols=["doc_id"])
 
 
 TEXT_READABILITY_SQL = """
@@ -1899,45 +1879,13 @@ FROM documents
 # Data-quality audit: Benford first-digit distribution
 # ---------------------------------------------------------------------------
 
-# log10(1 + 1/d) in nano-units — precomputed so neither engine
-# evaluates a transcendental
-_BENFORD_E9 = [(1, 301029996), (2, 176091259), (3, 124938737), (4, 96910013), (5, 79181246), (6, 66946790), (7, 57991947), (8, 51152522), (9, 45757491)]
-
-
 def audit_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law audit of l_extendedprice: observed first-digit
-    frequencies vs the expected log distribution — the classic
-    fabricated-numbers screen for a numeric column. One groupBy on the
-    digit (9 groups); expectation as integer nano-unit literals.
-    Emits per digit: count, observed_e9 (exact integer half-up rate),
-    expected_e9, and the absolute gap.
-    """
-    li = _t(spark, sf_dir, "lineitem")
-    digit = F.substring(
-        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), 1, 1
-    ).cast("int")
-    counts = (
-        li.select(digit.alias("digit"))
-        .filter(F.col("digit") >= 1)
-        .groupBy("digit")
-        .agg(F.count("*").alias("n"))
-    )
-    total = counts.agg(F.sum("n").alias("total"))
-    expected = spark.createDataFrame(
-        _BENFORD_E9, "digit int, expected_e9 long"
-    )
-    obs = F.expr("(2 * n * 1000000000 + total) div (2 * total)")
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .join(F.broadcast(expected), "digit")
-        .select(
-            "digit",
-            "n",
-            obs.alias("observed_e9"),
-            "expected_e9",
-            F.abs(obs - F.col("expected_e9")).alias("gap_e9"),
-        )
-    )
+    """Benford's-law audit of l_extendedprice — thin wrapper over
+    ``operators.profiling.benford_first_digit`` (observed vs expected
+    first-digit rates in integer nano-units)."""
+    from archive_to_parquet_spark.operators.profiling import benford_first_digit
+
+    return benford_first_digit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
 AUDIT_BENFORD_SQL = """

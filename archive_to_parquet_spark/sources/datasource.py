@@ -122,14 +122,48 @@ except ImportError:  # pragma: no cover
     SimpleDataSourceStreamReader = object  # type: ignore
 
 
+def _is_growable(path: str) -> bool:
+    """Append-only record formats whose byte TAIL is itself a valid
+    stream: per-record-gzip ``.warc.gz`` (the Common Crawl layout —
+    each record is a complete gzip member, so decode can start at any
+    member boundary) and uncompressed ``.warc`` (records start at
+    ``WARC/`` version lines). tar/zip cannot be tail-walked — a grown
+    one is NOT re-read (its first-seen prefix was already emitted)."""
+    return path.endswith((".warc.gz", ".warc"))
+
+
+class _BoundedTail:
+    """Sequential reader over a file's byte range [start, end) — pins a
+    micro-batch to the size recorded in its offset even if the file
+    keeps growing while we read (exactly-once replay needs the range,
+    not 'to EOF')."""
+
+    def __init__(self, fh, start: int, end: int):
+        fh.seek(start)
+        self._fh = fh
+        self._left = end - start
+
+    def read(self, n: int = -1) -> bytes:
+        if self._left <= 0:
+            return b""
+        n = self._left if n is None or n < 0 else min(n, self._left)
+        data = self._fh.read(n)
+        self._left -= len(data)
+        return data
+
+
 class ArchiveStreamReader(SimpleDataSourceStreamReader):
     """Streaming variant: each micro-batch walks archives that appeared
-    under the glob since the last committed offset.
+    under the glob since the last committed offset — plus, for
+    append-only record formats (``.warc.gz`` / ``.warc``), the byte
+    tail appended to files already seen (continuous crawl ingestion:
+    a crawler appending per-record gzip members to an open segment).
 
-    The offset is the processed-file list (JSON dict) — simple and
-    replayable: a restart from a checkpoint re-lists the directory and
-    walks only files not in the offset, giving exactly-once rows with an
-    idempotent sink.
+    The offset maps each processed path to the byte size walked so far
+    (JSON dict) — simple and replayable: a restart from a checkpoint
+    re-lists the directory and walks only bytes beyond each recorded
+    size, giving exactly-once rows with an idempotent sink. (Legacy
+    list-shaped offsets are read as 'whole file processed'.)
     """
 
     def __init__(self, options: dict):
@@ -138,30 +172,56 @@ class ArchiveStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("archive-stream needs option 'glob'")
 
     def initialOffset(self) -> dict:
-        return {"processed": []}
+        return {"processed": {}}
+
+    @staticmethod
+    def _seen(offset: dict) -> dict[str, int]:
+        processed = offset.get("processed", {})
+        if isinstance(processed, list):  # legacy whole-file offsets
+            return {p: -1 for p in processed}
+        return dict(processed)
+
+    def _walk_range(self, path: str, start_b: int, end_b: int, opts):
+        from archive_to_parquet_spark.sources.walker import walk_stream
+
+        with open(path, "rb") as fh:
+            tail = _BoundedTail(fh, start_b, end_b)
+            for r in walk_stream(path, tail, end_b - start_b, opts):
+                yield (r.source, r.path, r.size, r.hash, r.content, r.format)
 
     def read(self, start: dict):
         import glob as globmod
+        import os
 
         from archive_to_parquet_spark.options import ConvertOptions
-        from archive_to_parquet_spark.sources.walker import walk_path
 
-        seen = set(start.get("processed", []))
+        seen = self._seen(start)
         files = sorted(globmod.glob(self.options["glob"]))
-        new = [f for f in files if f not in seen]
-        end = {"processed": sorted(seen | set(new))}
         opts = ConvertOptions(
             max_depth=int(self.options.get("max_depth", 16)),
         )
 
+        end_sizes = dict(seen)
+        work: list[tuple[str, int, int]] = []  # (path, from_byte, to_byte)
+        for f in files:
+            size = os.path.getsize(f)
+            prev = seen.get(f)
+            if prev is None:
+                work.append((f, 0, size))
+                end_sizes[f] = size
+            elif 0 <= prev < size and _is_growable(f):
+                work.append((f, prev, size))
+                end_sizes[f] = size
+        end = {"processed": end_sizes}
+
         # materialized list, not a generator: the simple-stream API
         # prefetches on the driver and caches the batch for replay
         # (generators aren't picklable). Fine for the intended use —
-        # per-trigger batches of newly arrived files.
+        # per-trigger batches of newly arrived files/records.
         rows = [
-            (r.source, r.path, r.size, r.hash, r.content, r.format)
-            for f in new
-            for r in walk_path(f, opts)
+            row
+            for f, s, e in work
+            for row in self._walk_range(f, s, e, opts)
         ]
         # the prefetcher requires a PICKLABLE ITERATOR: a generator
         # fails pickling, a bare list fails the iterator check —
@@ -170,19 +230,25 @@ class ArchiveStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         import glob as globmod
+        import os
 
         from archive_to_parquet_spark.options import ConvertOptions
-        from archive_to_parquet_spark.sources.walker import walk_path
 
-        done_before = set(start.get("processed", []))
-        done_after = set(end.get("processed", []))
-        replay = sorted(done_after - done_before)
+        before = self._seen(start)
+        after = self._seen(end)
         opts = ConvertOptions(max_depth=int(self.options.get("max_depth", 16)))
         present = set(globmod.glob(self.options["glob"]))
-        for f in replay:
-            if f in present:
-                for r in walk_path(f, opts):
-                    yield (r.source, r.path, r.size, r.hash, r.content, r.format)
+        for f in sorted(after):
+            if f not in present:
+                continue
+            prev = before.get(f, 0)
+            to = after[f]
+            if to < 0:  # legacy offset: whole file
+                prev, to = 0, os.path.getsize(f)
+            if prev < 0:
+                continue  # fully processed under a legacy offset
+            if prev < to:
+                yield from self._walk_range(f, prev, to, opts)
 
     def commit(self, end: dict) -> None:
         pass  # offsets carry full state; nothing external to clean up

@@ -146,3 +146,92 @@ def test_format_archive_stream_warc(registered, tmp_path):
         assert n == 2
     finally:
         q.stop()
+
+
+def test_archive_stream_warc_gz_growth_exactly_once(registered, tmp_path):
+    """Continuous crawl ingestion: gzip members APPENDED to an existing
+    .warc.gz segment stream as new rows, exactly once (r2 verdict item
+    9 — the byte-offset growth semantics, not just new files)."""
+    import gzip as _gzip
+
+    from tests.test_warc import warc_record
+
+    watch = tmp_path / "crawl_grow"
+    watch.mkdir()
+    seg = watch / "seg.warc.gz"
+    seg.write_bytes(
+        _gzip.compress(
+            warc_record("resource", b"record one", uri="http://g.example/1")
+        )
+    )
+    stream = (
+        registered.readStream.format("archive-stream")
+        .option("glob", f"{watch}/*.warc.gz")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warc_grow")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = registered.sql("SELECT path, content FROM warc_grow").collect()
+        assert {(r.path, bytes(r.content)) for r in first} == {
+            ("http://g.example/1", b"record one")
+        }
+        # the crawler appends two more per-record gzip members in place
+        with open(seg, "ab") as fh:
+            fh.write(
+                _gzip.compress(
+                    warc_record("resource", b"record two", uri="http://g.example/2")
+                )
+            )
+            fh.write(
+                _gzip.compress(
+                    warc_record("resource", b"record three", uri="http://g.example/3")
+                )
+            )
+        q.processAllAvailable()
+        rows = registered.sql("SELECT path, content FROM warc_grow").collect()
+        assert {(r.path, bytes(r.content)) for r in rows} == {
+            ("http://g.example/1", b"record one"),
+            ("http://g.example/2", b"record two"),
+            ("http://g.example/3", b"record three"),
+        }
+        # idle trigger: nothing re-emits (tail bookkeeping is stable)
+        q.processAllAvailable()
+        n = registered.sql("SELECT COUNT(*) n FROM warc_grow").collect()[0].n
+        assert n == 3
+    finally:
+        q.stop()
+
+
+def test_archive_stream_grown_tar_not_rewalked(registered, tmp_path):
+    """Non-record formats can't be tail-walked: a tar that grows in
+    place is NOT re-read (its first-seen contents were already
+    emitted; re-walking would duplicate them)."""
+    watch = tmp_path / "tar_grow"
+    watch.mkdir()
+    p = watch / "x.tar"
+    p.write_bytes(tar_archive({"a.txt": b"original"}))
+    stream = (
+        registered.readStream.format("archive-stream")
+        .option("glob", f"{watch}/*.tar")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tar_grow")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        p.write_bytes(tar_archive({"a.txt": b"original", "b.txt": b"appended"}))
+        q.processAllAvailable()
+        rows = registered.sql("SELECT path FROM tar_grow").collect()
+        assert [r.path for r in rows] == ["a.txt"]
+    finally:
+        q.stop()

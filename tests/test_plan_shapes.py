@@ -256,3 +256,59 @@ def test_semantic_decontaminate_broadcasts_benchmark(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # the running max is an aggregate with map-side partials, NOT a window
     assert "windowspecdefinition" not in plan
+
+
+# -- round-2-late entries (r2 verdict item 8) ---------------------------------
+
+
+def test_text_readability_is_scan_only(spark):
+    from archive_to_parquet_spark import queries as q
+    from archive_to_parquet_spark.plans.bucketing import plan_has_exchange
+
+    df = q.queries()["text_readability"](spark, SF_DIR)
+    assert not plan_has_exchange(df), "text_readability gained a shuffle"
+
+
+def test_benford_broadcasts_expected_distribution(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["audit_benford_prices"](spark, SF_DIR))
+    # the 9-row expected-frequency table joins as a broadcast; the
+    # observed-counts side must never sort-merge
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_k_anonymity_is_joinless_two_phase_agg(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["privacy_k_anonymity"](spark, SF_DIR))
+    # quasi-identifier grouping + suppression pooling are aggregations
+    # on the same keys — no join should appear, and only the final
+    # scalar rollup may be single-partition
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_ndcg_windows_are_partitioned_by_query(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["eval_ndcg_bm25"](spark, SF_DIR))
+    spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert spec_lines
+    # every rank window partitions by query_id — a global un-keyed sort
+    # would serialize the ranking at scale
+    assert all("windowspecdefinition(query_id" in l for l in spec_lines)
+
+
+def test_index_probe_reads_postings_only(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["search_index_probe"](spark, SF_DIR))
+    # probe phase: only the persisted index artifacts are scanned —
+    # the corpus parquet never appears in the probe plan
+    assert "documents.parquet" not in plan
+    assert "postings" in plan and "doclen" in plan
+    # query terms reach the postings scan as a pushed In() filter so
+    # row-group stats prune non-matching term ranges
+    assert "PushedFilters: [In(term" in plan
