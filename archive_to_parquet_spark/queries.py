@@ -3479,6 +3479,12 @@ _CATALOG["eval_ndcg_bm25"] = (
     _ext._ndcg_oracle_sql(),
 )
 
+# Round-3 extension: JL projection, Bloom probe, count-min, lateral
+# top-k — see queries_ext2.py module docstring.
+from archive_to_parquet_spark import queries_ext2 as _ext2  # noqa: E402
+
+_CATALOG.update(_ext2.CATALOG)
+
 
 def _driver_green_names() -> set[str]:
     """Catalog entries with an all-green row in any past driver

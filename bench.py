@@ -81,6 +81,11 @@ HEADLINE = [
     "search_index_probe",
     "rel_session_window_native",
     "privacy_k_anonymity",
+    # round-3 additions
+    "embedding_jl_projection",
+    "dedup_bloom_probe",
+    "sketch_countmin",
+    "rel_lateral_topk",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):

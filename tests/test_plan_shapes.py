@@ -312,3 +312,41 @@ def test_index_probe_reads_postings_only(spark):
     # query terms reach the postings scan as a pushed In() filter so
     # row-group stats prune non-matching term ranges
     assert "PushedFilters: [In(term" in plan
+
+
+# -- round-3 entries ----------------------------------------------------------
+
+
+def test_jl_projection_is_scan_only_literal_matrix(spark):
+    from archive_to_parquet_spark import queries as q
+    from archive_to_parquet_spark.plans.bucketing import plan_has_exchange
+
+    df = q.queries()["embedding_jl_projection"](spark, SF_DIR)
+    assert not plan_has_exchange(df), "JL projection gained a shuffle"
+
+
+def test_bloom_probe_broadcasts_filter_bits(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["dedup_bloom_probe"](spark, SF_DIR))
+    # the bit set joins the probe side as a broadcast — the corpus is
+    # never shuffled against the probes for the membership test
+    assert "BroadcastHashJoin" in plan
+
+
+def test_countmin_sketch_lookups_broadcast(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["sketch_countmin"](spark, SF_DIR))
+    # d sketch-row lookups each broadcast (sketch is ≤ d·w rows)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_lateral_topk_decorrelates_to_broadcast(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["rel_lateral_topk"](spark, SF_DIR))
+    # Catalyst must decorrelate the LATERAL into a join (no nested-loop
+    # per-row subquery execution); nation is the broadcast side
+    assert "BroadcastHashJoin" in plan
