@@ -1223,3 +1223,81 @@ def dedup_against_index(
         .select("new_id", "index_id", "est_jaccard")
     )
     return pairs, batch_index
+
+
+# -- Bloom-filter membership tier ----------------------------------------------
+
+
+def bloom_filter_bits(
+    df: DataFrame,
+    key_col: str = "text",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a single-column
+    DataFrame of SET bit positions (``bit`` long) — the compact
+    "possibly seen?" tier in front of the exact/minhash index
+    (``dedup_against_index``).
+
+    Positions come from non-overlapping 8-hex-char md5 slices reduced
+    mod ``num_bits`` — engine-independent (a DuckDB oracle rebuilds the
+    filter bit-for-bit) and stable across runs, so the bit set can be
+    persisted as parquet and unioned with later batches (bitwise OR ==
+    UNION DISTINCT of positions). At most ``num_bits`` rows regardless
+    of corpus size; build is one map-side-combinable distinct.
+
+    Size ``num_bits`` ≈ 14×(expected keys) for ~0.1% FP at k=3.
+    """
+    assert num_hashes <= 4, "md5 yields 4 non-overlapping 8-hex slices"
+    return (
+        df.select(
+            F.explode(
+                F.array(*_bloom_bit_positions(F.col(key_col), num_bits, num_hashes))
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def _bloom_bit_positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    h = F.md5(col.cast("binary"))
+    return [
+        (
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % num_bits
+        ).alias(f"pos{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_probe(
+    df: DataFrame,
+    bits: DataFrame,
+    id_col: str,
+    key_col: str = "text",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Probe a ``bloom_filter_bits`` result: emits (id_col, bloom_hit)
+    where ``bloom_hit`` is true iff ALL k bit positions of the probe
+    key are set. No false negatives; false positives at the filter's
+    design rate — route hits to the exact tier, drop misses without
+    ever touching the indexed corpus.
+
+    The bit set joins as a BROADCAST (≤ num_bits rows); the probe side
+    streams through map-side. ``num_bits``/``num_hashes`` must match
+    the build call."""
+    probe_bits = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*_bloom_bit_positions(F.col(key_col), num_bits, num_hashes))
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_set"))
+    )
+    return df.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        (F.coalesce(F.col("n_set"), F.lit(0)) == num_hashes).alias("bloom_hit"),
+    )

@@ -116,34 +116,20 @@ EMBEDDING_JL_SQL = _jl_oracle_sql()
 # Bloom-filter membership probe
 # ---------------------------------------------------------------------------
 
-_BLOOM_BITS = 65536  # m: one 4-hex-char md5 slice addresses the full filter
+_BLOOM_BITS = 65536
 _BLOOM_K = 3
 
 
-def _bloom_positions(col):
-    """k deterministic bit positions from non-overlapping 4-hex-char
-    slices of md5(text): engine-independent, so DuckDB rebuilds the
-    identical filter (FPs and all)."""
-    h = F.md5(col.cast("binary"))
-    return [
-        (
-            F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast("long")
-            % _BLOOM_BITS
-        ).alias(f"pos{i}")
-        for i in range(_BLOOM_K)
-    ]
-
-
 def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter dedup front-line: even doc_ids form the indexed
-    corpus — their texts set k=3 md5-derived bits in an m=65536 filter —
-    and odd doc_ids probe it. A probe is a ``bloom_hit`` iff all k bits
-    are set; ``exact_dup`` (a real left-semi against the corpus) is
-    emitted next to it, so the result certifies the filter contract —
-    no false negatives (every exact_dup is a bloom_hit), false
-    positives visible rather than hidden. m=65536/k=3 keeps the fill
-    factor ~11% at sf0.1 (FP ≈ 0.1%); at larger corpora m grows with
-    the indexed count to hold that rate.
+    """Bloom-filter dedup front-line — thin wrapper over
+    ``operators.dedup.bloom_filter_bits`` / ``bloom_probe``: even
+    doc_ids form the indexed corpus (k=3 md5-derived bits in an
+    m=65536 filter), odd doc_ids probe it. ``exact_dup`` (a real
+    left-semi against the corpus) is emitted next to ``bloom_hit``, so
+    the result certifies the filter contract — no false negatives,
+    false positives visible rather than hidden. m=65536/k=3 keeps the
+    fill factor ~11% at sf0.1 (FP ≈ 0.1%); at larger corpora m grows
+    with the indexed count to hold that rate.
 
     Scale: the filter is O(m) regardless of corpus size — built with
     one map-side-combinable distinct over bit positions and BROADCAST
@@ -151,45 +137,39 @@ def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap first tier in front of the exact/minhash index
     (dedup_incremental) at 100 TB.
     """
+    from archive_to_parquet_spark.operators.dedup import (
+        bloom_filter_bits,
+        bloom_probe,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     probes = docs.filter(F.col("doc_id") % 2 == 1)
 
-    bits = (
-        corpus.select(F.explode(F.array(*_bloom_positions(F.col("text")))).alias("bit"))
-        .distinct()
+    bits = bloom_filter_bits(
+        corpus, "text", num_bits=_BLOOM_BITS, num_hashes=_BLOOM_K
     )
-    probe_bits = probes.select(
-        "doc_id", F.explode(F.array(*_bloom_positions(F.col("text")))).alias("bit")
-    )
-    hits = (
-        probe_bits.join(F.broadcast(bits), "bit")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_set"))
+    hits = bloom_probe(
+        probes, bits, "doc_id", "text", num_bits=_BLOOM_BITS, num_hashes=_BLOOM_K
     )
     exact = probes.join(
         corpus.select(F.col("text").alias("t")).distinct(),
         probes["text"] == F.col("t"),
         "left_semi",
     ).select("doc_id", F.lit(True).alias("exact_dup"))
-    return (
-        probes.select("doc_id")
-        .join(hits, "doc_id", "left")
-        .join(exact, "doc_id", "left")
-        .select(
-            "doc_id",
-            (F.coalesce(F.col("n_set"), F.lit(0)) == _BLOOM_K).alias("bloom_hit"),
-            F.coalesce(F.col("exact_dup"), F.lit(False)).alias("exact_dup"),
-        )
+    return hits.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "bloom_hit",
+        F.coalesce(F.col("exact_dup"), F.lit(False)).alias("exact_dup"),
     )
 
 
 DEDUP_BLOOM_SQL = f"""
 WITH pos AS (
   SELECT doc_id, doc_id % 2 = 0 AS is_corpus, text,
-         (('0x' || substr(md5(text), 1, 4))::BIGINT) % {_BLOOM_BITS} AS pos0,
-         (('0x' || substr(md5(text), 5, 4))::BIGINT) % {_BLOOM_BITS} AS pos1,
-         (('0x' || substr(md5(text), 9, 4))::BIGINT) % {_BLOOM_BITS} AS pos2
+         (('0x' || substr(md5(text), 1, 8))::BIGINT) % {_BLOOM_BITS} AS pos0,
+         (('0x' || substr(md5(text), 9, 8))::BIGINT) % {_BLOOM_BITS} AS pos1,
+         (('0x' || substr(md5(text), 17, 8))::BIGINT) % {_BLOOM_BITS} AS pos2
   FROM documents
 ), bits AS (
   SELECT DISTINCT bit FROM (

@@ -831,3 +831,58 @@ def test_dedup_chunk_spans_is_identity_without_duplicates(spark):
     for i, (doc_id, text) in enumerate(rows):
         assert out[doc_id].text_dedup == text
         assert out[doc_id].n_kept == out[doc_id].n_chunks
+
+
+def test_bloom_filter_roundtrip_and_merge(spark, tmp_path):
+    """Bloom tier: persisted bit set answers membership with no false
+    negatives; two batches' filters merge by UNION DISTINCT."""
+    from archive_to_parquet_spark.operators.dedup import (
+        bloom_filter_bits,
+        bloom_probe,
+    )
+
+    m, k = 4096, 3
+    batch1 = spark.createDataFrame([(i, f"doc {i}") for i in range(50)], ["id", "text"])
+    batch2 = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50, 100)], ["id", "text"]
+    )
+    path = str(tmp_path / "bloom_bits")
+    bloom_filter_bits(batch1, "text", num_bits=m, num_hashes=k).write.parquet(path)
+    # merge = union distinct of positions (bitwise OR of the filters)
+    merged = (
+        spark.read.parquet(path)
+        .unionByName(bloom_filter_bits(batch2, "text", num_bits=m, num_hashes=k))
+        .distinct()
+    )
+    probes = spark.createDataFrame(
+        [(1, "doc 7"), (2, "doc 99"), (3, "never indexed wholly novel")],
+        ["id", "text"],
+    )
+    got = {
+        r.id: r.bloom_hit
+        for r in bloom_probe(
+            probes, merged, "id", "text", num_bits=m, num_hashes=k
+        ).collect()
+    }
+    # indexed keys MUST hit (no false negatives, both batches)
+    assert got[1] is True and got[2] is True
+    # the novel key may only hit as a bloom FP — at 100 keys in 4096
+    # bits the FP chance is ~2e-5; treat a hit as a real failure
+    assert got[3] is False
+
+
+def test_bloom_probe_plan_broadcasts_bits(spark):
+    from archive_to_parquet_spark.operators.dedup import (
+        bloom_filter_bits,
+        bloom_probe,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["id", "text"])
+    bits = bloom_filter_bits(df, "text", num_bits=256, num_hashes=2)
+    plan = (
+        bloom_probe(df, bits, "id", "text", num_bits=256, num_hashes=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
