@@ -346,9 +346,70 @@ FROM nation n, LATERAL (
 """
 
 
+# ---------------------------------------------------------------------------
+# Salted hot-key join
+# ---------------------------------------------------------------------------
+
+
+def rel_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-skew join through ``operators.skew.salted_join``: events
+    join a per-type weight table on ``event_type`` — a 5-value key
+    where every key is ~20% of the fact side, the exact shape AQE's
+    split can't fully fix (one key ≥ one partition no matter how it
+    splits). The left side is salted ``xxhash64(row) % 64`` and the
+    weight table replicated 64×, so the shuffle spreads each hot key
+    over 64 partitions; semantics stay exactly the plain equi-join's,
+    which is what the oracle certifies.
+
+    Floats stay deterministic via the integer-micro-unit convention:
+    per-type weight = integer div of summed micro-units, weighted
+    product summed as integers (order-independent).
+    """
+    from archive_to_parquet_spark.operators.skew import salted_join
+
+    from archive_to_parquet_spark.queries import _events
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("value_e6"),
+    )
+    weights = ev.groupBy("event_type").agg(
+        F.expr("sum(value_e6) div count(*)").alias("weight_e6")
+    )
+    # shuffle_hash hint: the weight table is tiny, so without it Spark
+    # broadcasts and there is no shuffle for salting to spread
+    joined = salted_join(ev, weights.hint("shuffle_hash"), "event_type", num_salts=64)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.first("weight_e6").alias("weight_e6"),
+        F.sum(F.col("value_e6") * F.col("weight_e6")).alias("weighted_e12"),
+    )
+
+
+REL_SALTED_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS value_e6
+  FROM events
+), w AS (
+  SELECT event_type, SUM(value_e6) // COUNT(*) AS weight_e6
+  FROM ev GROUP BY event_type
+)
+SELECT ev.event_type,
+       COUNT(*) AS n_events,
+       ANY_VALUE(w.weight_e6) AS weight_e6,
+       SUM(ev.value_e6 * w.weight_e6) AS weighted_e12
+FROM ev JOIN w USING (event_type)
+GROUP BY ev.event_type
+"""
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
     "sketch_countmin": (sketch_countmin, SKETCH_COUNTMIN_SQL),
     "rel_lateral_topk": (rel_lateral_topk, REL_LATERAL_SQL),
+    "rel_salted_hot_join": (rel_salted_hot_join, REL_SALTED_SQL),
 }

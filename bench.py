@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_bloom_probe",
     "sketch_countmin",
     "rel_lateral_topk",
+    "rel_salted_hot_join",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):

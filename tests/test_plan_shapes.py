@@ -350,3 +350,17 @@ def test_lateral_topk_decorrelates_to_broadcast(spark):
     # Catalyst must decorrelate the LATERAL into a join (no nested-loop
     # per-row subquery execution); nation is the broadcast side
     assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["rel_salted_hot_join"](spark, SF_DIR))
+    # the fact-side shuffle must carry the salt in its partitioning key
+    # (that IS the skew fix) and the join must not broadcast-degrade
+    salt_exchanges = [
+        l for l in plan.splitlines()
+        if "hashpartitioning" in l and "__salt" in l
+    ]
+    assert salt_exchanges, "salt column missing from shuffle partitioning"
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
