@@ -29,6 +29,7 @@ every computed column aliased identically on both sides.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -361,49 +362,214 @@ def rel_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 64 partitions; semantics stay exactly the plain equi-join's,
     which is what the oracle certifies.
 
-    Floats stay deterministic via the integer-micro-unit convention:
-    per-type weight = integer div of summed micro-units, weighted
-    product summed as integers (order-independent).
+    Floats stay deterministic via the integer-unit convention:
+    per-type weight = integer div of summed cents, weighted product
+    summed as integers (order-independent, overflow-sized: see the
+    cents comment below).
     """
     from archive_to_parquet_spark.operators.skew import salted_join
 
     from archive_to_parquet_spark.queries import _events
 
+    # cents, not micro-units: value ≤ ~560 → value_c ≤ 5.6e4, so the
+    # per-row product weight_c·value_c ≤ ~3e9 and even 1e9 rows per key
+    # sum within int64 (e6 units overflowed at sf0.1)
     ev = _events(spark, sf_dir).select(
         "event_type",
-        F.floor(F.col("value").cast("double") * 1e6 + F.lit(0.5))
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
         .cast("long")
-        .alias("value_e6"),
+        .alias("value_c"),
     )
     weights = ev.groupBy("event_type").agg(
-        F.expr("sum(value_e6) div count(*)").alias("weight_e6")
+        F.expr("sum(value_c) div count(*)").alias("weight_c")
     )
     # shuffle_hash hint: the weight table is tiny, so without it Spark
     # broadcasts and there is no shuffle for salting to spread
     joined = salted_join(ev, weights.hint("shuffle_hash"), "event_type", num_salts=64)
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.first("weight_e6").alias("weight_e6"),
-        F.sum(F.col("value_e6") * F.col("weight_e6")).alias("weighted_e12"),
+        F.first("weight_c").alias("weight_c"),
+        F.sum(F.col("value_c") * F.col("weight_c")).alias("weighted_c2"),
     )
 
 
 REL_SALTED_SQL = """
 WITH ev AS (
   SELECT event_type,
-         CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS value_e6
+         CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS value_c
   FROM events
 ), w AS (
-  SELECT event_type, SUM(value_e6) // COUNT(*) AS weight_e6
+  SELECT event_type, SUM(value_c) // COUNT(*) AS weight_c
   FROM ev GROUP BY event_type
 )
 SELECT ev.event_type,
        COUNT(*) AS n_events,
-       ANY_VALUE(w.weight_e6) AS weight_e6,
-       SUM(ev.value_e6 * w.weight_e6) AS weighted_e12
+       ANY_VALUE(w.weight_c) AS weight_c,
+       SUM(ev.value_c * w.weight_c) AS weighted_c2
 FROM ev JOIN w USING (event_type)
 GROUP BY ev.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Window-function panel
+# ---------------------------------------------------------------------------
+
+
+def rel_window_funcs_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass over orders exercising the analytic-window family the
+    other entries don't: lag/lead (adjacent order gap per customer),
+    ntile quartiles, percent_rank / cume_dist, and first/last_value
+    over a running frame — all on ONE window partitioning (o_custkey),
+    so the whole panel costs a single shuffle + sort.
+
+    Determinism: ordering is total (o_orderkey tiebreak); percent_rank
+    and cume_dist are single IEEE divisions of exact integers —
+    identical in any engine (no accumulation, no transcendental).
+    Restricted to custkey < 100 to keep the row count driver-friendly.
+    """
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        cents.alias("price_c"),
+        F.lag(cents, 1).over(w).alias("prev_price_c"),
+        F.lead(cents, 1).over(w).alias("next_price_c"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first(cents).over(running).alias("first_price_c"),
+        F.max(cents).over(running).alias("run_max_c"),
+        F.sum(cents).over(running).alias("run_sum_c"),
+    )
+
+
+REL_WINDOW_PANEL_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS price_c,
+       lag(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT), 1)
+           OVER w AS prev_price_c,
+       lead(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT), 1)
+           OVER w AS next_price_c,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT))
+           OVER wrun AS first_price_c,
+       max(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT))
+           OVER wrun AS run_max_c,
+       sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT))
+           OVER wrun AS run_sum_c
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+       wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming archive ingest (DataSource end-to-end, literal-VALUES oracle)
+# ---------------------------------------------------------------------------
+
+_STREAM_DOCS = [
+    ("http://stream.example/a", b"alpha record"),
+    ("http://stream.example/b", b"beta record grows the open segment"),
+    ("http://stream.example/c", b"gamma record in a fresh segment"),
+]
+
+
+def stream_archive_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``format("archive-stream")`` DataSource end-to-end through a
+    real Structured Streaming query: micro-batch 1 ingests a
+    ``.warc.gz`` segment, then the segment GROWS in place (a
+    per-record gzip member appended — continuous-crawl semantics) and
+    a second segment arrives; micro-batch 2 must emit exactly the new
+    records. The parquet sink + fresh checkpoint make the run
+    deterministic, so the oracle is the closed-form row set (literal
+    VALUES with sha256 computed from the fixture bytes) — a full
+    value-hash check, not a rows-only concession.
+    """
+    import gzip
+    import shutil
+
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+    from archive_to_parquet_spark.sources.datasource import register
+
+    register(spark)
+    stage = _stage_dir("streamwarc", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    watch = os.path.join(stage, "in")
+    out = os.path.join(stage, "out")
+    ckpt = os.path.join(stage, "ckpt")
+    os.makedirs(watch)
+
+    def rec(uri: str, payload: bytes) -> bytes:
+        body = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: resource\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+            + b"\r\n\r\n"
+        )
+        return gzip.compress(body)
+
+    seg0 = os.path.join(watch, "seg0.warc.gz")
+    with open(seg0, "wb") as fh:
+        fh.write(rec(*_STREAM_DOCS[0]))
+
+    stream = (
+        spark.readStream.format("archive-stream")
+        .option("glob", f"{watch}/*.warc.gz")
+        .load()
+        .select("path", "size", F.lower(F.hex("hash")).alias("hash_hex"), "format")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # the crawler appends to the OPEN segment and rolls a new one
+        with open(seg0, "ab") as fh:
+            fh.write(rec(*_STREAM_DOCS[1]))
+        with open(os.path.join(watch, "seg1.warc.gz"), "wb") as fh:
+            fh.write(rec(*_STREAM_DOCS[2]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)
+
+
+def _stream_ingest_oracle_sql() -> str:
+    import hashlib
+
+    rows = ",\n  ".join(
+        f"('{uri}', {len(payload)}, "
+        f"'{hashlib.sha256(payload).hexdigest()}', 'unknown')"
+        for uri, payload in _STREAM_DOCS
+    )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + rows
+        + "\n) t(path, size, hash_hex, format)"
+    )
+
+
+STREAM_ARCHIVE_INGEST_SQL = _stream_ingest_oracle_sql()
 
 
 CATALOG = {
@@ -412,4 +578,6 @@ CATALOG = {
     "sketch_countmin": (sketch_countmin, SKETCH_COUNTMIN_SQL),
     "rel_lateral_topk": (rel_lateral_topk, REL_LATERAL_SQL),
     "rel_salted_hot_join": (rel_salted_hot_join, REL_SALTED_SQL),
+    "rel_window_funcs_panel": (rel_window_funcs_panel, REL_WINDOW_PANEL_SQL),
+    "stream_archive_ingest": (stream_archive_ingest, STREAM_ARCHIVE_INGEST_SQL),
 }

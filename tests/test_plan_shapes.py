@@ -364,3 +364,15 @@ def test_salted_join_spreads_hot_key(spark):
     ]
     assert salt_exchanges, "salt column missing from shuffle partitioning"
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_window_panel_single_shuffle(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["rel_window_funcs_panel"](spark, SF_DIR))
+    # the whole analytic panel shares one partitioning: exactly one
+    # exchange, every window spec keyed on o_custkey
+    assert plan.count("Exchange") == 1
+    spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert spec_lines
+    assert all("windowspecdefinition(o_custkey" in l for l in spec_lines)
