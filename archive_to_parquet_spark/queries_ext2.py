@@ -24,6 +24,21 @@ every computed column aliased identically on both sides.
   LIMIT (top-3 customers per nation): exercises Catalyst's lateral
   decorrelation, a different physical path from the window top-k in
   ``rel_window_top3_per_cust``.
+- ``rel_salted_hot_join`` — extreme-skew join through
+  ``operators.skew.salted_join`` (5-value key, each ~20% of the fact
+  side); plain-equi-join semantics certified by the oracle, salt
+  pinned in the shuffle partitioning.
+- ``rel_window_funcs_panel`` — lag/lead, ntile, percent_rank,
+  cume_dist, and running first/max/sum on ONE window partitioning
+  (single exchange, plan-pinned).
+- ``stream_archive_ingest`` — the archive-stream DataSource through a
+  real Structured Streaming query with in-place ``.warc.gz`` segment
+  growth; literal-VALUES sha256 oracle.
+- ``multimodal_content_decode`` — codec-free CONTENT decode
+  driver-checked with closed-form constructions: constant-gray PGM →
+  exact grid-mean feature, square-envelope PCM WAV → exact −2^32
+  energy fingerprint, minimal MP4 → the three construction-time
+  keyframe payloads sliced from mdat.
 """
 
 from __future__ import annotations
@@ -572,6 +587,159 @@ def _stream_ingest_oracle_sql() -> str:
 STREAM_ARCHIVE_INGEST_SQL = _stream_ingest_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Content-level multimodal decode (codec-free), driver-checked
+# ---------------------------------------------------------------------------
+
+
+def _mp4_fixture() -> tuple[bytes, list[bytes]]:
+    """Minimal ISO BMFF blob with one video trak and three sync samples
+    — built byte-exactly at import so the expected keyframe payloads
+    are knowable literals (no stss box → every sample is a keyframe per
+    ISO 14496-12 §8.6.2)."""
+    import struct as _s
+
+    samples = [b"keyframe-one", b"keyframe-two!", b"keyframe-three!!"]
+    sizes = [len(s) for s in samples]
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+    stsz = box(b"stsz", _s.pack(">III", 0, 0, 3) + _s.pack(">3I", *sizes))
+    stsc = box(b"stsc", _s.pack(">II", 0, 1) + _s.pack(">III", 1, 3, 1))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+
+    def build(chunk_off: int) -> bytes:
+        stco = box(b"stco", _s.pack(">II", 0, 1) + _s.pack(">I", chunk_off))
+        moov = box(
+            b"moov",
+            box(b"trak", box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsz + stsc + stco)))),
+        )
+        ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        return ftyp + moov + box(b"mdat", b"".join(samples))
+
+    draft = build(0)
+    blob = build(len(draft) - sum(sizes))
+    assert len(blob) == len(draft)
+    return blob, samples
+
+
+_MP4_BLOB, _MP4_SAMPLES = _mp4_fixture()
+_MP4_KF_DIGEST = "".join(
+    hashlib.sha256(s).hexdigest() for s in _MP4_SAMPLES
+)
+
+
+def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-level codec-free decode, driver-checked (the round-3
+    step past ``multimodal_header_decode``'s header parsing): per doc,
+
+    - a constant-gray 8×8 binary PGM (pixel value doc_id % 251) goes
+      through ``extract_image_features(decode="real")`` — the 4×4 pixel
+      grid-mean feature of a constant image must equal that constant:
+      p00 = (v/255)·2 − 1 exactly, stated by the oracle;
+    - a 128-sample PCM WAV (64 silent samples, then 64 at amplitude
+      16384 = 0.5 full-scale) goes through ``audio_fingerprints`` —
+      the 64-block energy envelope is 32 zero blocks then 32 hot
+      blocks, so the median-thresholded fingerprint is exactly the
+      high-32-bits pattern: −2^32 as signed int64;
+    - a minimal MP4 goes through ``sample_video_frames(decode="real")``
+      — the stss/stsc/stco/stsz walk must slice exactly the three
+      construction-time keyframe payloads out of mdat (sha256 literals
+      in the oracle).
+
+    All three decoders run as Arrow ``mapInPandas`` stages — per-row,
+    no shuffle; the three result frames join on doc_id.
+    """
+    from archive_to_parquet_spark.operators.multimodal import (
+        audio_fingerprints,
+        extract_image_features,
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 50
+    )
+    v = (F.col("doc_id") % 251).cast("int")
+    pgm = F.concat(
+        F.unhex(F.lit("503520382038203235350A")),  # "P5 8 8 255\n"
+        F.unhex(F.repeat(F.lpad(F.hex(v), 2, "0"), 64)),
+    )
+    wav = F.unhex(
+        F.lit(
+            "52494646"  # RIFF
+            + "24010000"  # riff size = 292 LE
+            + "57415645666D7420"  # WAVEfmt(space)
+            + "10000000"  # fmt size 16
+            + "0100" + "0100"  # PCM, mono
+            + "401F0000"  # rate 8000
+            + "803E0000"  # byte rate 16000
+            + "0200" + "1000"  # block align, 16-bit
+            + "64617461" + "00010000"  # data, size 256
+            + "0000" * 64  # 64 silent samples
+            + "0040" * 64  # 64 samples at 0x4000 = 16384
+        )
+    )
+    mp4 = F.unhex(F.lit(_MP4_BLOB.hex()))
+    media = docs.select(
+        "doc_id", pgm.alias("pgm"), wav.alias("wav"), mp4.alias("mp4")
+    )
+
+    img = extract_image_features(
+        media, data_col="pgm", id_col="doc_id", decode="real"
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        F.floor(
+            F.element_at("feature", 1).cast("double") * 1e6 + F.lit(0.5)
+        ).cast("long").alias("p00_e6"),
+    )
+    aud = audio_fingerprints(media, id_col="doc_id", data_col="wav").select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        F.col("fingerprint").alias("audio_fp"),
+    )
+    vid = (
+        sample_video_frames(
+            media, data_col="mp4", id_col="doc_id", every_n=1, decode="real"
+        )
+        .groupBy(F.col("media_id").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_keyframes"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("frame_idx"), F.sha2("frame", 256).alias("s"))
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                "",
+            ).alias("kf_digest"),
+        )
+    )
+    return img.join(aud, "doc_id").join(vid, "doc_id")
+
+
+MULTIMODAL_CONTENT_SQL = f"""
+SELECT doc_id,
+       8 AS width,
+       8 AS height,
+       CAST(floor(CAST(CAST((CAST(doc_id % 251 AS DOUBLE) / 255.0) * 2.0 - 1.0
+            AS FLOAT) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS p00_e6,
+       8000 AS sample_rate,
+       CAST(128 AS BIGINT) AS n_samples,
+       CAST(-4294967296 AS BIGINT) AS audio_fp,
+       CAST(3 AS BIGINT) AS n_keyframes,
+       '{_MP4_KF_DIGEST}' AS kf_digest
+FROM documents
+WHERE doc_id < 50
+"""
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -580,4 +748,8 @@ CATALOG = {
     "rel_salted_hot_join": (rel_salted_hot_join, REL_SALTED_SQL),
     "rel_window_funcs_panel": (rel_window_funcs_panel, REL_WINDOW_PANEL_SQL),
     "stream_archive_ingest": (stream_archive_ingest, STREAM_ARCHIVE_INGEST_SQL),
+    "multimodal_content_decode": (
+        multimodal_content_decode,
+        MULTIMODAL_CONTENT_SQL,
+    ),
 }
