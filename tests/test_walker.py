@@ -346,23 +346,34 @@ def test_zip_stream_inside_tar_gz():
 
 
 def test_zstd_decode_or_clear_error():
-    """S9 zstd coverage: with the zstandard module present the decode
-    path lights up with zero code change; without it a zstd input fails
-    LOUDLY with a clear error, never a silent misdetection."""
+    """S9 zstd coverage: decode works through the zstandard module OR
+    the zstd-binary subprocess fallback; only with NEITHER available
+    does a zstd input fail loudly (never a silent misdetection).
+    The no-codec error path is pinned in test_sources.py."""
     import pytest
 
-    try:
-        import zstandard
-    except ImportError:
-        zstandard = None
-    if zstandard is not None:
-        data = zstandard.ZstdCompressor().compress(b"zstd payload content")
-        rows = _walk_bytes("f.zst", data)
-        assert [r.content for r in rows] == [b"zstd payload content"]
-    else:
+    import archive_to_parquet_spark.sources.walker as walker_mod
+
+    if not (walker_mod._HAS_ZSTD or walker_mod._ZSTD_BIN):
         data = b"\x28\xb5\x2f\xfd" + b"\x00" * 20  # zstd magic + junk
-        with pytest.raises(RuntimeError, match="zstandard module is unavailable"):
+        with pytest.raises(RuntimeError, match="zstd"):
             _walk_bytes("f.zst", data)
+        return
+    if walker_mod._HAS_ZSTD:
+        import zstandard
+
+        data = zstandard.ZstdCompressor().compress(b"zstd payload content")
+    else:
+        import subprocess
+
+        data = subprocess.run(
+            [walker_mod._ZSTD_BIN, "-c"],
+            input=b"zstd payload content",
+            capture_output=True,
+            check=True,
+        ).stdout
+    rows = _walk_bytes("f.zst", data)
+    assert [r.content for r in rows] == [b"zstd payload content"]
 
 
 def _ar_bytes(members: list[tuple[str, bytes]]) -> bytes:
