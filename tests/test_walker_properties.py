@@ -125,3 +125,95 @@ def test_truncated_warc_never_crashes(resources, cut):
     # drops whole trailing records
     for r in rows:
         assert resources[r.path] == r.content
+
+
+# -- buffered line reader equivalence (r3: WARC header fast path) -------------
+
+
+class _ByteAtATime:
+    """Adversarial inner stream: returns at most `step` bytes per read,
+    exercising partial-read handling in the buffered reader."""
+
+    def __init__(self, data: bytes, step: int):
+        self._data = data
+        self._pos = 0
+        self._step = step
+
+    def read(self, n: int) -> bytes:
+        take = min(n, self._step, len(self._data) - self._pos)
+        out = self._data[self._pos : self._pos + take]
+        self._pos += take
+        return out
+
+
+def _naive_lines(data: bytes, limit: int = 64 * 1024) -> list[bytes | None]:
+    """Reference semantics: per-byte reads, partial line at EOF kept,
+    line over limit -> None and stop."""
+    out: list[bytes | None] = []
+    stream = io.BytesIO(data)
+    while True:
+        line = bytearray()
+        over = False
+        while True:
+            b = stream.read(1)
+            if not b:
+                break
+            line += b
+            if b == b"\n":
+                break
+            if len(line) >= limit:
+                over = True
+                break
+        if over:
+            out.append(None)
+            return out
+        if not line:
+            return out
+        out.append(bytes(line))
+
+
+@given(
+    data=st.binary(max_size=2048).map(
+        # salt in plenty of newlines so multi-line cases dominate
+        lambda b: b.replace(b"\x00", b"\n")
+    ),
+    step=st.integers(min_value=1, max_value=97),
+    chunk=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+def test_line_buffered_stream_matches_naive_reader(data, step, chunk):
+    from archive_to_parquet_spark.sources.walker import _LineBufferedStream
+
+    s = _LineBufferedStream(_ByteAtATime(data, step), chunk=chunk)
+    got: list[bytes] = []
+    while True:
+        line = s.readline_lf()
+        if line is None:
+            break
+        got.append(line)
+    # naive never yields None for these sizes (limit 64k > 2k input)
+    assert got == _naive_lines(data)
+
+
+@given(
+    data=st.binary(min_size=1, max_size=2048),
+    split=st.integers(min_value=0, max_value=2048),
+    step=st.integers(min_value=1, max_value=97),
+)
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+def test_line_buffered_stream_read_after_lines_loses_nothing(data, split, step):
+    """Interleaving readline_lf and bulk read() must reproduce the
+    exact byte stream — over-read buffered bytes are never dropped
+    (the WARC walk reads headers by line, then the payload by size)."""
+    from archive_to_parquet_spark.sources.walker import _LineBufferedStream
+
+    split = min(split, len(data))
+    prefix, rest = data[:split], data[split:]
+    blob = prefix + b"\n" + rest
+    s = _LineBufferedStream(_ByteAtATime(blob, step), chunk=31)
+    consumed = b""
+    line = s.readline_lf()
+    assert line is not None
+    consumed += line
+    tail = s.read(len(blob))
+    assert consumed + tail == blob
