@@ -740,6 +740,86 @@ WHERE doc_id < 50
 """
 
 
+# ---------------------------------------------------------------------------
+# C4-style boilerplate-line removal
+# ---------------------------------------------------------------------------
+
+_BOILER_LINE = "cookie-banner: accept all to continue"
+
+
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``operators.dedup.remove_boilerplate_lines`` driver-checked: a
+    synthetic boilerplate line is planted into every third document
+    (the corpus has no naturally repeated lines), so the line's
+    document frequency clears the threshold and it must be removed
+    from every planted document while all original lines survive.
+    Output is (doc_id, n_lines, n_kept, clean_md5) — the md5 keeps the
+    reassembled text compact while still value-certifying the exact
+    reconstruction, ORDER of lines included.
+
+    Plan (see the operator docstring): posexplode → line-frequency agg
+    with map-side partials → join back on the line key → per-doc
+    reassembly; linear in corpus line volume, no doc×doc work.
+    """
+    from archive_to_parquet_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\n" + _BOILER_LINE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = remove_boilerplate_lines(docs, min_doc_frequency=3)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.col("text_clean").cast("binary")).alias("clean_md5"),
+    )
+
+
+TEXT_BOILERPLATE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || chr(10) || '{_BOILER_LINE}'
+              ELSE text END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, unnest(ls).idx AS idx, unnest(ls).line AS line
+  FROM (
+    SELECT doc_id,
+           [{{'idx': i, 'line': l[i]}}
+            for i in generate_series(1, len(l))] AS ls
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs)
+  )
+), freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM lines WHERE length(trim(line)) > 0
+  GROUP BY line
+), hot AS (
+  SELECT line FROM freq WHERE doc_freq >= 3
+), kept AS (
+  SELECT l.doc_id, l.idx, l.line
+  FROM lines l LEFT JOIN hot h ON h.line = l.line
+  WHERE h.line IS NULL
+), rebuilt AS (
+  SELECT doc_id,
+         COUNT(*) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, chr(10))) AS INT) AS n_lines,
+       r.n_kept,
+       r.clean_md5
+FROM docs d JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -752,4 +832,5 @@ CATALOG = {
         multimodal_content_decode,
         MULTIMODAL_CONTENT_SQL,
     ),
+    "text_boilerplate_removal": (text_boilerplate_removal, TEXT_BOILERPLATE_SQL),
 }
