@@ -104,6 +104,14 @@ def detect_format(peek: bytes, compression: str | None = None) -> str:
         return "7z"
     if peek[:7] == b"Rar!\x1a\x07\x00" or peek[:8] == b"Rar!\x1a\x07\x01\x00":
         return "rar"
+    # columnar/table leaf kinds: labeled so downstream can route them
+    # (sources/members.py reads parquet members back into rows)
+    if peek[:4] == b"PAR1":
+        return "parquet"
+    if peek[:3] == b"ORC":
+        return "orc"
+    if peek[:4] == b"Obj\x01":
+        return "avro"
     if is_executable_magic(peek):
         return "executable"
     return compression or "unknown"

@@ -240,3 +240,50 @@ def test_sink_row_group_geometry(spark, tmp_path):
     assert all(
         meta.row_group(i).num_rows < 200 for i in range(meta.num_row_groups)
     )
+
+
+def test_parquet_members_read_back_as_rows(spark, tmp_path):
+    """A tar of parquet shards becomes a queryable DataFrame without
+    extraction: members sniff as format='parquet' and decode to rows
+    with provenance, declared-schema projection, and loud failure on
+    schema drift."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import pytest as _pytest
+
+    from archive_to_parquet_spark.plans.convert import entries_pipeline
+    from archive_to_parquet_spark.sources.members import parquet_members_to_rows
+
+    def shard(ids, names):
+        buf = _io.BytesIO()
+        _pq.write_table(
+            pa.table({"id": ids, "name": names, "extra": [0.5] * len(ids)}), buf
+        )
+        return buf.getvalue()
+
+    archive = tmp_path / "dataset.tar"
+    archive.write_bytes(
+        tar_archive(
+            {
+                "part-0.parquet": shard([1, 2], ["a", "b"]),
+                "part-1.parquet": shard([3], ["c"]),
+                "README.txt": b"not a table",
+            }
+        )
+    )
+    entries = entries_pipeline(spark, [str(archive)], ConvertOptions())
+    assert {r.format for r in entries.select("format").collect()} == {
+        "parquet",
+        "unknown",
+    }
+    rows = parquet_members_to_rows(entries, "id long, name string").collect()
+    assert sorted((r._member, r.id, r.name) for r in rows) == [
+        ("part-0.parquet", 1, "a"),
+        ("part-0.parquet", 2, "b"),
+        ("part-1.parquet", 3, "c"),
+    ]
+    # declared column absent from the member -> loud error, not nulls
+    with _pytest.raises(Exception, match="lacks declared columns|nope"):
+        parquet_members_to_rows(entries, "id long, nope string").collect()

@@ -482,3 +482,37 @@ def test_walk_ar_inside_tar_gz(tmp_path):
     p.write_bytes(_gzip.compress(buf.getvalue()))
     rows = {r.path: r for r in walk_path(str(p))}
     assert rows["inner.a/member.txt"].content == b"ar in tar.gz"
+
+
+def test_deb_package_walks_end_to_end():
+    """A Debian .deb is an ar archive holding control.tar.gz +
+    data.tar.xz — the recursive walk must expand both nested tars in
+    place (no special-casing: ar → sniff → tar.{gz,xz} recursion)."""
+    import io as _io
+    import tarfile as _tarfile
+
+    def _tar(files, mode):
+        buf = _io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode=mode) as tf:
+            for n, d in files.items():
+                info = _tarfile.TarInfo(n)
+                info.size = len(d)
+                tf.addfile(info, _io.BytesIO(d))
+        return buf.getvalue()
+
+    deb = _ar_bytes(
+        [
+            ("debian-binary", b"2.0\n"),
+            ("control.tar.gz", _tar({"control": b"Package: demo\n"}, "w:gz")),
+            (
+                "data.tar.xz",
+                _tar({"./usr/bin/demo": b"#!/bin/sh\necho demo\n"}, "w:xz"),
+            ),
+        ]
+    )
+    rows = _walk_bytes("demo.deb", deb)
+    assert [(r.path, r.content) for r in rows] == [
+        ("debian-binary", b"2.0\n"),
+        ("control.tar.gz/control", b"Package: demo\n"),
+        ("data.tar.xz/./usr/bin/demo", b"#!/bin/sh\necho demo\n"),
+    ]
