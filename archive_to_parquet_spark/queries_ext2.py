@@ -820,6 +820,104 @@ FROM docs d JOIN rebuilt r ON r.doc_id = d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Spark 4 features: VARIANT and SQL UDFs
+# ---------------------------------------------------------------------------
+
+
+def rel_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: each
+    event is re-serialized to JSON (``to_json`` over a nested struct
+    that embeds the raw ``props`` JSON string), parsed into a VARIANT,
+    and the analysis reads ONLY variant paths — ``$.uid``, plus a
+    second ``parse_json`` hop into the embedded props for ``$.k``.
+    The oracle states the same aggregates from the base columns, so the
+    whole VARIANT round-trip (binary encoding, path extraction, typed
+    casts) must be lossless.
+
+    Scale: VARIANT parse/extract are JVM expressions inside codegen —
+    this is the schema-on-read path for heterogeneous event lakes, one
+    scan, aggregation with map-side partials.
+    """
+    from archive_to_parquet_spark.queries import _events
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id", "props")
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.struct(F.col("props").alias("raw")).alias("nested"),
+            )
+        )
+    )
+    extracted = ev.select(
+        "event_type",
+        F.variant_get(v, "$.uid", "long").alias("uid"),
+        F.variant_get(
+            F.parse_json(F.variant_get(v, "$.nested.raw", "string")),
+            "$.k",
+            "long",
+        ).alias("k"),
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("uid").alias("sum_uid"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+REL_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(user_id) AS sum_uid,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def rel_sql_udf_priceband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SQL-defined scalar function (Spark 4 ``CREATE FUNCTION ...
+    RETURN <expr>``) used in a grouped aggregation. The function body
+    is pure SQL, so Catalyst INLINES it — no Python worker, no UDF
+    serialization boundary, full codegen — which is the right way to
+    package reusable business logic on a 100 TB table. The oracle
+    inlines the same CASE by hand.
+    """
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION _price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p >= 300000.0 THEN 'high'
+                    WHEN p >= 150000.0 THEN 'mid'
+                    ELSE 'low' END
+        """
+    )
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_udf_orders")
+    return spark.sql(
+        """
+        SELECT _price_band(o_totalprice) AS band,
+               COUNT(*) AS n_orders,
+               SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                   AS BIGINT)) AS total_c
+        FROM _udf_orders
+        GROUP BY _price_band(o_totalprice)
+        """
+    )
+
+
+REL_SQL_UDF_SQL = """
+SELECT CASE WHEN o_totalprice >= 300000.0 THEN 'high'
+            WHEN o_totalprice >= 150000.0 THEN 'mid'
+            ELSE 'low' END AS band,
+       COUNT(*) AS n_orders,
+       SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT))
+           AS total_c
+FROM orders
+GROUP BY 1
+"""
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -833,4 +931,6 @@ CATALOG = {
         MULTIMODAL_CONTENT_SQL,
     ),
     "text_boilerplate_removal": (text_boilerplate_removal, TEXT_BOILERPLATE_SQL),
+    "rel_variant_json": (rel_variant_json, REL_VARIANT_SQL),
+    "rel_sql_udf_priceband": (rel_sql_udf_priceband, REL_SQL_UDF_SQL),
 }

@@ -376,3 +376,12 @@ def test_window_panel_single_shuffle(spark):
     spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert spec_lines
     assert all("windowspecdefinition(o_custkey" in l for l in spec_lines)
+
+
+def test_sql_udf_is_inlined_no_python(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["rel_sql_udf_priceband"](spark, SF_DIR))
+    # the SQL-defined function must inline into codegen — a Python
+    # eval node would mean the 100 TB scan pays a worker round-trip
+    assert "Python" not in plan
