@@ -39,6 +39,12 @@ every computed column aliased identically on both sides.
   exact grid-mean feature, square-envelope PCM WAV → exact −2^32
   energy fingerprint, minimal MP4 → the three construction-time
   keyframe payloads sliced from mdat.
+- ``text_boilerplate_removal`` — C4-style boilerplate-line removal
+  with a planted repeated line; exact reassembly certified via md5.
+- ``rel_variant_json`` — Spark 4 VARIANT round-trip (parse, typed path
+  extraction, nested second parse) against base-column aggregates.
+- ``rel_sql_udf_priceband`` — SQL-defined scalar function, inlined by
+  Catalyst (no Python eval node; plan-pinned).
 """
 
 from __future__ import annotations
@@ -821,6 +827,139 @@ FROM docs d JOIN rebuilt r ON r.doc_id = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# ANN via JL-projected candidates + exact re-rank
+# ---------------------------------------------------------------------------
+
+_JL_ANN_CANDIDATES = 30
+
+
+def ann_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 cosine through the JL width-reduction path
+    the projection entry advertises: candidates are the 30 nearest
+    neighbors in the 8-d PROJECTED integer space (L2² of micro-unit
+    projections, integer-div-scaled so squares stay within int64), then
+    an exact 64-d cosine re-rank keeps the top 10. Every stage is
+    engine-reproducible — the oracle replays projection, candidate
+    ranking, and re-rank bit-for-bit, certifying the approximate
+    algorithm itself (the ann_lsh/ivf/pq precedent).
+
+    Scale: candidate generation scans 8 longs per row instead of 64
+    floats (the point of JL at 100 TB); queries broadcast both stages;
+    only candidate rows pay the full-width cosine.
+    """
+    from pyspark.sql import Window
+
+    from archive_to_parquet_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm_col,
+    )
+
+    proj = embedding_jl_projection(spark, sf_dir)
+    # scale down before squaring: |p| ≤ 64·1e6·1e6 = 6.4e13 → diff²
+    # would overflow; after div 1e6, Σ of 8 squares ≤ ~1.3e17 < 2^63
+    # `div`, not double-divide-and-cast: DuckDB's CAST(x/1e6) ROUNDS
+    # while `//` truncates toward zero exactly like Spark's `div`
+    pd_cols = [F.expr(f"p{j} div 1000000").alias(f"s{j}")
+               for j in range(_JL_OUT_DIM)]
+    cs = proj.select(F.col("vec_id"), *pd_cols)
+    qs = cs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"s{j}").alias(f"q{j}") for j in range(_JL_OUT_DIM)],
+    )
+    d2 = None
+    for j in range(_JL_OUT_DIM):
+        term = (F.col(f"s{j}") - F.col(f"q{j}")) * (F.col(f"s{j}") - F.col(f"q{j}"))
+        d2 = term if d2 is None else d2 + term
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        cs.join(F.broadcast(qs))
+        .select("query_id", "vec_id", d2.alias("approx_d2"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= _JL_ANN_CANDIDATES)
+        .select("query_id", "vec_id")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    full = emb.select(
+        "vec_id", F.col("embedding").alias("cv"), l2_norm_col("embedding").alias("cn")
+    )
+    qfull = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm_col("embedding").alias("qn"),
+    )
+    score = F.round(cosine_from_norms("cv", "qv", "cn", "qn"), 6)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select("query_id", "vec_id", score.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _jl_ann_oracle_sql() -> str:
+    w = _jl_matrix_e6()
+
+    def proj_expr(j: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE) * 1000000 + 0.5)"
+                f" AS BIGINT) * ({w[j][d]})"
+                for d in range(_JL_IN_DIM)
+            )
+            + ")"
+        )
+
+    projs = ",\n         ".join(
+        # `//` truncates toward zero on integers, same as Spark `div`
+        # (CAST(x/1e6 AS BIGINT) would ROUND — measured divergence)
+        f"{proj_expr(j)} // 1000000 AS s{j}"
+        for j in range(_JL_OUT_DIM)
+    )
+    d2 = " + ".join(
+        f"(c.s{j} - q.s{j}) * (c.s{j} - q.s{j})" for j in range(_JL_OUT_DIM)
+    )
+    return f"""
+WITH sp AS (
+  SELECT vec_id,
+         {projs}
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, * EXCLUDE (vec_id) FROM sp WHERE vec_id % 50 = 0
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {d2} ASC, c.vec_id ASC) AS crank
+    FROM sp c CROSS JOIN q
+  ) WHERE crank <= {_JL_ANN_CANDIDATES}
+), scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+ANN_JL_SQL = _jl_ann_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # Spark 4 features: VARIANT and SQL UDFs
 # ---------------------------------------------------------------------------
 
@@ -933,4 +1072,5 @@ CATALOG = {
     "text_boilerplate_removal": (text_boilerplate_removal, TEXT_BOILERPLATE_SQL),
     "rel_variant_json": (rel_variant_json, REL_VARIANT_SQL),
     "rel_sql_udf_priceband": (rel_sql_udf_priceband, REL_SQL_UDF_SQL),
+    "ann_jl_topk": (ann_jl_topk, ANN_JL_SQL),
 }

@@ -87,6 +87,10 @@ HEADLINE = [
     "sketch_countmin",
     "rel_lateral_topk",
     "rel_salted_hot_join",
+    "rel_window_funcs_panel",
+    "rel_variant_json",
+    "rel_sql_udf_priceband",
+    "text_boilerplate_removal",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):

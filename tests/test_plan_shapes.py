@@ -385,3 +385,17 @@ def test_sql_udf_is_inlined_no_python(spark):
     # the SQL-defined function must inline into codegen — a Python
     # eval node would mean the 100 TB scan pays a worker round-trip
     assert "Python" not in plan
+
+
+def test_ann_jl_candidates_broadcast_queries(spark):
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["ann_jl_topk"](spark, SF_DIR))
+    # both stages broadcast the query side; the corpus is never built
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    # candidate + re-rank windows both partition by query_id
+    spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert spec_lines
+    assert all("windowspecdefinition(query_id" in l for l in spec_lines)
