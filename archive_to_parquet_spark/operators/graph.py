@@ -117,3 +117,65 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count over an UNDIRECTED simple graph (edges in
+    either orientation; self-loops and duplicates removed here).
+
+    Degree-ordered orientation — the standard scale trick: each edge is
+    directed from its lower-degree endpoint to the higher (ties by node
+    id), so every triangle is counted exactly ONCE (at its lowest-degree
+    corner) and, decisively for skewed graphs, the wedge join's fan-out
+    is bounded by the ORIENTED out-degree ≤ O(√m) instead of a hub's raw
+    degree — a celebrity node with 10^7 neighbors contributes wedges
+    only through its (few) higher-degree peers.
+
+    Plan: canonicalize + distinct → degree agg → two joins on node id
+    (wedge build, then closing-edge semi join). All shuffles key on node
+    id / edge pairs; no broadcast assumptions, so it scales to edge sets
+    far beyond memory. Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z"))
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    return (
+        closed.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(F.broadcast(deg.agg(F.count("*").alias("n_nodes"))))
+        .crossJoin(F.broadcast(canon.agg(F.count("*").alias("n_edges"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

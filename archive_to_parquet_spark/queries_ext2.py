@@ -45,6 +45,11 @@ every computed column aliased identically on both sides.
   extraction, nested second parse) against base-column aggregates.
 - ``rel_sql_udf_priceband`` — SQL-defined scalar function, inlined by
   Catalyst (no Python eval node; plan-pinned).
+- ``ann_jl_topk`` — JL-projected integer candidates + exact 64-d
+  re-rank; the oracle replays the approximate algorithm itself.
+- ``graph_triangles`` — exact triangle count over the part
+  co-purchase graph, degree-ordered orientation (each triangle counted
+  once at its lowest-degree corner, wedge fan-out O(√m)).
 """
 
 from __future__ import annotations
@@ -959,6 +964,69 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
 ANN_JL_SQL = _jl_ann_oracle_sql()
 
 
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the part co-purchase graph (parts
+    sharing an order are adjacent) via ``operators.graph.
+    triangle_count`` — degree-ordered orientation, so each triangle is
+    counted once at its lowest-degree corner and wedge fan-out stays
+    O(√m) even at hub nodes. The oracle replays canonicalization,
+    degrees, orientation, wedge join, and the closing-edge semi join.
+
+    Scale: all joins key on node id / edge pairs — no broadcast of the
+    edge set, no all-pairs step; the co-purchase expansion itself is
+    bounded by items-per-order (basket size), not catalog size.
+    """
+    from archive_to_parquet_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    return triangle_count(pairs)
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH pairs AS (
+  SELECT x.l_partkey AS src, y.l_partkey AS dst
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+), canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM pairs WHERE src <> dst
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM canon UNION ALL SELECT b AS node FROM canon
+  ) GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+              THEN c.a ELSE c.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+              THEN c.b ELSE c.a END AS v
+  FROM canon c
+  JOIN deg da ON da.node = c.a
+  JOIN deg db ON db.node = c.b
+), closed AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM oriented e1 JOIN oriented e2 ON e1.v = e2.u
+  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = e1.u AND o.v = e2.v)
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM canon) AS n_edges,
+       (SELECT COUNT(*) FROM closed) AS n_triangles
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spark 4 features: VARIANT and SQL UDFs
 # ---------------------------------------------------------------------------
@@ -1073,4 +1141,5 @@ CATALOG = {
     "rel_variant_json": (rel_variant_json, REL_VARIANT_SQL),
     "rel_sql_udf_priceband": (rel_sql_udf_priceband, REL_SQL_UDF_SQL),
     "ann_jl_topk": (ann_jl_topk, ANN_JL_SQL),
+    "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
 }

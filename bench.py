@@ -91,6 +91,7 @@ HEADLINE = [
     "rel_variant_json",
     "rel_sql_udf_priceband",
     "text_boilerplate_removal",
+    "ann_jl_topk",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):
