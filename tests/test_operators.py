@@ -886,3 +886,23 @@ def test_bloom_probe_plan_broadcasts_bits(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_triangle_count_known_graphs(spark):
+    from archive_to_parquet_spark.operators.graph import triangle_count
+
+    # K4 has exactly 4 triangles; orientation must not double-count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, ["src", "dst"])
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+    # a path graph has none; duplicate/reversed/self edges are cleaned
+    path = [(1, 2), (2, 3), (3, 4), (2, 1), (3, 3), (2, 3)]
+    row2 = triangle_count(spark.createDataFrame(path, ["src", "dst"])).collect()[0]
+    assert (row2.n_nodes, row2.n_edges, row2.n_triangles) == (4, 3, 0)
+
+    # two triangles sharing an edge (bowtie-ish): 1-2-3 and 2-3-4
+    bow = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
+    row3 = triangle_count(spark.createDataFrame(bow, ["src", "dst"])).collect()[0]
+    assert row3.n_triangles == 2
