@@ -1,5 +1,8 @@
-"""Catalog extension (round 3): dimensionality reduction, membership
-sketches, count-min frequency estimation, and lateral top-k.
+"""Catalog extension (round 3): dimensionality reduction + JL-ANN,
+Bloom membership, count-min sketches, lateral top-k, salted hot-key
+joins, analytic-window panel, streaming archive ingest, content-level
+multimodal decode, boilerplate removal, VARIANT, SQL-defined
+functions, and degree-oriented triangle counting.
 
 Same contract as ``queries.py``: each entry pairs an idiomatic-Spark
 query with an ANSI-SQL oracle DuckDB runs over the same parquet views,
