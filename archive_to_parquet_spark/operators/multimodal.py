@@ -512,9 +512,19 @@ def mp4_keyframe_samples(data: bytes) -> list[tuple[int, int, int]] | None:
     over ``stss`` (sync samples) + ``stsc`` (sample→chunk runs) +
     ``stco``/``co64`` (chunk offsets) + ``stsz`` (sample sizes). No
     codec: offsets address the raw codec bitstream samples inside
-    ``mdat``. Returns None when the bytes aren't ISO BMFF or carry no
-    video sample table; absent ``stss`` means every sample is a sync
-    sample (ISO 14496-12 §8.6.2)."""
+    ``mdat``. Returns None when the bytes aren't ISO BMFF, carry no
+    video sample table, or the sample table is malformed/truncated
+    (a struct read past a box's declared payload degrades to None —
+    same infallable-copy spirit as the walker, never a task failure);
+    absent ``stss`` means every sample is a sync sample (ISO 14496-12
+    §8.6.2)."""
+    try:
+        return _mp4_keyframe_samples_strict(data)
+    except (struct.error, IndexError, MemoryError):
+        return None
+
+
+def _mp4_keyframe_samples_strict(data: bytes) -> list[tuple[int, int, int]] | None:
     d = data or b""
     if len(d) < 12 or d[4:8] not in (b"ftyp", b"moov", b"mdat", b"wide", b"free"):
         return None

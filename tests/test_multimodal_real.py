@@ -160,3 +160,22 @@ def test_audio_features_real_pcm_for_wav(spark):
     assert row.duration_s == pytest.approx(1.0, abs=1e-6)
     # log-RMS energy: first blocks near the -200 dB floor, last well above
     assert row.mfcc[0] < -150 and row.mfcc[-1] > -40
+
+
+def test_mp4_malformed_sample_table_degrades_to_none():
+    """A truncated stsz (declares more samples than bytes) must return
+    None — never a struct.error task failure (infallable-copy spirit)."""
+    from archive_to_parquet_spark.operators.multimodal import mp4_keyframe_samples
+
+    stsz = _box(b"stsz", struct.pack(">III", 0, 0, 100) + b"\x00" * 8)
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    stsc = _box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 3, 1))
+    stco = _box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", 0))
+    blob = _box(b"ftyp", b"isom") + _box(
+        b"moov",
+        _box(
+            b"trak",
+            _box(b"mdia", hdlr + _box(b"minf", _box(b"stbl", stsz + stsc + stco))),
+        ),
+    )
+    assert mp4_keyframe_samples(blob) is None
