@@ -145,12 +145,19 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # canon feeds degrees, orientation, and the edge count; the
+        # oriented set below feeds three join sides — localCheckpoint
+        # both (the connected-components precedent) or every consumer
+        # re-runs the upstream edge build: 36 scans / 58 exchanges
+        # measured without, 3 scans with
+        .localCheckpoint()
     )
     deg = (
         canon.select(F.col("a").alias("node"))
         .unionAll(canon.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
@@ -164,6 +171,7 @@ def triangle_count(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
+        .localCheckpoint()
     )
     wedges = oriented.alias("e1").join(
         oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
