@@ -250,24 +250,31 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
         ).alias("word")
     )
-    # one row per (sketch_row, bucket) occurrence
-    rows = [
-        words.select(
-            F.lit(i).alias("cm_row"),
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"cm{i}"), F.col("word"))), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % _CM_WIDTH
-            ).alias("bucket"),
+    # all d sketch-row positions from ONE scan: explode a struct array
+    # per word (the union-of-d-selects form re-ran the regex word
+    # extraction d times — measured 3 scans → 1)
+    def bucket(i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cm{i}"), F.col("word"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CM_WIDTH
         )
-        for i in range(_CM_ROWS)
-    ]
-    occurrences = rows[0]
-    for r in rows[1:]:
-        occurrences = occurrences.unionByName(r)
+
+    occurrences = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cm_row"), bucket(i).alias("bucket")
+                    )
+                    for i in range(_CM_ROWS)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.cm_row", "rc.bucket")
     sketch = occurrences.groupBy("cm_row", "bucket").agg(
         F.count("*").alias("counter")
     )
