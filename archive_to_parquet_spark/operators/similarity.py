@@ -632,7 +632,7 @@ def kmeans_fixed_rounds(
         for r in init_centroids.select("cid", "centroid").collect()
     ]
 
-    def assign(cent_df):
+    def assign(cent_df, carry_vec: bool = False):
         d2 = F.aggregate(
             F.zip_with(
                 F.col("v"),
@@ -647,18 +647,27 @@ def kmeans_fixed_rounds(
             F.lit(0.0),
             lambda acc, t: acc + t,
         ).cast("long")
-        return (
+        scored = (
             corpus.select(
                 F.col(vec_id).alias("vec_id"), F.col(vec_col).alias("v")
             )
             .join(F.broadcast(cent_df))
             .select("vec_id", "v", "cid", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cid")).alias("mn"))
+        )
+        # carry the vector through the argmin so the means step needs no
+        # corpus re-join (v is constant within a vec_id group — first()
+        # is deterministic); the final assignment skips the payload
+        aggs = [F.min(F.struct("d2", "cid")).alias("mn")]
+        if carry_vec:
+            aggs.append(F.first("v").alias("v"))
+        return (
+            scored.groupBy("vec_id")
+            .agg(*aggs)
             .select(
                 "vec_id",
                 F.col("mn.cid").alias("cid"),
                 F.col("mn.d2").alias("d2_e6"),
+                *(["v"] if carry_vec else []),
             )
         )
 
@@ -666,15 +675,9 @@ def kmeans_fixed_rounds(
         cent_df = spark.createDataFrame(
             cent_rows, "cid int, cv array<double>"
         )
-        assigned = assign(cent_df)
+        assigned = assign(cent_df, carry_vec=True)
         means = (
-            assigned.join(
-                corpus.select(
-                    F.col(vec_id).alias("vec_id"), F.col(vec_col).alias("v")
-                ),
-                "vec_id",
-            )
-            .select("cid", F.posexplode("v").alias("dim", "x"))
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
             .select(
                 "cid",
                 "dim",
