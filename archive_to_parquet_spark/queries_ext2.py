@@ -1135,6 +1135,48 @@ GROUP BY 1
 """
 
 
+
+
+def rel_skew_isolated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The isolate-the-whales twin of ``rel_salted_hot_join``:
+    ``operators.skew.skew_isolated_join`` routes keys above a row
+    threshold through a broadcast path (a whale's dimension rows are
+    few by definition) and everything else through the normal shuffle
+    join — the right tool when ONE key dominates and salting the whole
+    table is overkill. Events join per-type weights with the threshold
+    set so the most frequent event_type takes the broadcast path; the
+    oracle is the plain join + aggregate, certifying the two-path
+    union changes nothing semantically.
+    """
+    from archive_to_parquet_spark.operators.skew import skew_isolated_join
+
+    from archive_to_parquet_spark.queries import _events
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_c"),
+    )
+    weights = ev.groupBy("event_type").agg(
+        F.expr("sum(value_c) div count(*)").alias("weight_c")
+    )
+    # threshold at 19% of the table: with 5 near-uniform types (~20%
+    # each), every type above it is a "whale" at any SF
+    n = ev.count()
+    joined = skew_isolated_join(
+        ev, weights, "event_type", threshold_rows=max(1, int(n * 0.19))
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.first("weight_c").alias("weight_c"),
+        F.sum(F.col("value_c") * F.col("weight_c")).alias("weighted_c2"),
+    )
+
+
+REL_SKEW_ISOLATED_SQL = REL_SALTED_SQL
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1152,4 +1194,5 @@ CATALOG = {
     "rel_sql_udf_priceband": (rel_sql_udf_priceband, REL_SQL_UDF_SQL),
     "ann_jl_topk": (ann_jl_topk, ANN_JL_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
+    "rel_skew_isolated_join": (rel_skew_isolated_join, REL_SKEW_ISOLATED_SQL),
 }
