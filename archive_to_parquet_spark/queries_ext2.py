@@ -1177,6 +1177,106 @@ def rel_skew_isolated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 REL_SKEW_ISOLATED_SQL = REL_SALTED_SQL
 
 
+# ---------------------------------------------------------------------------
+# Model calibration (reliability diagram bins)
+# ---------------------------------------------------------------------------
+
+# fixed scorer weights in micro-units (bias, capped word count, mean
+# word length, char length) — the "trained model as given" pattern
+# (the BPE fixed merge table precedent); training itself is certified
+# by train_logreg_quality
+_CALIB_W = (-1_200_000, 400_000, 300_000, 2_000_000)
+
+
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration of a fixed linear-sigmoid
+    quality scorer against the length label: predictions bucket into
+    10 equal bins, each emitting n, the mean predicted probability and
+    the observed positive rate (both exact half-up integer micro-unit
+    rates). Well-calibrated ⇔ mean_pred ≈ frac_pos per bin — the
+    standard post-training check before a score becomes a filter
+    threshold at corpus scale.
+
+    One scan + one 10-group aggregation with map-side partials. The
+    sigmoid is integerized per row immediately (the logreg discipline)
+    and the bin comes from integer division (`div`/`//` — a double
+    division + CAST would hit DuckDB's round-on-CAST divergence), so
+    bin assignment and sums replay exactly in the oracle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.array_remove(F.split(F.lower("text"), r"\s+"), "")
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("double")
+
+    def e6(col):
+        return F.round(col * 1e6, 0).cast("long")
+
+    feats = docs.select(
+        (F.length("text") >= 300).cast("int").alias("y"),
+        F.lit(1_000_000).cast("long").alias("x0"),
+        e6(F.least(n_words, F.lit(200.0)) / 200.0).alias("x1"),
+        e6(F.least(F.length("text") / n_words, F.lit(20.0)) / 20.0).alias("x2"),
+        e6(F.least(F.length("text"), F.lit(1000)) / 1000.0).alias("x3"),
+    )
+    z = sum(
+        (F.lit(w) / F.lit(1e6)) * (F.col(f"x{k}") / F.lit(1e6))
+        for k, w in enumerate(_CALIB_W)
+    )
+    p_e6 = F.round(F.lit(1e6) / (F.lit(1.0) + F.exp(-z)), 0).cast("long")
+    binned = feats.select("y", p_e6.alias("p_e6")).select(
+        "y",
+        "p_e6",
+        F.least(F.expr("p_e6 * 10 div 1000000"), F.lit(9)).cast("int").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.expr("(2 * sum(p_e6) + count(*)) div (2 * count(*))").alias(
+            "mean_pred_e6"
+        ),
+        F.expr(
+            "(2 * sum(y) * 1000000 + count(*)) div (2 * count(*))"
+        ).alias("frac_pos_e6"),
+    )
+
+
+def _calibration_oracle_sql() -> str:
+    nw = (
+        "greatest(len(list_filter(string_split_regex(lower(text), "
+        "'\\s+'), w -> w <> '')), 1)"
+    )
+    z = " + ".join(
+        f"({w} / 1e6) * (x{k} / 1e6)" for k, w in enumerate(_CALIB_W)
+    )
+    return f"""
+WITH feats AS (
+  SELECT CAST(length(text) >= 300 AS INT) AS y,
+         CAST(1000000 AS BIGINT) AS x0,
+         CAST(round(least({nw}, 200) / 200.0 * 1e6) AS BIGINT) AS x1,
+         CAST(round(least(length(text) / CAST({nw} AS DOUBLE), 20.0)
+             / 20.0 * 1e6) AS BIGINT) AS x2,
+         CAST(round(least(length(text), 1000) / 1000.0 * 1e6)
+           AS BIGINT) AS x3
+  FROM feats_src
+), scored AS (
+  SELECT y,
+         CAST(round(1e6 / (1.0 + exp(-({z})))) AS BIGINT) AS p_e6
+  FROM feats
+), binned AS (
+  SELECT y, p_e6,
+         CAST(least(p_e6 * 10 // 1000000, 9) AS INT) AS bin
+  FROM scored
+)
+SELECT bin,
+       COUNT(*) AS n,
+       (2 * SUM(p_e6) + COUNT(*)) // (2 * COUNT(*)) AS mean_pred_e6,
+       (2 * SUM(y) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS frac_pos_e6
+FROM binned
+GROUP BY bin
+""".replace("FROM feats_src", "FROM documents")
+
+
+EVAL_CALIBRATION_SQL = _calibration_oracle_sql()
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1195,4 +1295,5 @@ CATALOG = {
     "ann_jl_topk": (ann_jl_topk, ANN_JL_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "rel_skew_isolated_join": (rel_skew_isolated_join, REL_SKEW_ISOLATED_SQL),
+    "eval_calibration_bins": (eval_calibration_bins, EVAL_CALIBRATION_SQL),
 }
