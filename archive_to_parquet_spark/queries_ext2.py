@@ -1277,6 +1277,56 @@ GROUP BY bin
 EVAL_CALIBRATION_SQL = _calibration_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Global contiguous indexing without a global sort
+# ---------------------------------------------------------------------------
+
+
+def corpus_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids 0..n-1 in doc_id order WITHOUT a
+    single-partition global sort — the scalable zipWithIndex: range-
+    partition on the key, count rows per partition (tiny driver-side
+    frame), broadcast the per-partition cumulative offsets back, and
+    row_number WITHIN each partition (parallel windows) + offset.
+    The pattern every corpus export / shard-assignment step needs at
+    100 TB, where `ROW_NUMBER() OVER (ORDER BY …)` would serialize the
+    world through one task. The oracle IS that global ROW_NUMBER — the
+    two must agree exactly, which certifies the offset bookkeeping.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    parts = docs.repartitionByRange(8, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint()  # pin the partitioning: every consumer below
+    # must see the SAME pid assignment
+    counts = (
+        parts.groupBy("_pid").agg(F.count("*").alias("_n")).orderBy("_pid").collect()
+    )
+    offsets = []
+    acc = 0
+    for r in counts:
+        offsets.append((r["_pid"], acc))
+        acc += r["_n"]
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .select(
+            "doc_id",
+            "source",
+            (F.row_number().over(w) - 1 + F.col("_off")).alias("global_idx"),
+        )
+    )
+
+
+CORPUS_GLOBAL_INDEX_SQL = """
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_idx
+FROM documents
+"""
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1296,4 +1346,5 @@ CATALOG = {
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "rel_skew_isolated_join": (rel_skew_isolated_join, REL_SKEW_ISOLATED_SQL),
     "eval_calibration_bins": (eval_calibration_bins, EVAL_CALIBRATION_SQL),
+    "corpus_global_index": (corpus_global_index, CORPUS_GLOBAL_INDEX_SQL),
 }
