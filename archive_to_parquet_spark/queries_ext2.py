@@ -1327,6 +1327,56 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash dedup path, driver-checked
+# ---------------------------------------------------------------------------
+
+# closed-form ahash literals for the two constructed 8×8 patterns:
+# bits are (pixel > mean); LSB-first packing bit = row*8 + col
+_PHASH_RIGHT_BRIGHT = sum(0xF0 << (8 * r) for r in range(8)) - (1 << 64)
+_PHASH_BOTTOM_BRIGHT = sum(0xFF << (8 * r) for r in range(4, 8)) - (1 << 64)
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL pixel → perceptual-hash path driver-checked: each doc
+    carries a constructed 8×8 binary PGM — right-half-bright for even
+    doc_ids, bottom-half-bright for odd — pushed through
+    ``image_perceptual_hashes`` (real decode_pixels + 8×8 box-mean
+    ahash). The expected hashes are closed forms of the construction
+    (bits = pixel > mean, LSB-first), stated as literals in the oracle;
+    the two patterns sit at Hamming distance 32, so any bit error
+    surfaces. Arrow mapInPandas per row, no shuffle.
+    """
+    from archive_to_parquet_spark.operators.multimodal import (
+        image_perceptual_hashes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
+    header = "503520382038203235350A"  # "P5 8 8 255\n"
+    right_bright = header + ("00" * 4 + "FF" * 4) * 8
+    bottom_bright = header + "00" * 32 + "FF" * 32
+    pgm = F.when(
+        F.col("doc_id") % 2 == 0, F.unhex(F.lit(right_bright))
+    ).otherwise(F.unhex(F.lit(bottom_bright)))
+    media = docs.select("doc_id", pgm.alias("data"))
+    return image_perceptual_hashes(media, id_col="doc_id").select(
+        F.col("media_id").alias("doc_id"), "width", "height", "phash"
+    )
+
+
+MULTIMODAL_PHASH_SQL = f"""
+SELECT doc_id,
+       8 AS width,
+       8 AS height,
+       CASE WHEN doc_id % 2 = 0 THEN CAST({_PHASH_RIGHT_BRIGHT} AS BIGINT)
+            ELSE CAST({_PHASH_BOTTOM_BRIGHT} AS BIGINT) END AS phash
+FROM documents
+WHERE doc_id < 64
+"""
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1347,4 +1397,5 @@ CATALOG = {
     "rel_skew_isolated_join": (rel_skew_isolated_join, REL_SKEW_ISOLATED_SQL),
     "eval_calibration_bins": (eval_calibration_bins, EVAL_CALIBRATION_SQL),
     "corpus_global_index": (corpus_global_index, CORPUS_GLOBAL_INDEX_SQL),
+    "multimodal_phash_dedup": (multimodal_phash_dedup, MULTIMODAL_PHASH_SQL),
 }
