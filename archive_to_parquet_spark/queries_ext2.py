@@ -1377,6 +1377,90 @@ WHERE doc_id < 64
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout key, driver-checked
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order (Morton) layout key from ``plans.maintenance.
+    zorder_key`` driver-checked: orders' (o_custkey, o_orderkey) are
+    min-max quantized to 16-bit grid cells with exact integer math
+    (truncating div — both engines agree), bit-interleaved into the
+    64-bit key, and summarized as counts per top-byte key prefix (the
+    row-group-level histogram a Z-ordered write would produce). The
+    oracle replays quantization and the full 32-term interleave.
+
+    Scale: the key is pure per-row bit math (one scan); the min/max
+    frame is a broadcast scalar. Sorting by this key is what makes
+    parquet min/max stats selective for BOTH columns at once
+    (write_zordered); the entry certifies the key itself.
+    """
+    from archive_to_parquet_spark.plans.maintenance import zorder_key
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    stats = orders.agg(
+        F.min("o_custkey").alias("mn_c"),
+        F.max("o_custkey").alias("mx_c"),
+        F.min("o_orderkey").alias("mn_o"),
+        F.max("o_orderkey").alias("mx_o"),
+    )
+    top = (1 << _Z_BITS) - 1
+
+    def q(col, mn, mx):
+        rng = F.col(mx) - F.col(mn)
+        return F.when(rng <= 0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.expr(f"(({col} - {mn}) * {top + 1}) div ({mx} - {mn} + 1)"),
+                F.lit(top).cast("long"),
+            )
+        )
+
+    keyed = orders.crossJoin(F.broadcast(stats)).select(
+        q("o_custkey", "mn_c", "mx_c").alias("qc"),
+        q("o_orderkey", "mn_o", "mx_o").alias("qo"),
+    )
+    z = zorder_key(["qc", "qo"], bits=_Z_BITS)
+    return (
+        keyed.select(F.shiftright(z, 24).alias("z_prefix"))
+        .groupBy("z_prefix")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    top = (1 << _Z_BITS) - 1
+    interleave = " + ".join(
+        f"(((q{d} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(_Z_BITS)
+        for i, d in enumerate(("c", "o"))
+    )
+    return f"""
+WITH stats AS (
+  SELECT MIN(o_custkey) AS mn_c, MAX(o_custkey) AS mx_c,
+         MIN(o_orderkey) AS mn_o, MAX(o_orderkey) AS mx_o
+  FROM orders
+), keyed AS (
+  SELECT CASE WHEN s.mx_c - s.mn_c <= 0 THEN 0
+              ELSE least(((o.o_custkey - s.mn_c) * {top + 1})
+                         // (s.mx_c - s.mn_c + 1), {top}) END AS qc,
+         CASE WHEN s.mx_o - s.mn_o <= 0 THEN 0
+              ELSE least(((o.o_orderkey - s.mn_o) * {top + 1})
+                         // (s.mx_o - s.mn_o + 1), {top}) END AS qo
+  FROM orders o CROSS JOIN stats s
+)
+SELECT ({interleave}) >> 24 AS z_prefix,
+       COUNT(*) AS n_rows
+FROM keyed
+GROUP BY 1
+"""
+
+
+MAINTENANCE_ZORDER_SQL = _zorder_oracle_sql()
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1398,4 +1482,8 @@ CATALOG = {
     "eval_calibration_bins": (eval_calibration_bins, EVAL_CALIBRATION_SQL),
     "corpus_global_index": (corpus_global_index, CORPUS_GLOBAL_INDEX_SQL),
     "multimodal_phash_dedup": (multimodal_phash_dedup, MULTIMODAL_PHASH_SQL),
+    "maintenance_zorder_stats": (
+        maintenance_zorder_stats,
+        MAINTENANCE_ZORDER_SQL,
+    ),
 }
