@@ -1461,6 +1461,66 @@ GROUP BY 1
 MAINTENANCE_ZORDER_SQL = _zorder_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# MERGE upsert into a partitioned dataset, driver-checked
+# ---------------------------------------------------------------------------
+
+
+def maintenance_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``plans.maintenance.upsert_partitioned`` (partition-scoped
+    MERGE) driver-checked end-to-end: a lang-partitioned base dataset
+    (doc_id < 400) takes an update batch (200 ≤ doc_id < 600, text
+    uppercased) — updates must REPLACE matched keys, new keys append,
+    and untouched rows survive verbatim. The result re-reads the
+    dataset after the merge; the oracle states MERGE semantics
+    directly (anti-join + union). Output (doc_id, lang, text_md5).
+
+    Scale: only the partitions the update batch touches are read back
+    or rewritten (dynamic partition overwrite + IN-filter pruning —
+    plan-pinned in tests/test_bucketing.py); the merge cost tracks the
+    update batch, not the dataset.
+    """
+    import shutil
+
+    from archive_to_parquet_spark.plans.maintenance import upsert_partitioned
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    stage = _stage_dir("upsert", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    base_path = os.path.join(stage, "dataset")
+    docs.filter(F.col("doc_id") < 400).write.partitionBy("lang").parquet(
+        base_path
+    )
+    updates = (
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 600))
+        .select("doc_id", "lang", F.upper("text").alias("text"))
+    )
+    upsert_partitioned(spark, base_path, updates, key="doc_id", partition_col="lang")
+    merged = spark.read.parquet(base_path)
+    return merged.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+MAINTENANCE_UPSERT_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id < 400
+), updates AS (
+  SELECT doc_id, lang, upper(text) AS text
+  FROM documents WHERE doc_id >= 200 AND doc_id < 600
+), merged AS (
+  SELECT b.doc_id, b.lang, b.text
+  FROM base b ANTI JOIN updates u ON u.doc_id = b.doc_id
+  UNION ALL
+  SELECT doc_id, lang, text FROM updates
+)
+SELECT doc_id, lang, md5(text) AS text_md5 FROM merged
+"""
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1486,4 +1546,5 @@ CATALOG = {
         maintenance_zorder_stats,
         MAINTENANCE_ZORDER_SQL,
     ),
+    "maintenance_upsert": (maintenance_upsert, MAINTENANCE_UPSERT_SQL),
 }
