@@ -1521,6 +1521,57 @@ SELECT doc_id, lang, md5(text) AS text_md5 FROM merged
 """
 
 
+# ---------------------------------------------------------------------------
+# Bucketed exchange-free join, driver-checked
+# ---------------------------------------------------------------------------
+
+
+def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-layout join (``plans.bucketing``) driver-checked:
+    orders and lineitem are persisted as same-bucketed managed tables
+    on the orderkey, then joined and aggregated — the join plans with
+    ZERO shuffle exchanges (the layout's whole point, asserted in
+    tests/test_bucketing.py; here the oracle certifies the RESULTS are
+    exactly the plain join's). Pay the exchange once at layout time,
+    never per query — the recurring big-big join economics at 100 TB.
+    """
+    from archive_to_parquet_spark.plans.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    sf_tag = "".join(c for c in sf_dir if c.isalnum())[-6:]
+    lt, rt = f"b_orders_{sf_tag}", f"b_lineitem_{sf_tag}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        lt,
+        "o_orderkey",
+        num_buckets=8,
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        ),
+        rt,
+        "o_orderkey",
+        num_buckets=8,
+    )
+    joined = bucketed_join(spark, lt, rt, "o_orderkey")
+    return joined.groupBy("o_custkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )
+
+
+REL_BUCKETED_SQL = """
+SELECT o.o_custkey,
+       COUNT(*) AS n_items,
+       SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_custkey
+"""
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1547,4 +1598,5 @@ CATALOG = {
         MAINTENANCE_ZORDER_SQL,
     ),
     "maintenance_upsert": (maintenance_upsert, MAINTENANCE_UPSERT_SQL),
+    "rel_bucketed_join": (rel_bucketed_join, REL_BUCKETED_SQL),
 }
