@@ -1540,8 +1540,17 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
+    import shutil
+
     sf_tag = "".join(c for c in sf_dir if c.isalnum())[-6:]
     lt, rt = f"b_orders_{sf_tag}", f"b_lineitem_{sf_tag}"
+    # idempotent across sessions: a fresh session's catalog doesn't know
+    # the table, but the warehouse directory survives — drop both
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    for t in (lt, rt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     write_bucketed(
         _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
         lt,
