@@ -92,6 +92,11 @@ HEADLINE = [
     "rel_sql_udf_priceband",
     "text_boilerplate_removal",
     "ann_jl_topk",
+    "rel_skew_isolated_join",
+    "eval_calibration_bins",
+    "corpus_global_index",
+    "multimodal_phash_dedup",
+    "maintenance_zorder_stats",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):
