@@ -1581,6 +1581,83 @@ GROUP BY o.o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# HTTP(S) URL source, driver-checked
+# ---------------------------------------------------------------------------
+
+_URL_DOCS = [
+    ("site/index.html", b"<html>url-ingested page</html>"),
+    ("site/data.bin", bytes(range(64)) * 4),
+]
+
+
+def source_url_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S2 URL source driver-checked end-to-end: an in-process HTTP
+    server serves a deterministic ``.tar.gz``; ``entries_pipeline``
+    ingests it in ``urls=True`` mode (streaming response body — no
+    spool), the result is staged to parquet (the server only lives for
+    the duration of the entry), and the oracle states the member
+    paths/sizes/sha256 as literals. The ``source`` column carries the
+    URL verbatim (reference contract) but holds an ephemeral port, so
+    the comparison projects it away.
+    """
+    import functools
+    import gzip
+    import http.server
+    import io
+    import shutil
+    import tarfile
+    import threading
+
+    from archive_to_parquet_spark.options import ConvertOptions
+    from archive_to_parquet_spark.plans.convert import entries_pipeline
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+
+    stage = _stage_dir("urlsrc", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    www = os.path.join(stage, "www")
+    out = os.path.join(stage, "out")
+    os.makedirs(www)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in _URL_DOCS:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    with open(os.path.join(www, "fixture.tar.gz"), "wb") as fh:
+        fh.write(gzip.compress(buf.getvalue(), mtime=0))
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=www
+    )
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/fixture.tar.gz"
+        df = entries_pipeline(spark, [url], ConvertOptions(), urls=True)
+        df.select(
+            "path", "size", F.lower(F.hex("hash")).alias("hash_hex")
+        ).write.mode("overwrite").parquet(out)
+    finally:
+        server.shutdown()
+        thread.join()
+    return spark.read.parquet(out)
+
+
+def _url_ingest_oracle_sql() -> str:
+    rows = ",\n  ".join(
+        f"('{name}', {len(payload)}, '{hashlib.sha256(payload).hexdigest()}')"
+        for name, payload in _URL_DOCS
+    )
+    return (
+        "SELECT * FROM (VALUES\n  " + rows + "\n) t(path, size, hash_hex)"
+    )
+
+
+SOURCE_URL_INGEST_SQL = _url_ingest_oracle_sql()
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1608,4 +1685,5 @@ CATALOG = {
     ),
     "maintenance_upsert": (maintenance_upsert, MAINTENANCE_UPSERT_SQL),
     "rel_bucketed_join": (rel_bucketed_join, REL_BUCKETED_SQL),
+    "source_url_ingest": (source_url_ingest, SOURCE_URL_INGEST_SQL),
 }
