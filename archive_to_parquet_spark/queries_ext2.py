@@ -1658,6 +1658,81 @@ def _url_ingest_oracle_sql() -> str:
 SOURCE_URL_INGEST_SQL = _url_ingest_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# WARC crawl → documents pipeline, driver-checked
+# ---------------------------------------------------------------------------
+
+_CRAWL_HTML = (
+    b"<html><head><title>t</title><style>x{color:red}</style></head>"
+    b"<body>Hello <b>crawl</b> world.</body></html>"
+)
+_CRAWL_TEXT = b"just plain text from the crawl"
+
+
+def _crawl_doc_id(content: bytes) -> int:
+    """documents_from_entries' doc_id: first 15 sha256 hex chars as a
+    long — restated independently here for the oracle literals."""
+    return int(hashlib.sha256(content).hexdigest()[:15].upper(), 16)
+
+
+def crawl_warc_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-corpus plan (plans/crawl.py, the CLI ``--documents``
+    path) driver-checked: a staged ``.warc.gz`` holds an HTML response
+    and a plain-text resource; the pipeline must gate on UTF-8, sniff
+    the HTML, extract its visible text ("Hello crawl world." — the
+    spec-obvious reading of the constructed markup), pass plain text
+    through, and derive content-hash doc_ids. The oracle states every
+    output value as a literal of the construction. Single stage, no
+    shuffle (the plan-shape claim tested in tests/test_warc.py).
+    """
+    import gzip
+    import shutil
+
+    from archive_to_parquet_spark.plans.crawl import crawl_to_documents
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+
+    stage = _stage_dir("crawldocs", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    seg = os.path.join(stage, "seg.warc.gz")
+
+    def rec(rtype: str, uri: str, payload: bytes) -> bytes:
+        return gzip.compress(
+            b"WARC/1.0\r\n"
+            + f"WARC-Type: {rtype}\r\n".encode()
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+            + b"\r\n\r\n"
+        )
+
+    with open(seg, "wb") as fh:
+        fh.write(rec("resource", "http://crawl.example/page", _CRAWL_HTML))
+        fh.write(rec("resource", "http://crawl.example/notes.txt", _CRAWL_TEXT))
+
+    docs = crawl_to_documents(spark, [seg])
+    return docs.select("doc_id", "url", "text", "n_chars")
+
+
+def _crawl_oracle_sql() -> str:
+    html_text = "Hello crawl world."
+    plain_text = _CRAWL_TEXT.decode()
+    rows = ",\n  ".join(
+        f"(CAST({_crawl_doc_id(content)} AS BIGINT), '{url}', '{text}', "
+        f"CAST({len(text)} AS INT))"
+        for content, url, text in (
+            (_CRAWL_HTML, "http://crawl.example/page", html_text),
+            (_CRAWL_TEXT, "http://crawl.example/notes.txt", plain_text),
+        )
+    )
+    return (
+        "SELECT * FROM (VALUES\n  " + rows + "\n) t(doc_id, url, text, n_chars)"
+    )
+
+
+CRAWL_WARC_SQL = _crawl_oracle_sql()
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1686,4 +1761,5 @@ CATALOG = {
     "maintenance_upsert": (maintenance_upsert, MAINTENANCE_UPSERT_SQL),
     "rel_bucketed_join": (rel_bucketed_join, REL_BUCKETED_SQL),
     "source_url_ingest": (source_url_ingest, SOURCE_URL_INGEST_SQL),
+    "crawl_warc_to_documents": (crawl_warc_to_documents, CRAWL_WARC_SQL),
 }
