@@ -1733,6 +1733,70 @@ def _crawl_oracle_sql() -> str:
 CRAWL_WARC_SQL = _crawl_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator, driver-checked
+# ---------------------------------------------------------------------------
+
+
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``applyInPandasWithState`` custom stateful operator
+    (streaming/stateful.py running_user_stats) driver-checked: a subset
+    of events streams through a real query (file source, one
+    availableNow-style pass, foreachBatch parquet staging because
+    update output mode has no file sink), and the per-user lifetime
+    stats must equal the batch ground truth — the oracle states it as
+    plain SQL. Only the EXACT fields compare (counts and min/max —
+    bit-identical as set extrema); the double running total stays out
+    of the contract because pandas and DuckDB would sum it in
+    different orders.
+    """
+    import shutil
+
+    from archive_to_parquet_spark.queries import _events
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+    from archive_to_parquet_spark.streaming.stateful import running_user_stats
+
+    stage = _stage_dir("statefuluser", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    src_dir = os.path.join(stage, "in")
+    out = os.path.join(stage, "out")
+    ckpt = os.path.join(stage, "ckpt")
+    subset = _events(spark, sf_dir).filter(F.col("user_id") < 20).select(
+        "user_id", "value"
+    )
+    subset.write.parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stats = running_user_stats(stream)
+    q = (
+        stats.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch_df, _bid: batch_df.write.mode("overwrite").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select(
+        "user_id", "n_events", "min_value", "max_value"
+    )
+
+
+STREAM_STATEFUL_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+WHERE user_id < 20
+GROUP BY user_id
+"""
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1762,4 +1826,8 @@ CATALOG = {
     "rel_bucketed_join": (rel_bucketed_join, REL_BUCKETED_SQL),
     "source_url_ingest": (source_url_ingest, SOURCE_URL_INGEST_SQL),
     "crawl_warc_to_documents": (crawl_warc_to_documents, CRAWL_WARC_SQL),
+    "stream_stateful_user_stats": (
+        stream_stateful_user_stats,
+        STREAM_STATEFUL_SQL,
+    ),
 }
