@@ -1797,6 +1797,72 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental (append-only) conversion, driver-checked
+# ---------------------------------------------------------------------------
+
+_INC_V1 = [("a.txt", b"incremental alpha"), ("b.txt", b"incremental beta")]
+_INC_V2 = _INC_V1 + [("c.txt", b"incremental gamma (new)")]
+
+
+def source_incremental_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``--incremental`` steady-state ingest path driver-checked:
+    batch 1 converts an archive; batch 2 re-converts a grown version of
+    it (same members plus one new) and must append ONLY the unseen
+    content — the hash anti-join against the existing output, column-
+    pruned to the hash. The final dataset read-back must hold each
+    member exactly once; the oracle states paths/sizes/sha256 as
+    construction literals.
+    """
+    import io
+    import shutil
+    import tarfile
+
+    from archive_to_parquet_spark.options import ConvertOptions
+    from archive_to_parquet_spark.plans.convert import convert_incremental
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+
+    stage = _stage_dir("incconv", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    out = os.path.join(stage, "dataset")
+
+    def tar_bytes(members):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, payload in members:
+                info = tarfile.TarInfo(name)
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+        return buf.getvalue()
+
+    v1 = os.path.join(stage, "v1.tar")
+    v2 = os.path.join(stage, "v2.tar")
+    with open(v1, "wb") as fh:
+        fh.write(tar_bytes(_INC_V1))
+    with open(v2, "wb") as fh:
+        fh.write(tar_bytes(_INC_V2))
+
+    convert_incremental(spark, [v1], out, ConvertOptions())
+    convert_incremental(spark, [v2], out, ConvertOptions())
+    return spark.read.parquet(out).select(
+        "path", "size", F.lower(F.hex("hash")).alias("hash_hex")
+    )
+
+
+def _incremental_oracle_sql() -> str:
+    rows = ",\n  ".join(
+        f"('{name}', {len(payload)}, '{hashlib.sha256(payload).hexdigest()}')"
+        for name, payload in _INC_V2
+    )
+    return (
+        "SELECT * FROM (VALUES\n  " + rows + "\n) t(path, size, hash_hex)"
+    )
+
+
+SOURCE_INCREMENTAL_SQL = _incremental_oracle_sql()
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1829,5 +1895,9 @@ CATALOG = {
     "stream_stateful_user_stats": (
         stream_stateful_user_stats,
         STREAM_STATEFUL_SQL,
+    ),
+    "source_incremental_convert": (
+        source_incremental_convert,
+        SOURCE_INCREMENTAL_SQL,
     ),
 }
