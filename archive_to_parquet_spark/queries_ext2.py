@@ -1863,6 +1863,94 @@ def _incremental_oracle_sql() -> str:
 SOURCE_INCREMENTAL_SQL = _incremental_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Deep nested multi-codec walk, driver-checked
+# ---------------------------------------------------------------------------
+
+_NEST_FILES = {
+    "inner.zip/z1.txt": b"zip member one",
+    "inner.zip/sub/z2.txt": b"zip member two, nested dir",
+    "inner.tar.bz2/b1.txt": b"bz2-wrapped tar member",
+    "plain.txt": b"top-level plain member",
+}
+
+
+def source_nested_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursive walker's format matrix in ONE driver-checked
+    ingest: a zstd-compressed tar holding a zip (deflate members, one
+    in a subdirectory), a bz2-wrapped tar, and a plain file — so the
+    gate exercises zstd (module or subprocess), zip streaming, bz2,
+    nested-path construction, and leaf passthrough together. Oracle =
+    construction literals (nested path chain, size, sha256).
+    """
+    import bz2 as _bz2
+    import io
+    import shutil
+    import subprocess
+    import tarfile
+    import zipfile
+
+    import archive_to_parquet_spark.sources.walker as walker_mod
+    from archive_to_parquet_spark.options import ConvertOptions
+    from archive_to_parquet_spark.plans.convert import entries_pipeline
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+
+    def tar_bytes(members: dict) -> bytes:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, payload in members.items():
+                info = tarfile.TarInfo(name)
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+        return buf.getvalue()
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("z1.txt", _NEST_FILES["inner.zip/z1.txt"])
+        zf.writestr("sub/z2.txt", _NEST_FILES["inner.zip/sub/z2.txt"])
+    inner_tar = tar_bytes({"b1.txt": _NEST_FILES["inner.tar.bz2/b1.txt"]})
+    outer = tar_bytes(
+        {
+            "inner.zip": zbuf.getvalue(),
+            "inner.tar.bz2": _bz2.compress(inner_tar),
+            "plain.txt": _NEST_FILES["plain.txt"],
+        }
+    )
+    if walker_mod._HAS_ZSTD:
+        import zstandard
+
+        blob = zstandard.ZstdCompressor().compress(outer)
+    else:
+        blob = subprocess.run(
+            [walker_mod._ZSTD_BIN, "-c"], input=outer, capture_output=True,
+            check=True,
+        ).stdout
+
+    stage = _stage_dir("nestedwalk", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    path = os.path.join(stage, "fixture.tar.zst")
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    df = entries_pipeline(spark, [path], ConvertOptions())
+    return df.select(
+        "path", "size", F.lower(F.hex("hash")).alias("hash_hex")
+    )
+
+
+def _nested_walk_oracle_sql() -> str:
+    rows = ",\n  ".join(
+        f"('{name}', {len(payload)}, '{hashlib.sha256(payload).hexdigest()}')"
+        for name, payload in _NEST_FILES.items()
+    )
+    return (
+        "SELECT * FROM (VALUES\n  " + rows + "\n) t(path, size, hash_hex)"
+    )
+
+
+SOURCE_NESTED_WALK_SQL = _nested_walk_oracle_sql()
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -1900,4 +1988,5 @@ CATALOG = {
         source_incremental_convert,
         SOURCE_INCREMENTAL_SQL,
     ),
+    "source_nested_walk": (source_nested_walk, SOURCE_NESTED_WALK_SQL),
 }
