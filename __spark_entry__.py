@@ -6,10 +6,27 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The actual catalog lives in ``archive_to_parquet_spark/queries.py``.
+
+``_wrap`` does two defensive things on the driver's session (which is
+not built by our ``session.get_spark`` and may carry different
+defaults):
+
+1. Pins the session confs that can change query RESULTS — timezone,
+   ANSI mode, parquet NTZ inference — to the values the repo's own
+   sessions use, so the driver's Spark run computes the same values the
+   local oracle runs computed.
+2. Writes a per-entry result trace (row count, column names, sorted
+   normalized rows, value hash) under ``DRIVER_TRACE/`` when
+   ``entry_trace`` is enabled, so a failing driver hash can be diffed
+   row-by-row after the round with ``tools/diff_trace.py`` instead of
+   guessed at.  Tracing re-executes the query once at sf0.01 cost;
+   set ``SPARK_GRAFT_TRACE=0`` to disable.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -23,26 +40,99 @@ if _REPO_ROOT not in sys.path:
 from archive_to_parquet_spark import queries as _catalog  # noqa: E402
 from archive_to_parquet_spark.session import ensure_package_shipped  # noqa: E402
 
+# Confs that change query *values* (not just performance), pinned to
+# what the repo's get_spark()/oracle comparisons assume.
+_RESULT_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+}
+
+_TRACE_DIR = os.path.join(_REPO_ROOT, "DRIVER_TRACE")
+_TRACE_ROW_CAP = 1000
+
+
+def _pin_result_confs(spark: SparkSession) -> None:
+    for k, v in _RESULT_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — non-settable conf on this session
+            pass
+
+
+def _norm_cell(v) -> str:
+    """Strict normalization: floats keep their repr (no int collapse) so
+    the trace distinguishes 1 from 1.0 the way a dtype-sensitive hash
+    would."""
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _trace(name: str, df: DataFrame) -> None:
+    if os.environ.get("SPARK_GRAFT_TRACE", "1") == "0":
+        return
+    try:
+        cols = df.columns
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        rows = df.collect()
+        lines = sorted(
+            "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
+        )
+        h = hashlib.sha256()
+        for line in lines:
+            h.update(line.encode("utf-8", "replace"))
+            h.update(b"\n")
+        os.makedirs(_TRACE_DIR, exist_ok=True)
+        payload = {
+            "name": name,
+            "n_rows": len(lines),
+            "columns": [cols[i] for i in order],
+            "schema": df.schema.simpleString(),
+            "value_hash": h.hexdigest()[:16],
+            "rows": lines[:_TRACE_ROW_CAP],
+            "rows_truncated": len(lines) > _TRACE_ROW_CAP,
+        }
+        with open(os.path.join(_TRACE_DIR, f"{name}.json"), "w") as fh:
+            json.dump(payload, fh)
+    except Exception:  # noqa: BLE001 — tracing must never fail the query
+        pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: reference dataflow (project+hash → filter → dedup →
     per-source counters) over sf0.001 documents."""
     ensure_package_shipped(spark)
+    _pin_result_confs(spark)
     return _catalog.flagship(spark, "/root/testdata/sf0.001")
 
 
-def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+def _wrap(name: str, fn: Callable[[SparkSession, str], DataFrame]):
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the driver's session isn't ours — make the package importable
         # on its executor workers before any pandas_udf/mapInPandas runs
         ensure_package_shipped(spark)
-        return fn(spark, sf_dir)
+        _pin_result_confs(spark)
+        df = fn(spark, sf_dir)
+        _trace(name, df)
+        return df
 
     return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _wrap(fn) for name, fn in _catalog.queries().items()}
+    return {name: _wrap(name, fn) for name, fn in _catalog.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1831,7 +1831,7 @@ WITH classes AS (
 SELECT lang, source, class_size, 0 AS suppressed
 FROM classes WHERE class_size >= 5
 UNION ALL
-SELECT '*', '*', SUM(class_size), 1
+SELECT '*', '*', CAST(SUM(class_size) AS BIGINT), 1
 FROM classes WHERE class_size < 5
 HAVING SUM(class_size) > 0
 """
@@ -1895,7 +1895,7 @@ WITH d AS (
   FROM lineitem
 ), counts AS (
   SELECT digit, COUNT(*) AS n FROM d WHERE digit >= 1 GROUP BY digit
-), t AS (SELECT SUM(n) AS total FROM counts),
+), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
 e(digit, expected_e9) AS (VALUES (1, 301029996), (2, 176091259), (3, 124938737), (4, 96910013), (5, 79181246), (6, 66946790), (7, 57991947), (8, 51152522), (9, 45757491))
 SELECT c.digit, c.n,
        (2 * c.n * 1000000000 + t.total) // (2 * t.total) AS observed_e9,

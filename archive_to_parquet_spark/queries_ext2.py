@@ -435,13 +435,13 @@ WITH ev AS (
          CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS value_c
   FROM events
 ), w AS (
-  SELECT event_type, SUM(value_c) // COUNT(*) AS weight_c
+  SELECT event_type, CAST(SUM(value_c) // COUNT(*) AS BIGINT) AS weight_c
   FROM ev GROUP BY event_type
 )
 SELECT ev.event_type,
        COUNT(*) AS n_events,
        ANY_VALUE(w.weight_c) AS weight_c,
-       SUM(ev.value_c * w.weight_c) AS weighted_c2
+       CAST(SUM(ev.value_c * w.weight_c) AS BIGINT) AS weighted_c2
 FROM ev JOIN w USING (event_type)
 GROUP BY ev.event_type
 """
@@ -503,8 +503,8 @@ SELECT o_custkey, o_orderkey,
            OVER wrun AS first_price_c,
        max(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT))
            OVER wrun AS run_max_c,
-       sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT))
-           OVER wrun AS run_sum_c
+       CAST(sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT))
+           OVER wrun AS BIGINT) AS run_sum_c
 FROM orders
 WHERE o_custkey < 100
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
@@ -1086,8 +1086,9 @@ def rel_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 REL_VARIANT_SQL = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(user_id) AS sum_uid,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k
 FROM events
 GROUP BY event_type
 """
@@ -1128,8 +1129,8 @@ SELECT CASE WHEN o_totalprice >= 300000.0 THEN 'high'
             WHEN o_totalprice >= 150000.0 THEN 'mid'
             ELSE 'low' END AS band,
        COUNT(*) AS n_orders,
-       SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT))
-           AS total_c
+       CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+           AS BIGINT)) AS BIGINT) AS total_c
 FROM orders
 GROUP BY 1
 """
@@ -1267,8 +1268,10 @@ WITH feats AS (
 )
 SELECT bin,
        COUNT(*) AS n,
-       (2 * SUM(p_e6) + COUNT(*)) // (2 * COUNT(*)) AS mean_pred_e6,
-       (2 * SUM(y) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS frac_pos_e6
+       CAST((2 * SUM(p_e6) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS mean_pred_e6,
+       CAST((2 * SUM(y) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS frac_pos_e6
 FROM binned
 GROUP BY bin
 """.replace("FROM feats_src", "FROM documents")
@@ -1575,7 +1578,7 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 REL_BUCKETED_SQL = """
 SELECT o.o_custkey,
        COUNT(*) AS n_items,
-       SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_custkey
 """

@@ -120,18 +120,21 @@ def test_catalog_docs_count_in_sync():
     assert not stale, f"PARITY.md stale counts {stale}, catalog has {n}"
 
 
-def test_catalog_rotation_never_green_first():
-    """queries() must order never-driver-green entries first so the
-    driver's first-N correctness window reaches them (r2 verdict top
-    ask)."""
+def test_catalog_schedule_static_and_complete():
+    """queries() ordering is a STATIC schedule (r3 advice: no file-
+    derived reordering): every scheduled name exists, the front of the
+    list matches the literal schedule, the full catalog is covered with
+    no duplicates, and the ordering is stable across calls."""
     from archive_to_parquet_spark import queries as q
 
     names = list(q.queries())
-    green = q._driver_green_names()
-    n_pending = len(names) - len(green & set(names))
-    head, tail = names[:n_pending], names[n_pending:]
-    assert not (set(head) & green), "green entry ahead of a never-checked one"
-    assert set(tail) <= green
+    sched = [n for n in q._SCHEDULE_FRONT]
+    assert len(set(sched)) == len(sched), "duplicate in schedule"
+    missing = [n for n in sched if n not in q._CATALOG]
+    assert not missing, f"schedule names not in catalog: {missing}"
+    assert names[: len(sched)] == sched
+    assert sorted(names) == sorted(q._CATALOG), "catalog not fully covered"
+    assert names == list(q.queries()), "ordering not stable across calls"
 
 
 # -- URL canonicalization: idempotence + batch form ---------------------------

@@ -1,0 +1,83 @@
+"""Diff a DRIVER_TRACE result capture against the DuckDB oracle.
+
+After a driver round, ``DRIVER_TRACE/<name>.json`` holds the exact
+normalized row lines the Spark side produced inside the driver's own
+session.  This tool recomputes the oracle side for the same entry and
+prints the first divergent rows, pinpointing a hash mismatch instead of
+leaving it to guesswork.
+
+Usage: python tools/diff_trace.py <name> [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from archive_to_parquet_spark import queries as catmod
+
+    name = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    path = os.path.join(REPO, "DRIVER_TRACE", f"{name}.json")
+    with open(path) as fh:
+        trace = json.load(fh)
+
+    sql = catmod.oracle_sql().get(name)
+    if sql is None:
+        print(f"{name}: no oracle SQL (rows-only entry)")
+        return 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    rel = con.sql(sql)
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    oracle_lines = sorted(
+        "\x1f".join(entrymod._norm_cell(r[i]) for i in order)
+        for r in rel.fetchall()
+    )
+
+    spark_lines = trace["rows"]
+    print(f"trace: {trace['n_rows']} rows, hash {trace['value_hash']}, "
+          f"cols {trace['columns']}")
+    print(f"oracle: {len(oracle_lines)} rows, cols {[cols[i] for i in order]}")
+    if trace.get("rows_truncated"):
+        print("NOTE: trace rows were truncated; diff covers the stored prefix")
+        oracle_lines = oracle_lines[: len(spark_lines)]
+
+    n_shown = 0
+    for i, (a, b) in enumerate(zip(spark_lines, oracle_lines)):
+        if a != b:
+            print(f"row {i}:\n  spark : {a.replace(chr(31), ' | ')}\n"
+                  f"  oracle: {b.replace(chr(31), ' | ')}")
+            n_shown += 1
+            if n_shown >= 10:
+                break
+    if len(spark_lines) != len(oracle_lines):
+        print(f"row-count differs: spark {len(spark_lines)} "
+              f"vs oracle {len(oracle_lines)}")
+    if n_shown == 0 and len(spark_lines) == len(oracle_lines):
+        print("identical (the divergence was not reproduced at this sf_dir)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
