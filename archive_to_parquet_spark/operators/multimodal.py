@@ -631,6 +631,11 @@ def sample_video_frames(
                     f"bytes with magic {magic!r} need a demuxer (PyAV)"
                 )
             for k, off, size in samples[:: max(1, every_n)]:
+                # a malformed-but-parseable stco/stsz can point past the
+                # blob; skip such samples rather than silently emitting
+                # truncated/empty payloads (degrade like the box walk)
+                if off + size > len(data):
+                    continue
                 yield mid, k, data[off : off + size]
     elif decode == "fake":
         def rows_for(mid, data: bytes):

@@ -242,11 +242,16 @@ class ArchiveStreamReader(SimpleDataSourceStreamReader):
             if f not in present:
                 continue
             prev = before.get(f, 0)
+            if prev < 0:
+                # fully processed under a legacy whole-file offset —
+                # check BEFORE expanding a legacy end offset, or a file
+                # carried as -1 in both start and end would be re-walked
+                # in full on batch replay (duplicate rows after restart
+                # from a pre-upgrade checkpoint)
+                continue
             to = after[f]
             if to < 0:  # legacy offset: whole file
                 prev, to = 0, os.path.getsize(f)
-            if prev < 0:
-                continue  # fully processed under a legacy offset
             if prev < to:
                 yield from self._walk_range(f, prev, to, opts)
 

@@ -114,6 +114,13 @@ def _wrap_decoder(stream: io.BufferedReader, kind: str):
     raise AssertionError(kind)
 
 
+class ZstdDecodeError(Exception):
+    """Corrupt zstd input detected by the subprocess decoder — the twin
+    of ``zstandard.ZstdError`` from the in-process path, and like it NOT
+    absorbed by ``_RawAdapter``'s truncation catch list: genuinely bad
+    zstd fails the walk loudly in both decode paths."""
+
+
 class _SubprocessZstdReader:
     """Streaming zstd decode through the ``zstd -dc`` binary — the
     fallback when the ``zstandard`` module is absent (reference decodes
@@ -122,20 +129,30 @@ class _SubprocessZstdReader:
 
     A feeder thread pumps the source stream into the child's stdin so
     decode is pipelined and memory stays bounded by pipe buffers.
-    Decode errors surface as EOF at the failure point, matching the
-    in-process decoders under the infallable-copy contract."""
+    At EOF the child's exit status is checked: a nonzero exit raises
+    ``ZstdDecodeError`` (with the child's stderr), so corrupt input is
+    distinguishable from clean end-of-stream exactly like the
+    in-process decoder's ``ZstdError`` — previously both surfaced as
+    silent EOF and a truncated decode could be recorded as a
+    successful walk."""
 
     def __init__(self, stream):
         self._proc = subprocess.Popen(
             [_ZSTD_BIN, "-dc"],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
         )
+        self._stderr_chunks: list[bytes] = []
+        self._checked = False
         self._feeder = threading.Thread(
             target=self._feed, args=(stream,), daemon=True
         )
         self._feeder.start()
+        self._stderr_drain = threading.Thread(
+            target=self._drain_stderr, daemon=True
+        )
+        self._stderr_drain.start()
 
     def _feed(self, stream) -> None:
         try:
@@ -152,12 +169,42 @@ class _SubprocessZstdReader:
             except OSError:
                 pass
 
+    def _drain_stderr(self) -> None:
+        try:
+            while True:
+                chunk = self._proc.stderr.read(64 * 1024)
+                if not chunk:
+                    break
+                self._stderr_chunks.append(chunk)
+        except (OSError, ValueError):
+            pass
+
     def read(self, n: int = -1) -> bytes:
-        return self._proc.stdout.read(n)
+        data = self._proc.stdout.read(n)
+        if data:
+            return data
+        if not self._checked:
+            self._checked = True
+            self._stderr_drain.join(timeout=10)
+            try:
+                rc = self._proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                return b""  # child hung; close() will kill it
+            if rc != 0:
+                msg = (
+                    b"".join(self._stderr_chunks)
+                    .decode("utf-8", "replace")
+                    .strip()
+                )
+                raise ZstdDecodeError(
+                    f"zstd exited with status {rc}: {msg or 'no stderr'}"
+                )
+        return b""
 
     def close(self) -> None:
         try:
             self._proc.stdout.close()
+            self._proc.stderr.close()
         finally:
             self._proc.kill()
             self._proc.wait()

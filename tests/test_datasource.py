@@ -235,3 +235,31 @@ def test_archive_stream_grown_tar_not_rewalked(registered, tmp_path):
         assert [r.path for r in rows] == ["a.txt"]
     finally:
         q.stop()
+
+
+def test_legacy_whole_file_offset_not_replayed(tmp_path):
+    """A file recorded under the legacy list-form offset (whole-file
+    marker -1) in BOTH start and end must yield NOTHING on batch
+    replay — re-walking it would duplicate every row after restarting
+    from a pre-upgrade checkpoint (r3 advice, datasource.py
+    readBetweenOffsets)."""
+    from archive_to_parquet_spark.sources.datasource import ArchiveStreamReader
+
+    f = tmp_path / "seg.tar"
+    f.write_bytes(tar_archive({"x.txt": b"payload"}))
+    reader = ArchiveStreamReader({"glob": f"{tmp_path}/*.tar"})
+
+    legacy = {"processed": [str(f)]}  # pre-upgrade checkpoint form
+    rows = list(reader.readBetweenOffsets(legacy, legacy))
+    assert rows == []
+
+    # legacy start + modern grown end: the pre-upgrade marker means the
+    # original extent was already emitted and its boundary is unknown —
+    # replay must stay silent rather than duplicate the whole file
+    modern_end = {"processed": {str(f): f.stat().st_size}}
+    assert list(reader.readBetweenOffsets(legacy, modern_end)) == []
+
+    # sanity: a modern zero-offset start DOES replay the file
+    fresh = {"processed": {str(f): 0}}
+    replay = list(reader.readBetweenOffsets(fresh, modern_end))
+    assert [r[1] for r in replay] == ["x.txt"]

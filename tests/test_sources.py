@@ -287,3 +287,40 @@ def test_parquet_members_read_back_as_rows(spark, tmp_path):
     # declared column absent from the member -> loud error, not nulls
     with _pytest.raises(Exception, match="lacks declared columns|nope"):
         parquet_members_to_rows(entries, "id long, nope string").collect()
+
+
+def test_zstd_subprocess_corrupt_input_raises(monkeypatch):
+    """Corrupt zstd through the subprocess fallback must RAISE, not
+    surface as silent EOF (r3 advice): a truncated/garbled decode was
+    previously indistinguishable from clean end-of-stream, so a bad
+    walk could be recorded as successful."""
+    import archive_to_parquet_spark.sources.walker as walker_mod
+
+    if not walker_mod._ZSTD_BIN:
+        pytest.skip("no zstd binary in this environment")
+    monkeypatch.setattr(walker_mod, "_HAS_ZSTD", False)
+
+    # valid magic, garbage frame body → zstd exits nonzero at stream start
+    corrupt = b"\x28\xb5\x2f\xfd" + b"\x00" * 64
+    reader = walker_mod._SubprocessZstdReader(io.BytesIO(corrupt))
+    try:
+        with pytest.raises(walker_mod.ZstdDecodeError):
+            while reader.read(4096):
+                pass
+    finally:
+        reader.close()
+
+    # clean stream still decodes to EOF without raising
+    blob = _zstd_compress(b"clean payload " * 32)
+    reader = walker_mod._SubprocessZstdReader(io.BytesIO(blob))
+    try:
+        out = b""
+        while True:
+            chunk = reader.read(4096)
+            if not chunk:
+                break
+            out += chunk
+        assert out == b"clean payload " * 32
+        assert reader.read(4096) == b""  # idempotent EOF after rc check
+    finally:
+        reader.close()
