@@ -13,7 +13,10 @@ Decode tiers (no image/audio libs exist in this container):
   STREAMINFO, and MP3 frame headers for sample rate / sample count /
   duration; MP4/MOV mvhd and AVI avih for video duration / frame count
   / dimensions. CONTENT, codec-free: PPM/PGM/uncompressed-BMP pixel
-  grids (grid-mean features, perceptual hashes), WAV PCM samples
+  grids, PNG pixels via pure-stdlib zlib inflate + scanline unfilter
+  (non-interlaced 8/16-bit, color types 0/2/3/4/6 — the most common
+  web image format crosses the content boundary with zero codec
+  dependencies), (grid-mean features, perceptual hashes), WAV PCM samples
   (log-RMS features, energy fingerprints), and MP4 keyframe bitstream
   samples sliced out of mdat via the stss/stsc/stco/stsz box walk.
   Formats whose *feature* needs an actual codec (JPEG pixels, MP3 PCM,
@@ -320,11 +323,12 @@ def _fake_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
 
 
 def _real_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
-    """Codec-free formats (PPM/PGM/uncompressed BMP) yield REAL pixel
-    features: a 4×4 grid of box-mean luminances scaled to [-1, 1].
-    Header-only formats (PNG/JPEG/GIF/TIFF/WEBP) yield true dims with a
-    hash-fingerprint feature (pixels need a codec lib); unknown magic
-    raises NotImplementedError."""
+    """Codec-free formats (PPM/PGM/uncompressed BMP, and non-interlaced
+    8/16-bit PNG via stdlib zlib) yield REAL pixel features: a 4×4 grid
+    of box-mean luminances scaled to [-1, 1]. Header-only formats
+    (JPEG/GIF/TIFF/WEBP, plus PNGs outside the stdlib-decodable subset)
+    yield true dims with a hash-fingerprint feature (pixels need a
+    codec lib); unknown magic raises NotImplementedError."""
     gray = decode_pixels(data)
     if gray is not None:
         parsed = parse_image_header(data)
@@ -758,13 +762,118 @@ def media_table_from_entries(entries: DataFrame) -> DataFrame:
 # yield null and are the documented codec boundary.
 
 
+def _png_pixels(d: bytes):
+    """Grayscale float64 (H, W) matrix for a non-interlaced 8/16-bit
+    PNG (color types 0/2/3/4/6) — REAL pixel decode, pure stdlib:
+    IDAT chunks are zlib-inflated and the five scanline filters
+    (None/Sub/Up/Average/Paeth, spec §9) are reversed row by row.
+    None for anything that isn't such a PNG (Adam7 interlace and
+    1/2/4-bit depths stay out of scope; 16-bit samples use the MSB,
+    which is the spec's own 8-bit reduction).
+    """
+    import zlib
+
+    import numpy as np
+
+    if d[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    # chunk walk: IHDR (must be first), PLTE, IDAT+
+    pos = 8
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(d):
+        (length,) = struct.unpack(">I", d[pos : pos + 4])
+        ctype = d[pos + 4 : pos + 8]
+        body = d[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if interlace != 0 or depth not in (8, 16) or w == 0 or h == 0:
+        return None
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if n_ch is None or (color == 3 and (depth != 8 or plte is None)):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    bpp = n_ch * (depth // 8)  # filter unit: bytes per pixel
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        return None
+    prev = np.zeros(stride, dtype=np.uint8)
+    rows = np.empty((h, stride), dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1)
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:  # Up — vectorized
+            cur = line + prev
+        elif ftype == 1:  # Sub — sequential in x
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] += cur[x - bpp]
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+        rows[y] = cur
+        prev = cur
+    px = rows.reshape(h, w, bpp)
+    if depth == 16:
+        px = px[:, :, ::2]  # MSB of each 16-bit sample
+    if color == 3:  # palette lookup → RGB
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= len(pal):
+            return None
+        px = pal[idx]
+    samples = px.astype(np.float64)
+    if color in (2, 3, 6):  # RGB / palette-RGB / RGBA → luminance
+        return samples[:, :, :3] @ np.array([0.299, 0.587, 0.114])
+    return samples[:, :, 0]  # grayscale (alpha, if any, ignored)
+
+
 def decode_pixels(data: bytes):
     """Grayscale float64 (H, W) pixel matrix for binary PPM (P6), PGM
-    (P5), or uncompressed 24/32-bpp BMP bytes; None for anything else.
+    (P5), uncompressed 24/32-bpp BMP, or non-interlaced 8/16-bit PNG
+    bytes; None for anything else.
     """
     import numpy as np
 
     d = data or b""
+    if d[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_pixels(d)
     if d[:2] in (b"P6", b"P5"):
         # header: magic, width, height, maxval — whitespace/comment
         # separated, then a single whitespace byte before raster

@@ -651,6 +651,63 @@ _MP4_KF_DIGEST = "".join(
 )
 
 
+def _png_fixture() -> bytes:
+    """8×8 grayscale PNG, right half bright (0|255 columns), FORWARD-
+    filtered with every nontrivial scanline filter (Sub/Up/Average/
+    Paeth cycling per row) and zlib-compressed — built independently of
+    the decoder so ``operators.multimodal._png_pixels``'s inverse
+    filtering is certified against the spec's forward direction, not
+    against itself. The 4×4 grid-mean feature has closed-form corners:
+    the left boxes average 0 (→ −1.0), the right boxes 255 (→ +1.0).
+    """
+    import struct as _s
+    import zlib as _z
+
+    row = [0] * 4 + [255] * 4
+    raw = bytearray()
+    prev = [0] * 8
+    for y in range(8):
+        f = (y % 4) + 1  # Sub, Up, Average, Paeth
+        raw.append(f)
+        cur = row
+        for x in range(8):
+            a = cur[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if f == 1:
+                enc = cur[x] - a
+            elif f == 2:
+                enc = cur[x] - b
+            elif f == 3:
+                enc = cur[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = cur[x] - pred
+            raw.append(enc & 0xFF)
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(body))
+            + ctype
+            + body
+            + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+_PNG_BLOB = _png_fixture()
+
+
 def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTENT-level codec-free decode, driver-checked (the round-3
     step past ``multimodal_header_decode``'s header parsing): per doc,
@@ -667,10 +724,15 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     - a minimal MP4 goes through ``sample_video_frames(decode="real")``
       — the stss/stsc/stco/stsz walk must slice exactly the three
       construction-time keyframe payloads out of mdat (sha256 literals
-      in the oracle).
+      in the oracle);
+    - a forward-filtered 8×8 grayscale PNG (``_png_fixture``: right
+      half bright, Sub/Up/Average/Paeth rows, zlib IDAT) goes through
+      the REAL stdlib PNG pixel decode — the 4×4 grid corners must hit
+      the closed forms −1.0 (dark left) and +1.0 (bright right),
+      certifying inflate + inverse filtering end-to-end.
 
-    All three decoders run as Arrow ``mapInPandas`` stages — per-row,
-    no shuffle; the three result frames join on doc_id.
+    All four decoders run as Arrow ``mapInPandas`` stages — per-row,
+    no shuffle; the result frames join on doc_id.
     """
     from archive_to_parquet_spark.operators.multimodal import (
         audio_fingerprints,
@@ -702,8 +764,13 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mp4 = F.unhex(F.lit(_MP4_BLOB.hex()))
+    png = F.unhex(F.lit(_PNG_BLOB.hex()))
     media = docs.select(
-        "doc_id", pgm.alias("pgm"), wav.alias("wav"), mp4.alias("mp4")
+        "doc_id",
+        pgm.alias("pgm"),
+        wav.alias("wav"),
+        mp4.alias("mp4"),
+        png.alias("png"),
     )
 
     img = extract_image_features(
@@ -715,6 +782,19 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.element_at("feature", 1).cast("double") * 1e6 + F.lit(0.5)
         ).cast("long").alias("p00_e6"),
+    )
+    png_img = extract_image_features(
+        media, data_col="png", id_col="doc_id", decode="real"
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").alias("png_width"),
+        F.col("height").alias("png_height"),
+        F.floor(
+            F.element_at("feature", 1).cast("double") * 1e6 + F.lit(0.5)
+        ).cast("long").alias("png_p00_e6"),
+        F.floor(
+            F.element_at("feature", 4).cast("double") * 1e6 + F.lit(0.5)
+        ).cast("long").alias("png_p03_e6"),
     )
     aud = audio_fingerprints(media, id_col="doc_id", data_col="wav").select(
         F.col("media_id").alias("doc_id"),
@@ -742,7 +822,9 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kf_digest"),
         )
     )
-    return img.join(aud, "doc_id").join(vid, "doc_id")
+    return (
+        img.join(png_img, "doc_id").join(aud, "doc_id").join(vid, "doc_id")
+    )
 
 
 MULTIMODAL_CONTENT_SQL = f"""
@@ -751,6 +833,10 @@ SELECT doc_id,
        8 AS height,
        CAST(floor(CAST(CAST((CAST(doc_id % 251 AS DOUBLE) / 255.0) * 2.0 - 1.0
             AS FLOAT) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS p00_e6,
+       8 AS png_width,
+       8 AS png_height,
+       CAST(-1000000 AS BIGINT) AS png_p00_e6,
+       CAST(1000000 AS BIGINT) AS png_p03_e6,
        8000 AS sample_rate,
        CAST(128 AS BIGINT) AS n_samples,
        CAST(-4294967296 AS BIGINT) AS audio_fp,
