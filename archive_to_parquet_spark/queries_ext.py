@@ -380,18 +380,23 @@ WHERE rnk <= 3
 
 
 def rel_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly resample per user with gap-filling: build the dense hour
-    grid from each user's first to last event, left-join the observed
-    hourly averages, and forward-fill gaps with the last observed value
-    (``last(..., ignoreNulls)`` over an ordered window) — the
-    TimescaleDB ``time_bucket_gapfill + locf`` pattern as plain
-    DataFrame ops.
+    """Hourly resample per user with gap-filling: forward-fill each gap
+    hour with the last observed hourly average — the TimescaleDB
+    ``time_bucket_gapfill + locf`` pattern as plain DataFrame ops.
 
-    Scale: the grid is ``sequence()``-exploded from one (min, max) row
-    per user — rows materialize only at the exploding task, never on
-    the driver; the fill window shuffles once on user_id and scans each
-    user's grid in hour order. Averages are rounded BEFORE the fill so
-    both engines propagate identical values.
+    Plan shape (round-4 rewrite): each observed hour looks up its NEXT
+    observed hour (``lead`` over the per-user hour order), then explodes
+    ``sequence(h, next_h − 1)`` — every generated hour inherits the
+    run's value directly, so the dense grid, its left join back to the
+    observations, and the ``last(..., ignoreNulls)`` fill window are all
+    gone. Two shuffles total (hourly agg, lead window) instead of four;
+    the explode is narrow. Same output contract: ``is_gap`` marks hours
+    with no observation.
+
+    Scale: generated rows materialize only at the exploding task, never
+    on the driver; the window carries one row per OBSERVED hour, not
+    per grid hour. Averages are exact-integer rounded BEFORE the fill
+    so both engines propagate identical values.
     """
     ev = _events(spark, sf_dir)
     hour = (F.col("ts_sec") / 3600).cast("long")
@@ -412,27 +417,25 @@ def rel_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value")
         )
     )
-    span = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    grid = span.select(
-        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
-    )
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy("user_id").orderBy("h")
+    runs = hourly.select(
+        "user_id",
+        "h",
+        "avg_value",
+        F.coalesce(F.lead("h").over(w) - 1, F.col("h")).alias("run_end"),
     )
-    return (
-        grid.join(hourly, ["user_id", "h"], "left")
-        .select(
-            "user_id",
-            "h",
-            F.last("avg_value", ignorenulls=True).over(w).alias("value_filled"),
-            F.col("avg_value").isNull().cast("int").alias("is_gap"),
-        )
+    return runs.select(
+        "user_id",
+        F.explode(F.sequence("h", "run_end")).alias("h_out"),
+        "avg_value",
+        F.col("h").alias("h_obs"),
+    ).select(
+        "user_id",
+        F.col("h_out").alias("h"),
+        F.col("avg_value").alias("value_filled"),
+        (F.col("h_out") != F.col("h_obs")).cast("int").alias("is_gap"),
     )
 
 

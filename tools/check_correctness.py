@@ -67,8 +67,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from archive_to_parquet_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("correctness_check")
     con = duckdb.connect()
@@ -80,9 +86,18 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = report[name] = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -90,12 +105,16 @@ def main() -> int:
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
+            rec["err"] = f"spark: {type(e).__name__}: {str(e)[:200]}"
             failures.append(name)
             continue
         spark_secs = time.time() - t0
+        rec["spark_rows"] = len(rows)
+        rec["secs"] = round(spark_secs, 2)
         if name not in oracles:
             print(f"ok?   {name}: rows={len(rows)} (rows-only, no oracle) "
                   f"[{spark_secs:.1f}s]")
+            rec["rows_match"] = len(rows) > 0
             if not rows:
                 print(f"      WARNING: zero rows")
             continue
@@ -105,8 +124,12 @@ def main() -> int:
             o_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
+            rec["err"] = f"duckdb: {type(e).__name__}: {str(e)[:200]}"
             failures.append(name)
             continue
+        rec["oracle_rows"] = len(o_rows)
+        rec["rows_match"] = len(rows) == len(o_rows)
+        rec["schema_match"] = sorted(cols) == sorted(o_cols)
         problems = []
         if len(rows) != len(o_rows):
             problems.append(f"rowcount {len(rows)} != {len(o_rows)}")
@@ -114,6 +137,7 @@ def main() -> int:
             problems.append(f"cols {sorted(cols)} != {sorted(o_cols)}")
         else:
             h1, h2 = value_hash(cols, rows), value_hash(o_cols, o_rows)
+            rec["hash_match"] = h1 == h2
             if h1 != h2:
                 problems.append(f"value-hash {h1} != {h2}")
         if problems:
@@ -132,6 +156,21 @@ def main() -> int:
             print(f"PASS  {name}: rows={len(rows)} [{spark_secs:.1f}s]")
 
     print()
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_entries": len(report),
+                    "n_failures": len(failures),
+                    "entries": report,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_path}")
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         return 1
