@@ -315,23 +315,49 @@ def main() -> int:
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "r1_subset_total": round(
-                    sum(per_query[n] for n in _R1_SUBSET if n in per_query), 3
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "tpch": {"total": round(sum(tpch.values()), 3), **tpch},
-                "ingest": ingest,
-                "ingest_warc": ingest_warc,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "r1_subset_total": round(
+            sum(per_query[n] for n in _R1_SUBSET if n in per_query), 3
+        ),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "tpch": {"total": round(sum(tpch.values()), 3), **tpch},
+        "ingest": ingest,
+        "ingest_warc": ingest_warc,
+    }
+    # the full per-query breakdown (190 entries) is ~3.5 KB — larger
+    # than the 2000-char stdout tail the driver records, which left
+    # BENCH_r02/r03 with parsed=None. Persist the full result to a
+    # committed artifact, and make the FINAL stdout line a compact
+    # summary that always fits the tail: contract fields + the r1
+    # comparator subset + the 10 most expensive queries.
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    heavy = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:10]
     )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            **{n: per_query[n] for n in _R1_SUBSET if n in per_query},
+            **heavy,
+        },
+        "n_queries": len(per_query),
+        "r1_subset_total": full["r1_subset_total"],
+        "sf": full["sf"],
+        "tpch_total": full["tpch"]["total"],
+        "ingest_mb_per_s": ingest["mb_per_s"],
+        "ingest_warc_mb_per_s": ingest_warc["mb_per_s"],
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
     spark.stop()
     return 0
 
