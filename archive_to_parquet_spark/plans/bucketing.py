@@ -20,11 +20,19 @@ def write_bucketed(
     num_buckets: int = 32,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table."""
+    """Persist as a bucketed (and optionally sorted) table.
+
+    With ``path`` the table is external at that location — use when the
+    session's warehouse dir may not be writable (a session we don't
+    own); bucketing metadata lives in the catalog either way, so the
+    exchange-free join plan is identical."""
     writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

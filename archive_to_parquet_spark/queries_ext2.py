@@ -1631,20 +1631,25 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import shutil
 
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+
     sf_tag = "".join(c for c in sf_dir if c.isalnum())[-6:]
     lt, rt = f"b_orders_{sf_tag}", f"b_lineitem_{sf_tag}"
-    # idempotent across sessions: a fresh session's catalog doesn't know
-    # the table, but the warehouse directory survives — drop both
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    warehouse = warehouse.removeprefix("file:")
+    # external tables at an explicit /tmp staging location: the entry
+    # must work in sessions we don't own, whose warehouse dir (cwd by
+    # default) may not be writable. Idempotent across sessions: a fresh
+    # catalog doesn't know the table but the directory survives — drop
+    # both.
+    stage = _stage_dir("bucketed", sf_dir)
     for t in (lt, rt):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        shutil.rmtree(os.path.join(stage, t), ignore_errors=True)
     write_bucketed(
         _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
         lt,
         "o_orderkey",
         num_buckets=8,
+        path=os.path.join(stage, lt),
     )
     write_bucketed(
         _t(spark, sf_dir, "lineitem").select(
@@ -1653,6 +1658,7 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt,
         "o_orderkey",
         num_buckets=8,
+        path=os.path.join(stage, rt),
     )
     joined = bucketed_join(spark, lt, rt, "o_orderkey")
     return joined.groupBy("o_custkey").agg(

@@ -192,3 +192,38 @@ def test_canonicalize_url_idempotent(spark, scheme, host, port, segs, params, sl
         .collect()[0]
     )
     assert once == twice, url
+
+
+def test_driver_wrap_pins_confs_and_traces(spark, tmp_path, monkeypatch):
+    """__spark_entry__._wrap must (a) pin result-affecting session confs
+    on an externally-owned session and (b) capture a normalized result
+    trace for post-round hash forensics (r3 verdict 'What's wrong' #1:
+    instrument the driver path)."""
+    import json
+
+    import __spark_entry__ as mod
+
+    monkeypatch.setattr(mod, "_TRACE_DIR", str(tmp_path / "trace"))
+    monkeypatch.delenv("SPARK_GRAFT_TRACE", raising=False)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        qs = mod.queries()
+        df = qs["tpch_q12_priority_split"](spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        trace = json.load(
+            open(tmp_path / "trace" / "tpch_q12_priority_split.json")
+        )
+        assert trace["n_rows"] == df.count() == len(trace["rows"])
+        assert trace["columns"] == sorted(df.columns)
+        assert len(trace["value_hash"]) == 16
+        # rows are the sorted strict normalization — re-derivable
+        first = trace["rows"][0].split("\x1f")
+        assert len(first) == len(df.columns)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # tracing must be suppressible for bulk sweeps
+    monkeypatch.setenv("SPARK_GRAFT_TRACE", "0")
+    monkeypatch.setattr(mod, "_TRACE_DIR", str(tmp_path / "trace2"))
+    mod.queries()["tpch_q12_priority_split"](spark, "/root/testdata/sf0.001")
+    assert not (tmp_path / "trace2").exists()

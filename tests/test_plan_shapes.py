@@ -399,3 +399,17 @@ def test_ann_jl_candidates_broadcast_queries(spark):
     spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert spec_lines
     assert all("windowspecdefinition(query_id" in l for l in spec_lines)
+
+
+def test_gapfill_run_length_plan(spark):
+    """rel_gapfill_hourly's round-4 rewrite: run-length fill via
+    lead+explode — NO join anywhere (the old dense-grid left join is
+    gone) and every window partitioned by user_id."""
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["rel_gapfill_hourly"](spark, SF_DIR))
+    assert "Join" not in plan, "dense-grid join came back"
+    assert "Generate" in plan  # the sequence explode
+    spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert spec_lines
+    assert all("windowspecdefinition(user_id" in l for l in spec_lines)
