@@ -347,3 +347,33 @@ def test_png_phash_matches_equivalent_pgm():
     pgm = b"P5 8 8 255\n" + bytes(pattern.astype(np.uint8).ravel())
     assert png_hash == perceptual_hash(pgm)
     assert png_hash is not None
+
+
+def test_png_random_roundtrip_property():
+    """Property: any uint8 image, any per-row filter choice, any
+    supported color type — forward-encode then decode is exact.
+    (Plain loops, not hypothesis: the encoder is pure Python and fast,
+    and a seeded sweep over the full filter×color grid is exhaustive
+    where random draws would sample.)"""
+    from archive_to_parquet_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.RandomState(42)
+    lum = np.array([0.299, 0.587, 0.114])
+    for color, n_ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for trial in range(4):
+            h = int(rng.randint(1, 9))
+            w = int(rng.randint(1, 9))
+            shape = (h, w) if n_ch == 1 else (h, w, n_ch)
+            pix = rng.randint(0, 256, size=shape).astype(np.int64)
+            filters = [int(f) for f in rng.randint(0, 5, size=h)]
+            gray = decode_pixels(make_png(pix, color=color, filters=filters))
+            assert gray is not None, (color, h, w, filters)
+            if color == 0:
+                expected = pix.astype(np.float64)
+            elif color == 2:
+                expected = pix.astype(np.float64) @ lum
+            elif color == 4:
+                expected = pix[:, :, 0].astype(np.float64)
+            else:
+                expected = pix[:, :, :3].astype(np.float64) @ lum
+            np.testing.assert_allclose(gray, expected, err_msg=str((color, filters)))
