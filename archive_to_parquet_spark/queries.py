@@ -712,12 +712,26 @@ GROUP BY n_name
 
 
 def rel_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-agg grouping over part (min/max/avg/count distinct)."""
+    """Multi-agg grouping over part (min/max/avg/count distinct).
+
+    avg is exact integer math (price cents summed as long, half-up to
+    4dp via ``(2·Σ·100 + n) div 2n``), NOT ``round(avg(double), 4)``:
+    a double sum is accumulation-order-dependent, so its 4dp rounding
+    can flip with the session's partition count — this entry was the
+    one vanilla-session (200 shuffle partitions) hash flip in the
+    round-4 pre-flight. min/max are order-independent picks and stay
+    as-is.
+    """
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
     return (
         _t(spark, sf_dir, "part")
+        .withColumn("cents", cents)
         .groupBy("p_brand")
         .agg(
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            (
+                F.expr("(2 * sum(cents) * 100 + count(*)) div (2 * count(*))")
+                / F.lit(10000.0)
+            ).alias("avg_price"),
             F.round(F.min("p_retailprice"), 2).alias("min_price"),
             F.round(F.max("p_retailprice"), 2).alias("max_price"),
             F.countDistinct("p_type").alias("n_types"),
@@ -728,7 +742,8 @@ def rel_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REL_PART_SQL = """
 SELECT p_brand,
-       round(AVG(p_retailprice), 4) AS avg_price,
+       ((2 * CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           * 100 + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS avg_price,
        round(MIN(p_retailprice), 2) AS min_price,
        round(MAX(p_retailprice), 2) AS max_price,
        COUNT(DISTINCT p_type) AS n_types,
