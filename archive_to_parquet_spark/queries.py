@@ -37,6 +37,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from archive_to_parquet_spark.functions.exactnum import (
+    cents_avg,
+    cents_avg_sql,
+    cents_sum,
+    cents_sum_round,
+    cents_sum_round_sql,
+    cents_sum_sql,
+)
 from archive_to_parquet_spark.functions.text import (
     STOPWORDS,
     stopword_pattern,
@@ -251,33 +259,53 @@ def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-side filter → hash agg with partial
     (map-side) combine; no join, one shuffle on the two group cols."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # exact integer money units (functions/exactnum.py): disc_price in
+    # 1e-4, charge in 1e-6 — double sums would round differently under
+    # different partitionings
+    disc_e4 = (
+        "(cast(round(l_extendedprice * 100) as bigint)"
+        " * (100 - cast(round(l_discount * 100) as bigint)))"
+    )
+    charge_e6 = (
+        "(cast(round(l_extendedprice * 100) as bigint)"
+        " * (100 - cast(round(l_discount * 100) as bigint))"
+        " * (100 + cast(round(l_tax * 100) as bigint)))"
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            cents_sum("l_quantity", "sum_qty"),
+            cents_sum("l_extendedprice", "sum_base_price"),
+            cents_sum_round(disc_e4, 4, "sum_disc_price"),
+            cents_sum_round(charge_e6, 6, "sum_charge"),
+            cents_avg("l_quantity", 4, "avg_qty"),
+            cents_avg("l_extendedprice", 4, "avg_price"),
+            cents_avg("l_discount", 4, "avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-REL_PRICING_SQL = """
+_DISC_E4_SQL = (
+    "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+)
+_CHARGE_E6_SQL = (
+    "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    " * (100 + CAST(round(l_tax * 100) AS BIGINT)))"
+)
+
+REL_PRICING_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(SUM(l_quantity), 2) AS sum_qty,
-       round(SUM(l_extendedprice), 2) AS sum_base_price,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(AVG(l_quantity), 4) AS avg_qty,
-       round(AVG(l_extendedprice), 4) AS avg_price,
-       round(AVG(l_discount), 4) AS avg_disc,
+       {cents_sum_sql("l_quantity")} AS sum_qty,
+       {cents_sum_sql("l_extendedprice")} AS sum_base_price,
+       {cents_sum_round_sql(_DISC_E4_SQL, 4)} AS sum_disc_price,
+       {cents_sum_round_sql(_CHARGE_E6_SQL, 6)} AS sum_charge,
+       {cents_avg_sql("l_quantity", 4)} AS avg_qty,
+       {cents_avg_sql("l_extendedprice", 4)} AS avg_price,
+       {cents_avg_sql("l_discount", 4)} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -293,22 +321,25 @@ def rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_e4 = (
+        "(cast(round(l_extendedprice * 100) as bigint)"
+        " * (100 - cast(round(l_discount * 100) as bigint)))"
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            cents_sum_round(disc_e4, 4, "revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
-REL_REVENUE_SQL = """
+REL_REVENUE_SQL = f"""
 SELECT n_name,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {cents_sum_round_sql(_DISC_E4_SQL, 4)} AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -406,14 +437,14 @@ def rel_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_sec", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            cents_sum("value", "total_value"),
         )
     )
 
 
-REL_EVENTS_HOURLY_SQL = """
+REL_EVENTS_HOURLY_SQL = f"""
 SELECT (epoch_ns(ts) // 1000000000) - ((epoch_ns(ts) // 1000000000) % 3600) AS hour_sec,
-       event_type, COUNT(*) AS n, round(SUM(value), 4) AS total_value
+       event_type, COUNT(*) AS n, {cents_sum_sql("value")} AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -698,14 +729,15 @@ def rel_supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
         sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            cents_sum("s_acctbal", "total_acctbal"),
             F.count("*").alias("n_suppliers"),
         )
     )
 
 
-REL_SUPPLIER_SQL = """
-SELECT n_name, round(SUM(s_acctbal), 2) AS total_acctbal, COUNT(*) AS n_suppliers
+REL_SUPPLIER_SQL = f"""
+SELECT n_name, {cents_sum_sql("s_acctbal")} AS total_acctbal,
+       COUNT(*) AS n_suppliers
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """
@@ -758,15 +790,15 @@ def rel_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            cents_sum("l_quantity", "sum_qty"),
             F.count("*").alias("n"),
         )
     )
 
 
-REL_ROLLUP_SQL = """
+REL_ROLLUP_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+       {cents_sum_sql("l_quantity")} AS sum_qty, COUNT(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -778,14 +810,14 @@ def rel_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            cents_sum("o_totalprice", "total"),
         )
     )
 
 
-REL_CUBE_SQL = """
+REL_CUBE_SQL = f"""
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       round(SUM(o_totalprice), 2) AS total
+       {cents_sum_sql("o_totalprice")} AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -909,16 +941,16 @@ def rel_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(orders, bands, "o_totalprice")
     return joined.groupBy("band").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        cents_sum("o_totalprice", "total"),
     )
 
 
-REL_RANGE_JOIN_SQL = """
+REL_RANGE_JOIN_SQL = f"""
 WITH bands(band, lo, hi) AS (
   VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
          ('high', 150000.0, 300000.0), ('whale', 300000.0, 10000000.0)
 )
-SELECT band, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total
+SELECT band, COUNT(*) AS n, {cents_sum_sql("o_totalprice")} AS total
 FROM orders LEFT JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band
 """
@@ -1080,19 +1112,43 @@ def rel_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     running = w.rowsBetween(Window.unboundedPreceding, 0)
     trailing3 = w.rowsBetween(-2, 0)
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
-        F.round(F.avg("o_totalprice").over(trailing3), 4).alias("moving_avg3"),
+    # exact integer cents inside the frames: engines may evaluate
+    # sliding windows with different accumulation structures (running
+    # scan vs segment tree), so double frame-sums aren't comparable
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.withColumn("cents", cents)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.sum("cents").over(running) / F.lit(100.0)).alias(
+                "running_total"
+            ),
+            F.sum("cents").over(trailing3).alias("s3"),
+            F.count(F.lit(1)).over(trailing3).alias("n3"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "running_total",
+            F.expr(
+                "cast((2 * s3 * 100 + n3) div (2 * n3) as double) / 10000.0"
+            ).alias("moving_avg3"),
+        )
     )
 
 
 REL_RUNNING_SQL = """
+WITH c AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
 SELECT o_custkey, o_orderkey,
-       round(SUM(o_totalprice) OVER w_run, 2) AS running_total,
-       round(AVG(o_totalprice) OVER w_3, 4) AS moving_avg3
-FROM orders
+       CAST(SUM(cents) OVER w_run AS BIGINT) / 100.0 AS running_total,
+       ((2 * CAST(SUM(cents) OVER w_3 AS BIGINT) * 100 + COUNT(*) OVER w_3)
+        // (2 * COUNT(*) OVER w_3)) / 10000.0 AS moving_avg3
+FROM c
 WINDOW
   w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -1109,19 +1165,27 @@ def rel_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame
         """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         FROM orders_sub o
-        WHERE o_totalprice > 1.5 * (
-            SELECT AVG(o_totalprice) FROM orders_sub i
+        WHERE cast(round(o_totalprice * 100) as bigint) * 2 * (
+            SELECT count(*) FROM orders_sub i
             WHERE i.o_custkey = o.o_custkey
+        ) > 3 * (
+            SELECT sum(cast(round(o_totalprice * 100) as bigint))
+            FROM orders_sub i WHERE i.o_custkey = o.o_custkey
         )
         """
     )
 
 
+# price > 1.5·avg ⟺ 2·price_cents·n > 3·Σcents — exact integers on both
+# engines, so boundary orders can't flip with accumulation order
 REL_CORRELATED_SQL = """
 SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
 FROM orders o
-WHERE o_totalprice > 1.5 * (
-    SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) * 2 * (
+    SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey
+) > 3 * (
+    SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders i WHERE i.o_custkey = o.o_custkey
 )
 """
 
@@ -2141,7 +2205,8 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(c).alias(f"{c}_distinct"),
             F.round(F.min(c), 2).alias(f"{c}_min"),
             F.round(F.max(c), 2).alias(f"{c}_max"),
-            F.round(F.avg(c), 2).alias(f"{c}_avg"),
+            # exact integer avg (all profiled columns are 2dp-discrete)
+            cents_avg(c, 2, f"{c}_avg"),
         ]
     return li.agg(*aggs)
 
@@ -2155,7 +2220,7 @@ def _profile_oracle_sql() -> str:
             f"count(DISTINCT {c}) AS {c}_distinct",
             f"round(min({c}), 2) AS {c}_min",
             f"round(max({c}), 2) AS {c}_max",
-            f"round(avg({c}), 2) AS {c}_avg",
+            f"{cents_avg_sql(c, 2)} AS {c}_avg",
         ]
     return "SELECT " + ",\n       ".join(parts) + " FROM lineitem"
 
@@ -2643,7 +2708,9 @@ WITH b AS (
   SELECT epoch_ns(ts) // 1000000000 AS ts_sec, event_type, value FROM events
 ), agg AS (
   SELECT ts_sec - ts_sec % 3600 AS hour_sec, event_type,
-         COUNT(*) AS n, round(SUM(value), 4) AS total_value
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS total_value
   FROM b GROUP BY 1, 2
 )
 SELECT hour_sec, event_type, n, total_value FROM agg
@@ -2719,7 +2786,8 @@ WITH b AS (
          min(ts_sec) AS session_start,
          max(ts_sec) + 1800 AS session_end,
          COUNT(*) AS n_events,
-         round(SUM(value), 4) AS total_value
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS total_value
   FROM sess GROUP BY user_id, sid
 )
 SELECT user_id, session_start, session_end, n_events, total_value
@@ -3324,7 +3392,9 @@ def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM supplier_rec s JOIN walk w ON s.s_suppkey DIV 2 = w.suppkey
             WHERE s.s_suppkey >= 1
         )
-        SELECT w.depth, COUNT(*) AS n, round(SUM(s.s_acctbal), 2) AS acctbal
+        SELECT w.depth, COUNT(*) AS n,
+               cast(sum(cast(round(s.s_acctbal * 100) as bigint)) as double)
+                 / 100.0 AS acctbal
         FROM walk w JOIN supplier_rec s ON s.s_suppkey = w.suppkey
         GROUP BY w.depth
         ORDER BY w.depth
@@ -3340,7 +3410,9 @@ WITH RECURSIVE walk(suppkey, depth) AS (
   FROM supplier s JOIN walk w ON s.s_suppkey // 2 = w.suppkey
   WHERE s.s_suppkey >= 1
 )
-SELECT w.depth, COUNT(*) AS n, round(SUM(s.s_acctbal), 2) AS acctbal
+SELECT w.depth, COUNT(*) AS n,
+       CAST(SUM(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS acctbal
 FROM walk w JOIN supplier s ON s.s_suppkey = w.suppkey
 GROUP BY w.depth
 ORDER BY w.depth
@@ -3992,17 +4064,21 @@ def rel_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(day.cast("long"))
         .rangeBetween(-30, 0)
     )
-    return orders.select(
+    # exact cents inside the sliding frame (engines may use different
+    # frame-accumulation structures for RANGE windows)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return orders.withColumn("cents", cents).select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+        (F.sum("cents").over(w) / F.lit(100.0)).alias("sum_30d"),
         F.count("*").over(w).alias("n_in_window"),
     )
 
 
 REL_TRAILING_WINDOW_SQL = """
 SELECT o_orderkey, o_custkey,
-       round(SUM(o_totalprice) OVER w, 2) AS sum_30d,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+         / 100.0 AS sum_30d,
        COUNT(*) OVER w AS n_in_window
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey

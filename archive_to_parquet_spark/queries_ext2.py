@@ -1840,10 +1840,11 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow-style pass, foreachBatch parquet staging because
     update output mode has no file sink), and the per-user lifetime
     stats must equal the batch ground truth — the oracle states it as
-    plain SQL. Only the EXACT fields compare (counts and min/max —
-    bit-identical as set extrema); the double running total stays out
-    of the contract because pandas and DuckDB would sum it in
-    different orders.
+    plain SQL. Every field is in the contract: counts and min/max are
+    exact set extrema, and the running total accumulates integer CENTS
+    inside the state (streaming/stateful.py), so it is batch-order- and
+    partitioning-independent and compares exactly against the oracle's
+    integer-cents sum.
     """
     import shutil
 
@@ -1877,13 +1878,15 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out).select(
-        "user_id", "n_events", "min_value", "max_value"
+        "user_id", "n_events", "total_value", "min_value", "max_value"
     )
 
 
 STREAM_STATEFUL_SQL = """
 SELECT user_id,
        COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_value,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 FROM events

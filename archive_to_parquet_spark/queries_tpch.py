@@ -51,6 +51,56 @@ def _revenue():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+# -- exact money arithmetic ----------------------------------------------------
+#
+# Every money column in the testdata is 2dp-discrete, so revenue
+# l_extendedprice·(1−l_discount) is EXACT in integer 1e-4 units:
+# cents × (100 − discount_percent). Summing doubles instead is
+# accumulation-order-dependent — a different partition count can flip
+# the rounded cent (caught live by tools/preflight_vanilla.py on
+# round(avg(double),4)) — while integer sums are identical on every
+# engine, partitioning, and executor count. The Spark and DuckDB
+# fragments below are maintained as twins; `div` is Spark's integer
+# division, `//` DuckDB's. Final half-up rounding is integer math too.
+# int64 headroom: 1e-4-unit revenue sums reach ~1.5e15 per group at
+# sf1; at extreme corpus scale switch the sum to DECIMAL(38,0) on both
+# engines before int64 saturates (~sf1000 per group).
+
+_REV_E4 = (
+    "(cast(round(l_extendedprice * 100) as bigint)"
+    " * (100 - cast(round(l_discount * 100) as bigint)))"
+)
+_REV_E4_SQL = (
+    "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+)
+
+
+def _rev_sum(alias: str, cond: str | None = None):
+    """Σ revenue as exact integer 1e-4 units, half-up to 2dp."""
+    term = _REV_E4 if cond is None else f"(case when {cond} then {_REV_E4} else 0 end)"
+    return F.expr(
+        f"cast((sum({term}) + 50) div 100 as double) / 100.0"
+    ).alias(alias)
+
+
+def _rev_sum_sql(cond: str | None = None) -> str:
+    term = (
+        _REV_E4_SQL
+        if cond is None
+        else f"(CASE WHEN {cond} THEN {_REV_E4_SQL} ELSE 0 END)"
+    )
+    return f"((CAST(SUM({term}) AS BIGINT) + 50) // 100) / 100.0"
+
+
+from archive_to_parquet_spark.functions.exactnum import (  # noqa: E402
+    cents_avg as _cents_avg,
+    cents_avg_sql as _cents_avg_sql,
+    cents_sum as _cents_sum,
+    cents_sum_sql as _cents_sum_sql,
+)
+
+
 # -- Q3: shipping priority -----------------------------------------------------
 
 
@@ -69,15 +119,15 @@ def tpch_q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_rev_sum("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
 
 
-TPCH_Q03_SQL = """
+TPCH_Q03_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_rev_sum_sql()} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -106,16 +156,21 @@ def tpch_q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            # discount revenue = cents × discount_percent, exact e4 units
+            F.expr(
+                "cast((sum(cast(round(l_extendedprice * 100) as bigint)"
+                " * cast(round(l_discount * 100) as bigint)) + 50)"
+                " div 100 as double) / 100.0"
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
 TPCH_Q06_SQL = """
-SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT ((CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         + 50) // 100) / 100.0 AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -156,14 +211,14 @@ def tpch_q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_rev_sum("revenue"))
     )
 
 
-TPCH_Q07_SQL = """
+TPCH_Q07_SQL = f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        EXTRACT(year FROM l_shipdate) AS ship_year,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_rev_sum_sql()} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -205,22 +260,29 @@ def tpch_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", _revenue()).otherwise(0.0))
-                / F.sum(_revenue()),
-                6,
+            # exact integer numerator/denominator; the 6dp share is
+            # half-up integer math on the e4 sums (identical on both
+            # engines regardless of partitioning). The scaled numerator
+            # goes through DECIMAL(38,0) (HUGEINT on the oracle side)
+            # so the ×1e6 never saturates int64.
+            F.expr(
+                "cast((2 * cast(sum(case when supp_nation = 'NATION_3' then "
+                + _REV_E4
+                + f" else 0 end) as decimal(38,0)) * 1000000 + sum({_REV_E4}))"
+                f" div (2 * sum({_REV_E4})) as double) / 1000000.0"
             ).alias("mkt_share"),
-            F.round(F.sum(_revenue()), 2).alias("total_revenue"),
+            _rev_sum("total_revenue"),
         )
     )
 
 
-TPCH_Q08_SQL = """
+TPCH_Q08_SQL = f"""
 SELECT EXTRACT(year FROM o_orderdate) AS order_year,
-       round(SUM(CASE WHEN sn.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+       CAST((2 * SUM(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN {_REV_E4_SQL} ELSE 0 END) * 1000000
+         + SUM({_REV_E4_SQL}))
+        // (2 * SUM({_REV_E4_SQL})) AS BIGINT) / 1000000.0 AS mkt_share,
+       {_rev_sum_sql()} AS total_revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -249,7 +311,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            _rev_sum("revenue"),
             F.count("*").alias("n_returned_items"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -257,9 +319,9 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TPCH_Q10_SQL = """
+TPCH_Q10_SQL = f"""
 SELECT c_custkey, c_name, n_name,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {_rev_sum_sql()} AS revenue,
        COUNT(*) AS n_returned_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -281,32 +343,40 @@ def tpch_q11_important_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect()."""
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
+    bal_cents = "sum(cast(round(s_acctbal * 100) as bigint))"
     per_nation = (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum("s_acctbal").alias("bal"),
+            F.expr(bal_cents).alias("bal_c"),
             F.count("*").alias("n_suppliers"),
         )
     )
-    total = supp.agg(F.sum("s_acctbal").alias("global_bal"))
+    total = supp.agg(F.expr(bal_cents).alias("global_c"))
     return (
         per_nation.join(F.broadcast(total))
-        .filter(F.col("bal") > F.col("global_bal") * 0.03)
+        # exact threshold: cents·100 > global_cents·3 — no doubles in
+        # the comparison, so a boundary nation can't flip with
+        # accumulation order
+        .filter(F.col("bal_c") * 100 > F.col("global_c") * 3)
         .select(
             "n_name",
-            F.round("bal", 2).alias("nation_balance"),
+            (F.col("bal_c") / 100.0).alias("nation_balance"),
             "n_suppliers",
         )
     )
 
 
 TPCH_Q11_SQL = """
-SELECT n_name, round(SUM(s_acctbal), 2) AS nation_balance,
+SELECT n_name,
+       CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS nation_balance,
        COUNT(*) AS n_suppliers
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
-HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) FROM supplier) * 0.03
+HAVING CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) * 100
+     > (SELECT CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+        FROM supplier) * 3
 """
 
 
@@ -358,22 +428,25 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("l_shipdate").alias("ship_month"),
         )
         .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(0.0))
-                / F.sum(_revenue()),
-                6,
+            # 100·num/den at 6dp == num·1e8/den in 1e-6-of-a-percent
+            # units — exact half-up integer math through DECIMAL(38,0)
+            F.expr(
+                "cast((2 * cast(sum(case when p_type = 'PROMO' then "
+                + _REV_E4
+                + f" else 0 end) as decimal(38,0)) * 100000000 + sum({_REV_E4}))"
+                f" div (2 * sum({_REV_E4})) as double) / 1000000.0"
             ).alias("promo_pct"),
         )
     )
 
 
-TPCH_Q14_SQL = """
+TPCH_Q14_SQL = f"""
 SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
        EXTRACT(month FROM l_shipdate) AS ship_month,
-       round(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+       CAST((2 * SUM(CASE WHEN p_type = 'PROMO'
+                          THEN {_REV_E4_SQL} ELSE 0 END) * 100000000
+             + SUM({_REV_E4_SQL}))
+            // (2 * SUM({_REV_E4_SQL})) AS BIGINT) / 1000000.0 AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1, 2
 """
@@ -390,7 +463,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
-    rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    rev = li.groupBy("l_suppkey").agg(_rev_sum("revenue"))
     mx = rev.agg(F.max("revenue").alias("max_revenue"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -401,9 +474,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TPCH_Q15_SQL = """
+TPCH_Q15_SQL = f"""
 WITH rev AS (
-  SELECT l_suppkey, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  SELECT l_suppkey, {_rev_sum_sql()} AS revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -451,8 +524,14 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     li_part = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # avg(qty)·0.5 at 6dp, exact: qty cents summed as long, then
+    # (2·S·5000 + n) div 2n in 1e-6 units — the threshold every
+    # boundary row compares against is identical on both engines
     avg_qty = li_part.groupBy("p_partkey").agg(
-        F.round(F.avg("l_quantity") * 0.5, 6).alias("qty_threshold")
+        F.expr(
+            "cast((2 * sum(cast(round(l_quantity * 100) as bigint)) * 5000"
+            " + count(*)) div (2 * count(*)) as double) / 1000000.0"
+        ).alias("qty_threshold")
     )
     return (
         li_part.join(
@@ -461,7 +540,12 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            # round(Σprice/7, 2): with S = Σcents, the target cents
+            # value is S/7 half-up = (2S + 7) div 14
+            F.expr(
+                "cast((2 * sum(cast(round(l_extendedprice * 100) as bigint))"
+                " + 7) div 14 as double) / 100.0"
+            ).alias("avg_yearly"),
             F.count("*").alias("n_small_lines"),
         )
     )
@@ -473,10 +557,13 @@ WITH li_part AS (
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_brand = 'Brand#23'
 ), thr AS (
-  SELECT l_partkey AS t_partkey, round(AVG(l_quantity) * 0.5, 6) AS qty_threshold
+  SELECT l_partkey AS t_partkey,
+         ((2 * CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           * 5000 + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS qty_threshold
   FROM li_part GROUP BY 1
 )
-SELECT round(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT ((2 * CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         + 7) // 14) / 100.0 AS avg_yearly,
        COUNT(*) AS n_small_lines
 FROM li_part JOIN thr ON l_partkey = t_partkey
 WHERE l_quantity < qty_threshold
@@ -550,13 +637,13 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity").between(20, 30))
     )
     return j.filter(d1 | d2 | d3).agg(
-        F.round(F.sum(_revenue()), 2).alias("revenue"),
+        _rev_sum("revenue"),
         F.count("*").alias("n_items"),
     )
 
 
-TPCH_Q19_SQL = """
-SELECT round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+TPCH_Q19_SQL = f"""
+SELECT {_rev_sum_sql()} AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -651,8 +738,10 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
         .select("o_custkey")
     )
+    # exact 6dp threshold over positive balances (cents are exact, the
+    # half-up division is integer math — boundary customers can't flip)
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
+        _cents_avg("c_acctbal", 6, "avg_bal")
     )
     return (
         cust.join(F.broadcast(avg_bal))
@@ -661,17 +750,17 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_custkey") % 10).cast("int").alias("code"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            _cents_sum("c_acctbal", "total_bal"),
         )
     )
 
 
-TPCH_Q22_SQL = """
+TPCH_Q22_SQL = f"""
 SELECT CAST(c_custkey % 10 AS INTEGER) AS code,
        COUNT(*) AS n_customers,
-       round(SUM(c_acctbal), 2) AS total_bal
+       {_cents_sum_sql("c_acctbal")} AS total_bal
 FROM customer
-WHERE c_acctbal > (SELECT round(AVG(c_acctbal), 6) FROM customer
+WHERE c_acctbal > (SELECT {_cents_avg_sql("c_acctbal", 6)} FROM customer
                    WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
@@ -688,37 +777,49 @@ def tpch_q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, eight map-side-combinable aggregates, a 6-row result. The
     whole query is one stage + one tiny exchange on the 2-column key."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # charge = price·(1−disc)·(1+tax) is exact in 1e-6 units:
+    # cents × (100−disc%) × (100+tax%)
+    charge_e6 = (
+        "(cast(round(l_extendedprice * 100) as bigint)"
+        " * (100 - cast(round(l_discount * 100) as bigint))"
+        " * (100 + cast(round(l_tax * 100) as bigint)))"
+    )
     return (
         li.filter(
             F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz")
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
-                "sum_charge"
-            ),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _cents_sum("l_quantity", "sum_qty"),
+            _cents_sum("l_extendedprice", "sum_base_price"),
+            _rev_sum("sum_disc_price"),
+            F.expr(
+                f"cast((sum({charge_e6}) + 5000) div 10000 as double) / 100.0"
+            ).alias("sum_charge"),
+            _cents_avg("l_quantity", 6, "avg_qty"),
+            _cents_avg("l_extendedprice", 6, "avg_price"),
+            _cents_avg("l_discount", 6, "avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-TPCH_Q01_SQL = """
+_Q01_CHARGE_E6_SQL = (
+    "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    " * (100 + CAST(round(l_tax * 100) AS BIGINT)))"
+)
+
+TPCH_Q01_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(SUM(l_quantity), 2) AS sum_qty,
-       round(SUM(l_extendedprice), 2) AS sum_base_price,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+       {_cents_sum_sql("l_quantity")} AS sum_qty,
+       {_cents_sum_sql("l_extendedprice")} AS sum_base_price,
+       {_rev_sum_sql()} AS sum_disc_price,
+       ((CAST(SUM({_Q01_CHARGE_E6_SQL}) AS BIGINT) + 5000) // 10000) / 100.0
          AS sum_charge,
-       round(AVG(l_quantity), 6) AS avg_qty,
-       round(AVG(l_extendedprice), 6) AS avg_price,
-       round(AVG(l_discount), 6) AS avg_disc,
+       {_cents_avg_sql("l_quantity", 6)} AS avg_qty,
+       {_cents_avg_sql("l_extendedprice", 6)} AS avg_price,
+       {_cents_avg_sql("l_discount", 6)} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -874,12 +975,12 @@ def tpch_q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_rev_sum("revenue"))
     )
 
 
-TPCH_Q05_SQL = """
-SELECT n_name, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+TPCH_Q05_SQL = f"""
+SELECT n_name, {_rev_sum_sql()} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -919,14 +1020,14 @@ def tpch_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("sum_profit"))
+        .agg(_rev_sum("sum_profit"))
     )
 
 
-TPCH_Q09_SQL = """
+TPCH_Q09_SQL = f"""
 SELECT n_name AS nation,
        EXTRACT(year FROM o_orderdate) AS o_year,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+       {_rev_sum_sql()} AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey

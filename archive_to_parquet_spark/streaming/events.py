@@ -44,10 +44,17 @@ def windowed_event_counts(
         if slide
         else F.window("event_time", window_duration)
     )
+    # exact integer cents in the stateful sum: double accumulation
+    # order varies with trigger boundaries and partitioning, cents
+    # don't (value is 2dp-discrete)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         ev.withWatermark("event_time", watermark)
         .groupBy(win.alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents) / F.lit(100.0)).alias("total_value"),
+        )
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
@@ -66,10 +73,14 @@ def sessionized_counts_stream(
     """Per-user session windows with an inactivity gap — the native
     streaming form of the batch lag+cumsum sessionization."""
     ev = with_event_time(events)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         ev.withWatermark("event_time", watermark)
         .groupBy(F.session_window("event_time", gap).alias("sess"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents) / F.lit(100.0)).alias("total_value"),
+        )
         .select(
             F.col("sess.start").alias("session_start"),
             F.col("sess.end").alias("session_end"),

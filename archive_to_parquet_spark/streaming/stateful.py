@@ -45,17 +45,21 @@ def _update_user_state(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n, total, vmin, vmax = state.get
+        n, total_c, vmin, vmax = state.get
     else:
-        n, total, vmin, vmax = 0, 0.0, float("inf"), float("-inf")
+        n, total_c, vmin, vmax = 0, 0.0, float("inf"), float("-inf")
     for pdf in pdfs:
         values = pdf["value"].astype(float)
         n += len(values)
-        total += float(values.sum())
+        # accumulate exact integer cents (value is 2dp-discrete): a
+        # float running total depends on batch/arrival order, cents
+        # don't. The state field stays double — integer cents are exact
+        # in a double far past any realistic total.
+        total_c += float((values * 100).round().sum())
         if len(values):
             vmin = min(vmin, float(values.min()))
             vmax = max(vmax, float(values.max()))
-    state.update((n, total, vmin, vmax))
+    state.update((n, total_c, vmin, vmax))
     # a group invoked with only empty batches (or a future
     # timeout-triggered call) has n == 0 — emit null min/max rather than
     # leaking the ±inf accumulator sentinels into the sink
@@ -63,7 +67,7 @@ def _update_user_state(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [total_c / 100.0],
             "min_value": [vmin if n else None],
             "max_value": [vmax if n else None],
         }
@@ -106,23 +110,24 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             (user_id,) = key
             if self._state.exists():
-                n, total, vmin, vmax = self._state.get()
+                n, total_c, vmin, vmax = self._state.get()
             else:
-                n, total, vmin, vmax = 0, 0.0, float("inf"), float("-inf")
+                n, total_c, vmin, vmax = 0, 0.0, float("inf"), float("-inf")
             for pdf in rows:
                 values = pdf["value"].astype(float)
                 n += len(values)
-                total += float(values.sum())
+                # exact integer cents — see _update_user_state
+                total_c += float((values * 100).round().sum())
                 if len(values):
                     vmin = min(vmin, float(values.min()))
                     vmax = max(vmax, float(values.max()))
-            self._state.update((n, total, vmin, vmax))
+            self._state.update((n, total_c, vmin, vmax))
             # see _update_user_state: never emit the ±inf sentinels
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "n_events": [n],
-                    "total_value": [total],
+                    "total_value": [total_c / 100.0],
                     "min_value": [vmin if n else None],
                     "max_value": [vmax if n else None],
                 }
