@@ -26,8 +26,24 @@ from pyspark.sql import functions as F
 
 
 def cents_expr(col: str) -> str:
-    """Spark SQL fragment: exact integer cents of a 2dp money column."""
-    return f"cast(round({col} * 100) as bigint)"
+    """Spark SQL fragment: exact integer cents of a 2dp money column.
+
+    ``floor(x·100 + 0.5)``, not ``round(x·100)``: Spark's Round on
+    doubles goes through BigDecimal per value (measured 2.5× on the
+    TPC-H Q1 scan), while floor is a single libm call. The two agree
+    for every 2dp-discrete input of either sign — x·100 sits within
+    ~1e-10 of an integer n, and floor(n ± ε + 0.5) = n whenever
+    ε < 0.5. The DuckDB twins keep round() (cheap there)."""
+    return f"cast(floor({col} * 100 + 0.5) as bigint)"
+
+
+def cents_col(col) -> Column:
+    """Column form of :func:`cents_expr` for pre-projection: compute the
+    cents ONCE per row when several aggregates share the same column
+    (aggregate update expressions are not common-subexpression
+    eliminated across aggregates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
 
 
 def cents_expr_sql(col: str) -> str:
@@ -77,6 +93,29 @@ def cents_avg_sql(col: str, dp: int) -> str:
         f"((2 * CAST(SUM({cents_expr_sql(col)}) AS BIGINT)"
         f" * {scale} + COUNT(*)) // (2 * COUNT(*))) / {10**dp}.0"
     )
+
+
+def isum_2dp(int_col: str, alias: str) -> Column:
+    """Σ over a pre-projected cents column, emitted at exact 2dp."""
+    return F.expr(f"cast(sum({int_col}) as double) / 100.0").alias(alias)
+
+
+def isum_round(int_col: str, unit_pow: int, alias: str) -> Column:
+    """Σ over a pre-projected 10^-unit_pow-unit column, half-up to 2dp."""
+    half = 10 ** (unit_pow - 2) // 2
+    div = 10 ** (unit_pow - 2)
+    return F.expr(
+        f"cast((sum({int_col}) + {half}) div {div} as double) / 100.0"
+    ).alias(alias)
+
+
+def iavg_cents(int_col: str, dp: int, alias: str) -> Column:
+    """Half-up AVG over a pre-projected cents column at ``dp`` dp."""
+    scale = 10 ** (dp - 2)
+    return F.expr(
+        f"cast((2 * sum({int_col}) * {scale}"
+        f" + count(*)) div (2 * count(*)) as double) / {10**dp}.0"
+    ).alias(alias)
 
 
 def ratio_half_up(num_agg: str, den_agg: str, dp: int, alias: str) -> Column:

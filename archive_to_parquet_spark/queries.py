@@ -258,30 +258,37 @@ FROM (
 def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-side filter → hash agg with partial
     (map-side) combine; no join, one shuffle on the two group cols."""
+    from archive_to_parquet_spark.functions.exactnum import (
+        cents_col,
+        iavg_cents,
+        isum_2dp,
+        isum_round,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
-    # exact integer money units (functions/exactnum.py): disc_price in
-    # 1e-4, charge in 1e-6 — double sums would round differently under
-    # different partitionings
-    disc_e4 = (
-        "(cast(round(l_extendedprice * 100) as bigint)"
-        " * (100 - cast(round(l_discount * 100) as bigint)))"
-    )
-    charge_e6 = (
-        "(cast(round(l_extendedprice * 100) as bigint)"
-        " * (100 - cast(round(l_discount * 100) as bigint))"
-        " * (100 + cast(round(l_tax * 100) as bigint)))"
-    )
+    # exact integer money units (functions/exactnum.py), pre-projected
+    # ONCE per row (aggregate update expressions aren't CSE'd): double
+    # sums would round differently under different partitionings
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            cents_col("l_quantity").alias("qty_c"),
+            cents_col("l_extendedprice").alias("price_c"),
+            cents_col("l_discount").alias("disc_p"),
+            cents_col("l_tax").alias("tax_p"),
+        )
+        .withColumn("rev_e4", F.expr("price_c * (100 - disc_p)"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            cents_sum("l_quantity", "sum_qty"),
-            cents_sum("l_extendedprice", "sum_base_price"),
-            cents_sum_round(disc_e4, 4, "sum_disc_price"),
-            cents_sum_round(charge_e6, 6, "sum_charge"),
-            cents_avg("l_quantity", 4, "avg_qty"),
-            cents_avg("l_extendedprice", 4, "avg_price"),
-            cents_avg("l_discount", 4, "avg_disc"),
+            isum_2dp("qty_c", "sum_qty"),
+            isum_2dp("price_c", "sum_base_price"),
+            isum_round("rev_e4", 4, "sum_disc_price"),
+            isum_round("rev_e4 * (100 + tax_p)", 6, "sum_charge"),
+            iavg_cents("qty_c", 4, "avg_qty"),
+            iavg_cents("price_c", 4, "avg_price"),
+            iavg_cents("disc_p", 4, "avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -322,8 +329,8 @@ def rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     disc_e4 = (
-        "(cast(round(l_extendedprice * 100) as bigint)"
-        " * (100 - cast(round(l_discount * 100) as bigint)))"
+        "(cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+        " * (100 - cast(floor(l_discount * 100 + 0.5) as bigint)))"
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -754,7 +761,7 @@ def rel_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-4 pre-flight. min/max are order-independent picks and stay
     as-is.
     """
-    cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
     return (
         _t(spark, sf_dir, "part")
         .withColumn("cents", cents)
@@ -1115,7 +1122,7 @@ def rel_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer cents inside the frames: engines may evaluate
     # sliding windows with different accumulation structures (running
     # scan vs segment tree), so double frame-sums aren't comparable
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         orders.withColumn("cents", cents)
         .select(
@@ -1165,11 +1172,11 @@ def rel_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame
         """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         FROM orders_sub o
-        WHERE cast(round(o_totalprice * 100) as bigint) * 2 * (
+        WHERE cast(floor(o_totalprice * 100 + 0.5) as bigint) * 2 * (
             SELECT count(*) FROM orders_sub i
             WHERE i.o_custkey = o.o_custkey
         ) > 3 * (
-            SELECT sum(cast(round(o_totalprice * 100) as bigint))
+            SELECT sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))
             FROM orders_sub i WHERE i.o_custkey = o.o_custkey
         )
         """
@@ -3393,7 +3400,7 @@ def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE s.s_suppkey >= 1
         )
         SELECT w.depth, COUNT(*) AS n,
-               cast(sum(cast(round(s.s_acctbal * 100) as bigint)) as double)
+               cast(sum(cast(floor(s.s_acctbal * 100 + 0.5) as bigint)) as double)
                  / 100.0 AS acctbal
         FROM walk w JOIN supplier_rec s ON s.s_suppkey = w.suppkey
         GROUP BY w.depth
@@ -4066,7 +4073,7 @@ def rel_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact cents inside the sliding frame (engines may use different
     # frame-accumulation structures for RANGE windows)
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return orders.withColumn("cents", cents).select(
         "o_orderkey",
         "o_custkey",

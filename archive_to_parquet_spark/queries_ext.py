@@ -406,7 +406,7 @@ def rel_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shortest decimal repr) and DuckDB's (on the binary value)
     # disagree — so the 2dp rounding itself is integer math too:
     # cents_rounded = (2Σ + n) div 2n, exact on both engines
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     hourly = (
         ev.select("user_id", hour.alias("h"), cents.alias("cents"))
         .groupBy("user_id", "h")
@@ -1033,7 +1033,7 @@ def rel_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     session. Value sums are integer cents (see rel_gapfill_hourly).
     """
     ev = _events(spark, sf_dir)
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return (
         ev.select(
             "user_id",

@@ -67,8 +67,8 @@ def _revenue():
 # engines before int64 saturates (~sf1000 per group).
 
 _REV_E4 = (
-    "(cast(round(l_extendedprice * 100) as bigint)"
-    " * (100 - cast(round(l_discount * 100) as bigint)))"
+    "(cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+    " * (100 - cast(floor(l_discount * 100 + 0.5) as bigint)))"
 )
 _REV_E4_SQL = (
     "(CAST(round(l_extendedprice * 100) AS BIGINT)"
@@ -158,8 +158,8 @@ def tpch_q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # discount revenue = cents × discount_percent, exact e4 units
             F.expr(
-                "cast((sum(cast(round(l_extendedprice * 100) as bigint)"
-                " * cast(round(l_discount * 100) as bigint)) + 50)"
+                "cast((sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+                " * cast(floor(l_discount * 100 + 0.5) as bigint)) + 50)"
                 " div 100 as double) / 100.0"
             ).alias("revenue"),
             F.count("*").alias("n_items"),
@@ -343,7 +343,7 @@ def tpch_q11_important_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect()."""
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    bal_cents = "sum(cast(round(s_acctbal * 100) as bigint))"
+    bal_cents = "sum(cast(floor(s_acctbal * 100 + 0.5) as bigint))"
     per_nation = (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
@@ -529,7 +529,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary row compares against is identical on both engines
     avg_qty = li_part.groupBy("p_partkey").agg(
         F.expr(
-            "cast((2 * sum(cast(round(l_quantity * 100) as bigint)) * 5000"
+            "cast((2 * sum(cast(floor(l_quantity * 100 + 0.5) as bigint)) * 5000"
             " + count(*)) div (2 * count(*)) as double) / 1000000.0"
         ).alias("qty_threshold")
     )
@@ -543,7 +543,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             # round(Σprice/7, 2): with S = Σcents, the target cents
             # value is S/7 half-up = (2S + 7) div 14
             F.expr(
-                "cast((2 * sum(cast(round(l_extendedprice * 100) as bigint))"
+                "cast((2 * sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint))"
                 " + 7) div 14 as double) / 100.0"
             ).alias("avg_yearly"),
             F.count("*").alias("n_small_lines"),
@@ -776,29 +776,40 @@ def tpch_q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classic full-scan rollup: one shipdate predicate pushed to the
     scan, eight map-side-combinable aggregates, a 6-row result. The
     whole query is one stage + one tiny exchange on the 2-column key."""
-    li = _t(spark, sf_dir, "lineitem")
-    # charge = price·(1−disc)·(1+tax) is exact in 1e-6 units:
-    # cents × (100−disc%) × (100+tax%)
-    charge_e6 = (
-        "(cast(round(l_extendedprice * 100) as bigint)"
-        " * (100 - cast(round(l_discount * 100) as bigint))"
-        " * (100 + cast(round(l_tax * 100) as bigint)))"
+    from archive_to_parquet_spark.functions.exactnum import (
+        cents_col,
+        iavg_cents,
+        isum_2dp,
+        isum_round,
     )
+
+    li = _t(spark, sf_dir, "lineitem")
+    # pre-project the integer units ONCE per row — aggregate update
+    # expressions are not CSE'd, so inlining the floor-casts into all
+    # 8 aggregates would evaluate them ~10× per row. charge =
+    # price·(1−disc)·(1+tax), exact e6 units = rev_e4 · (100+tax%).
     return (
         li.filter(
             F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz")
         )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            cents_col("l_quantity").alias("qty_c"),
+            cents_col("l_extendedprice").alias("price_c"),
+            cents_col("l_discount").alias("disc_p"),
+            cents_col("l_tax").alias("tax_p"),
+        )
+        .withColumn("rev_e4", F.expr("price_c * (100 - disc_p)"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _cents_sum("l_quantity", "sum_qty"),
-            _cents_sum("l_extendedprice", "sum_base_price"),
-            _rev_sum("sum_disc_price"),
-            F.expr(
-                f"cast((sum({charge_e6}) + 5000) div 10000 as double) / 100.0"
-            ).alias("sum_charge"),
-            _cents_avg("l_quantity", 6, "avg_qty"),
-            _cents_avg("l_extendedprice", 6, "avg_price"),
-            _cents_avg("l_discount", 6, "avg_disc"),
+            isum_2dp("qty_c", "sum_qty"),
+            isum_2dp("price_c", "sum_base_price"),
+            isum_round("rev_e4", 4, "sum_disc_price"),
+            isum_round("rev_e4 * (100 + tax_p)", 6, "sum_charge"),
+            iavg_cents("qty_c", 6, "avg_qty"),
+            iavg_cents("price_c", 6, "avg_price"),
+            iavg_cents("disc_p", 6, "avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

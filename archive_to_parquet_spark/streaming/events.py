@@ -47,7 +47,7 @@ def windowed_event_counts(
     # exact integer cents in the stateful sum: double accumulation
     # order varies with trigger boundaries and partitioning, cents
     # don't (value is 2dp-discrete)
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return (
         ev.withWatermark("event_time", watermark)
         .groupBy(win.alias("win"), "event_type")
@@ -73,7 +73,7 @@ def sessionized_counts_stream(
     """Per-user session windows with an inactivity gap — the native
     streaming form of the batch lag+cumsum sessionization."""
     ev = with_event_time(events)
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return (
         ev.withWatermark("event_time", watermark)
         .groupBy(F.session_window("event_time", gap).alias("sess"), "user_id")
