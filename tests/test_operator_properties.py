@@ -227,3 +227,40 @@ def test_driver_wrap_pins_confs_and_traces(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(mod, "_TRACE_DIR", str(tmp_path / "trace2"))
     mod.queries()["tpch_q12_priority_split"](spark, "/root/testdata/sf0.001")
     assert not (tmp_path / "trace2").exists()
+
+
+def test_no_new_order_dependent_rounded_aggregates():
+    """Lint: round(SUM/AVG(<double>)) is accumulation-order-dependent
+    (results can change with partition count — see
+    functions/exactnum.py). Money aggregates must use the exact
+    integer fragments; only the documented exceptions below (log/exp
+    scores where rounding ties are measure-zero, and avgs over integer
+    inputs whose sums are already exact) may keep the double form."""
+    import re
+
+    allowed = {
+        # log-based BM25 contributions (irrational values)
+        ("queries.py", "score"),
+        ("queries_ext.py", "score"),
+        # exp-decayed sums (irrational weights)
+        ("queries_ext.py", "decayed_value"),
+        ("queries_ext.py", "decayed_count"),
+        # integer-input avgs: sums are exact, division deterministic
+        ("queries.py", "avg_ship_delay_days"),
+        ("queries.py", "avg_chars"),
+    }
+    base = "/root/repo/archive_to_parquet_spark"
+    offenders = []
+    for fname in ("queries.py", "queries_ext.py", "queries_ext2.py",
+                  "queries_tpch.py"):
+        src = open(f"{base}/{fname}").read()
+        for m in re.finditer(
+            r"F\.round\(\s*F\.(?:sum|avg)\([^)]*\)[^)]*\)\s*\.alias\(\s*"
+            r"f?['\"]([^'\"]+)['\"]", src
+        ):
+            if (fname, m.group(1)) not in allowed:
+                offenders.append((fname, m.group(1)))
+    assert not offenders, (
+        f"new round-over-double-aggregate sites: {offenders} — use "
+        "functions/exactnum.py or add a justified exception"
+    )
