@@ -144,9 +144,16 @@ def main(argv: list[str] | None = None) -> int:
         print("error: no input paths", file=sys.stderr)
         return 2
 
+    from pyspark.sql import SparkSession
+
     from archive_to_parquet_spark.plans.convert import convert, convert_incremental
     from archive_to_parquet_spark.session import get_spark
 
+    # only stop a session this invocation created: when main() is
+    # called as a library function (tests, notebooks), getOrCreate
+    # returns the CALLER's session and stopping it would kill their
+    # SparkContext out from under every later use
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("archive_to_parquet_cli")
     progress_stop = None
     if not args.no_progress and sys.stderr.isatty():
@@ -216,7 +223,8 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if progress_stop is not None:
             progress_stop()
-        spark.stop()
+        if owns_session:
+            spark.stop()
     if not args.no_progress:
         print(
             f"wrote {counters.output_rows} rows "

@@ -7,8 +7,8 @@ Mapping of the reference's physical layer (SURVEY.md §2.7) onto Spark:
   so each task walks one input; a 1000-executor cluster walks 1000
   archives concurrently with zero coordination.
 - bounded batch channel with backpressure (reference
-  src/channel.rs:112-139) → the ``mapInPandas`` iterator protocol:
-  each yielded pandas batch is capped by rows AND bytes (the
+  src/channel.rs:112-139) → the ``mapInArrow`` iterator protocol:
+  each yielded Arrow RecordBatch is capped by rows AND bytes (the
   reference's dual cap, src/batch.rs:97-99), and Spark's Arrow
   pipeline applies its own flow control downstream.
 - producer error → job abort (reference src/visitor.rs:59-65) →
@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 from archive_to_parquet_spark.options import ConvertOptions
@@ -32,37 +32,62 @@ from archive_to_parquet_spark.schema import ENTRY_SCHEMA_DDL
 
 _BATCH_ROWS = 1024  # reference src/batch.rs:78
 
+# mirrors ENTRY_SCHEMA_DDL; the walker hands Arrow batches straight to
+# the JVM (mapInArrow) — no pandas object arrays in the hot path
+_ENTRY_PA_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("path", pa.string()),
+        ("size", pa.int64()),
+        ("hash", pa.binary()),
+        ("content", pa.binary()),
+        ("format", pa.string()),
+    ]
+)
 
-def _rows_to_pdf(rows: list) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "source": [r.source for r in rows],
-            "path": [r.path for r in rows],
-            "size": [r.size for r in rows],
-            "hash": [r.hash for r in rows],
-            "content": [r.content for r in rows],
-            "format": [r.format for r in rows],
-        }
+
+def _rows_to_batch(rows: list) -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([r.source for r in rows], pa.string()),
+            pa.array([r.path for r in rows], pa.string()),
+            pa.array([r.size for r in rows], pa.int64()),
+            pa.array([r.hash for r in rows], pa.binary()),
+            pa.array([r.content for r in rows], pa.binary()),
+            pa.array([r.format for r in rows], pa.string()),
+        ],
+        schema=_ENTRY_PA_SCHEMA,
     )
 
 
 def _make_walk_partition(options: ConvertOptions):
-    """Build the mapInPandas function (options captured by value — the
-    dataclass pickles into the task closure once, not per row)."""
+    """Build the mapInArrow function (options captured by value — the
+    dataclass pickles into the task closure once, not per row).
+
+    mapInArrow, not mapInPandas: entry content is opaque bytes, and the
+    pandas leg (object arrays → per-batch Arrow re-conversion) only
+    added copies. The walker appends straight into Arrow builders;
+    each yielded RecordBatch is capped by rows AND bytes (the
+    reference's dual cap)."""
 
     batch_bytes = options.batch_size
 
-    def walk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def walk_partition(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
         from archive_to_parquet_spark.sources.url_source import open_url
         from archive_to_parquet_spark.sources.walker import walk_path, walk_stream
 
         pending: list = []
         pending_bytes = 0
-        for pdf in batches:
+        for rb in batches:
+            input_paths = rb.column("input_path").to_pylist()
             is_url = (
-                pdf["is_url"] if "is_url" in pdf.columns else [False] * len(pdf)
+                rb.column("is_url").to_pylist()
+                if "is_url" in rb.schema.names
+                else [False] * rb.num_rows
             )
-            for input_path, from_url in zip(pdf["input_path"], is_url):
+            for input_path, from_url in zip(input_paths, is_url):
                 if from_url:
                     stream, size = open_url(input_path)
                     try:
@@ -74,7 +99,7 @@ def _make_walk_partition(options: ConvertOptions):
                                 len(pending) >= _BATCH_ROWS
                                 or pending_bytes >= batch_bytes
                             ):
-                                yield _rows_to_pdf(pending)
+                                yield _rows_to_batch(pending)
                                 pending, pending_bytes = [], 0
                     finally:
                         stream.close()
@@ -86,10 +111,10 @@ def _make_walk_partition(options: ConvertOptions):
                             len(pending) >= _BATCH_ROWS
                             or pending_bytes >= batch_bytes
                         ):
-                            yield _rows_to_pdf(pending)
+                            yield _rows_to_batch(pending)
                             pending, pending_bytes = [], 0
         if pending:
-            yield _rows_to_pdf(pending)
+            yield _rows_to_batch(pending)
 
     return walk_partition
 
@@ -120,4 +145,4 @@ def read_archives(
         spark.sparkContext.parallelize(rows, n_tasks),
         "input_path string, is_url boolean",
     )
-    return paths_df.mapInPandas(_make_walk_partition(options), ENTRY_SCHEMA_DDL)
+    return paths_df.mapInArrow(_make_walk_partition(options), ENTRY_SCHEMA_DDL)
