@@ -38,7 +38,7 @@ def _entries_of_batch(batch_df: DataFrame, options: ConvertOptions) -> DataFrame
         F.regexp_replace("path", r"^file:", "").alias("input_path"),
         F.lit(False).alias("is_url"),
     )
-    entries = paths_df.mapInPandas(
+    entries = paths_df.mapInArrow(
         _make_walk_partition(options), ENTRY_SCHEMA_DDL
     )
     entries = apply_include_filter(entries, options.include)
