@@ -3591,71 +3591,24 @@ _CATALOG.update(_ext2.CATALOG)
 
 # Static, hand-maintained coverage schedule.  The external correctness
 # gate samples roughly the first 50 ``queries()`` entries per run, so a
-# 169-entry catalog needs a deliberate front-of-list: entries that have
-# never had an official correctness row come first, followed by the
-# three entries whose round-3 rows failed (the oracle dtype fix — see
-# PACK_SEQUENCES_SQL's comment — needs a fresh row to confirm), then
-# everything else in original catalog insertion order.  This list is a
-# plain literal on purpose: the ordering must be deterministic and
+# 169-entry catalog needs a deliberate front-of-list.  Round-5 rotation
+# (per VERDICT r4 asks #1/#4): slots 1-20 are the 20 entries that have
+# never had an official driver correctness row (they were at positions
+# 51-70 in the round-4 schedule, outside the driver's window); slots
+# 21-50 are a regression-guard cohort — the reference-surface queries
+# q1-q6, the ingest certification entries, the three round-3 hash-fail
+# entries (fixed by the HUGEINT oracle cast), and the exact-integer
+# money-refactor cohort (tpch_*, pricing/revenue rollups, streaming
+# sums) whose oracle SQL changed wholesale in round 4 — then everything
+# else in original catalog insertion order.  This list is a plain
+# literal on purpose: the ordering must be deterministic and
 # independent of any files on disk (a previous revision derived it from
 # CORRECTNESS_r*.json artifacts at call time, which made the public
 # API's ordering nondeterministic and self-referential).  Update it by
 # hand between rounds; `tools/check_correctness.py` always runs ALL
 # entries regardless of order.
 _SCHEDULE_FRONT: tuple[str, ...] = (
-    # -- never driver-sampled: reference ingest path first
-    "source_nested_walk",
-    "source_url_ingest",
-    "source_incremental_convert",
-    "crawl_warc_to_documents",
-    "source_csv_roundtrip",
-    "source_orc_roundtrip",
-    "source_partitioned_pruning",
-    "source_dpp_join",
-    "source_schema_evolution",
-    "stream_stateful_user_stats",
-    "stream_archive_ingest",
-    "stream_parse_quarantine",
-    "multimodal_header_decode",
-    "multimodal_content_decode",
-    "multimodal_phash_dedup",
-    "maintenance_zorder_stats",
-    "maintenance_upsert",
-    "maintenance_snapshot_diff",
-    "maintenance_profile_table",
-    "sketch_countmin",
-    "sketch_heavy_hitters",
-    "sketch_mergeable_hll",
-    "rel_salted_hot_join",
-    "rel_skew_isolated_join",
-    "rel_bucketed_join",
-    "ann_pq_topk",
-    "ann_jl_topk",
-    "cluster_kmeans",
-    "cluster_dbscan",
-    "graph_triangles",
-    "graph_pagerank",
-    "tokenize_bpe_encode",
-    "bpe_top_pairs",
-    "eval_ndcg_bm25",
-    "eval_calibration_bins",
-    "privacy_k_anonymity",
-    "search_index_probe",
-    "dedup_bloom_probe",
-    "dedup_incremental",
-    "dedup_url_canonical",
-    "decontaminate_semantic",
-    "parse_quarantine",
-    "embedding_jl_projection",
-    "corpus_global_index",
-    "text_html_extract",
-    "train_logreg_quality",
-    "mine_hard_negatives",
-    # -- round-3 failed rows, re-check after the HUGEINT oracle fix
-    "vocab_coverage",
-    "pack_sequences",
-    "tpch_q12_priority_split",
-    # -- never driver-sampled, next in line
+    # -- slots 1-20: never driver-sampled (first official row this round)
     "rel_decayed_sum",
     "curation_domain_cap",
     "rel_gapfill_hourly",
@@ -3676,6 +3629,41 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "mixture_sample_epoch",
     "rel_scd2_intervals",
     "sample_fixed_per_lang",
+    # -- slots 21-28: reference-surface core (q1-q6 family)
+    "q1_projection_hash",
+    "q2_include_text",
+    "q2b_utf8_binary",
+    "q3_size_filter",
+    "q4_dedup_hash_groups",
+    "q4b_distinct_hash_count",
+    "q5_extract_strings",
+    "q6_union_group",
+    # -- slots 29-33: ingest-path certification re-confirmation
+    "source_nested_walk",
+    "source_url_ingest",
+    "source_incremental_convert",
+    "crawl_warc_to_documents",
+    "stream_archive_ingest",
+    # -- slots 34-36: round-3 hash-fails (HUGEINT oracle fix, 2nd green)
+    "vocab_coverage",
+    "pack_sequences",
+    "tpch_q12_priority_split",
+    # -- slots 37-42: exact-integer money refactor cohort
+    "tpch_q01_pricing_summary",
+    "rel_pricing_summary",
+    "stream_events_hourly",
+    "tpch_q06_forecast_revenue",
+    "tpch_q03_shipping_priority",
+    "rel_revenue_by_nation",
+    # -- slots 43-50: highest-value pipeline operators, fresh rows
+    "dedup_exact_docs",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "cluster_kmeans",
+    "text_quality",
+    "multimodal_content_decode",
 )
 
 
