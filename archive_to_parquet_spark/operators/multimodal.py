@@ -14,14 +14,16 @@ Decode tiers (no image/audio libs exist in this container):
   duration; MP4/MOV mvhd and AVI avih for video duration / frame count
   / dimensions. CONTENT, codec-free: PPM/PGM/uncompressed-BMP pixel
   grids, PNG pixels via pure-stdlib zlib inflate + scanline unfilter
-  (non-interlaced 8/16-bit, color types 0/2/3/4/6 — the most common
-  web image format crosses the content boundary with zero codec
-  dependencies), (grid-mean features, perceptual hashes), WAV PCM samples
+  (non-interlaced 8/16-bit, color types 0/2/3/4/6), baseline-Huffman
+  JPEG pixels via a pure-stdlib entropy decoder + numpy IDCT (SOF0/
+  SOF1, the dominant web JPEG — Y-plane luminance, chroma entropy-
+  skipped), (grid-mean features, perceptual hashes), WAV PCM samples
   (log-RMS features, energy fingerprints), and MP4 keyframe bitstream
   samples sliced out of mdat via the stss/stsc/stco/stsz box walk.
-  Formats whose *feature* needs an actual codec (JPEG pixels, MP3 PCM,
-  H.264 frame decode) keep hash-derived fingerprints or raise
-  ``NotImplementedError`` — that is the codec boundary.
+  Formats whose *feature* needs an actual codec (progressive/
+  arithmetic JPEG, MP3 PCM, H.264 frame decode) keep hash-derived
+  fingerprints or raise ``NotImplementedError`` — that is the codec
+  boundary.
 - ``decode="fake"`` — fully deterministic stand-in decode from the byte
   hash; keeps schema/batch shape real for plumbing tests.
 """
@@ -323,12 +325,15 @@ def _fake_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
 
 
 def _real_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
-    """Codec-free formats (PPM/PGM/uncompressed BMP, and non-interlaced
-    8/16-bit PNG via stdlib zlib) yield REAL pixel features: a 4×4 grid
+    """Codec-free formats (PPM/PGM/uncompressed BMP, non-interlaced
+    8/16-bit PNG via stdlib zlib, and baseline-Huffman JPEG via the
+    pure-stdlib entropy decoder) yield REAL pixel features: a 4×4 grid
     of box-mean luminances scaled to [-1, 1]. Header-only formats
-    (JPEG/GIF/TIFF/WEBP, plus PNGs outside the stdlib-decodable subset)
+    (GIF/TIFF/WEBP, plus PNGs outside the stdlib-decodable subset)
     yield true dims with a hash-fingerprint feature (pixels need a
-    codec lib); unknown magic raises NotImplementedError."""
+    codec lib); JPEG coding processes outside baseline (progressive /
+    arithmetic / lossless) and unknown magic raise NotImplementedError
+    — the loud codec boundary."""
     gray = decode_pixels(data)
     if gray is not None:
         parsed = parse_image_header(data)
@@ -336,6 +341,12 @@ def _real_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
         grid = _grid_mean(gray, 4, 4)
         feature = [float(v) / 255.0 * 2.0 - 1.0 for v in grid.ravel()]
         return gray.shape[1], gray.shape[0], channels, feature
+    kind = _jpeg_unsupported_kind(data or b"")
+    if kind is not None:
+        raise NotImplementedError(
+            f"{kind} JPEG is outside the pure-stdlib baseline decoder's "
+            f"scope and needs a codec library (PIL) for pixel decode"
+        )
     parsed = parse_image_header(data)
     if parsed is None:
         magic = (data or b"")[:4].hex()
@@ -864,16 +875,339 @@ def _png_pixels(d: bytes):
     return samples[:, :, 0]  # grayscale (alpha, if any, ignored)
 
 
+# Annex-F zigzag: _JPEG_ZIGZAG[k] is the linear (row*8+col) index of the
+# k-th coefficient in zigzag scan order.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# SOF markers by coding process: baseline/extended-sequential Huffman
+# are decodable here; everything else is the loud codec boundary.
+_JPEG_SOF_BASELINE = {0xC0, 0xC1}
+_JPEG_SOF_UNSUPPORTED = {
+    0xC2: "progressive",
+    0xC3: "lossless",
+    0xC5: "differential sequential",
+    0xC6: "differential progressive",
+    0xC7: "differential lossless",
+    0xC9: "arithmetic sequential",
+    0xCA: "arithmetic progressive",
+    0xCB: "arithmetic lossless",
+    0xCD: "differential arithmetic sequential",
+    0xCE: "differential arithmetic progressive",
+    0xCF: "differential arithmetic lossless",
+}
+
+
+def _jpeg_unsupported_kind(d: bytes) -> str | None:
+    """Name of the JPEG coding process if `d` is a JPEG whose process is
+    outside the baseline-Huffman decoder's scope, else None. Pure marker
+    walk — no entropy decode."""
+    if d[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            return None
+        marker = d[pos + 1]
+        if marker in _JPEG_SOF_UNSUPPORTED:
+            return _JPEG_SOF_UNSUPPORTED[marker]
+        if marker in _JPEG_SOF_BASELINE or marker == 0xDA:
+            return None
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        pos += 2 + int.from_bytes(d[pos + 2 : pos + 4], "big")
+    return None
+
+
+def _jpeg_build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table (spec C.2): {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegMarker(Exception):
+    """Entropy-coded segment ended at a marker (RSTn / EOI / next SOS)."""
+
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment, undoing the
+    0xFF00 byte stuffing; raises _JpegMarker when a real marker starts."""
+
+    def __init__(self, d: bytes, pos: int):
+        self.d = d
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.d):
+                raise _JpegMarker(0xD9)
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else 0xD9
+                if nxt != 0x00:
+                    raise _JpegMarker(nxt)
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huffman(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise _JpegMarker(0xD9)  # invalid stream: treat as truncated
+
+    def align_and_expect_rst(self, n: int) -> bool:
+        """Byte-align and consume the RSTn marker at a restart boundary."""
+        self.nbits = 0
+        if self.pos + 2 > len(self.d):
+            return False
+        if self.d[self.pos] != 0xFF or self.d[self.pos + 1] != 0xD0 + (n & 7):
+            return False
+        self.pos += 2
+        return True
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    """Sign-extend an n-bit magnitude (spec F.2.2.1 EXTEND)."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _jpeg_decode_block(br: _JpegBits, dc_tbl: dict, ac_tbl: dict, pred: int):
+    """One 8×8 block of zigzag coefficients (spec F.2.2): returns
+    (coef_list_64_in_linear_order, new_dc_pred). Coefficients stay
+    unscaled; the caller dequantizes."""
+    t = br.decode_huffman(dc_tbl)
+    dc = pred + _jpeg_extend(br.receive(t), t)
+    coef = [0] * 64
+    coef[0] = dc
+    k = 1
+    while k < 64:
+        rs = br.decode_huffman(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            break  # malformed run; stop the block rather than corrupt
+        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(br.receive(s), s)
+        k += 1
+    return coef, dc
+
+
+def _jpeg_pixels(d: bytes):
+    """Grayscale float64 (H, W) matrix — the luma (Y) plane — of a
+    BASELINE Huffman JPEG (SOF0/SOF1, the overwhelmingly dominant JPEG
+    on the web): REAL pixel decode, pure stdlib + numpy. Marker walk →
+    DQT/DHT tables → interleaved MCU entropy decode (byte-unstuffing,
+    restart markers, DC prediction) → dequantize → 8×8 IDCT. Chroma
+    blocks are entropy-decoded to keep the bitstream in sync but not
+    reconstructed: grayscale output == the Y plane, which is the same
+    BT.601 luma the PNG/BMP paths compute from RGB. None for non-JPEG
+    bytes, malformed/truncated streams, and out-of-scope processes
+    (progressive/arithmetic/lossless — `_jpeg_unsupported_kind` names
+    them so decode="real" can raise the loud codec boundary).
+
+    Scale note: this is the correctness tier — a pure-Python Huffman
+    loop (~1 MB/s/core). At 100 TB the hash-fingerprint tier or a real
+    codec library on the executors is the throughput path; this decoder
+    certifies the plumbing end-to-end without any codec dependency.
+    """
+    import numpy as np
+
+    if d[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    pos = 2
+    n = len(d)
+    scan = None
+    while pos + 4 <= n:
+        if d[pos] != 0xFF:
+            return None
+        marker = d[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(d[pos + 2 : pos + 4], "big")
+        body = d[pos + 4 : pos + 2 + seglen]
+        if len(body) < seglen - 2:
+            return None
+        if marker == 0xDB:  # DQT — one or more tables, 8- or 16-bit
+            i = 0
+            while i + 1 <= len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    if i + 64 > len(body):
+                        return None
+                    qt[tq] = list(body[i : i + 64])
+                    i += 64
+                else:
+                    if i + 128 > len(body):
+                        return None
+                    qt[tq] = [
+                        int.from_bytes(body[j : j + 2], "big")
+                        for j in range(i, i + 128, 2)
+                    ]
+                    i += 128
+        elif marker == 0xC4:  # DHT — one or more tables
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = body[i + 1 : i + 17]
+                total = sum(counts)
+                i += 17
+                if i + total > len(body):
+                    return None
+                huff[(tc, th)] = _jpeg_build_huffman(counts, body[i : i + total])
+                i += total
+        elif marker in _JPEG_SOF_BASELINE:
+            sof = body
+        elif marker in _JPEG_SOF_UNSUPPORTED:
+            return None  # named by _jpeg_unsupported_kind; loud in decode="real"
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS
+            scan = body
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if sof is None or scan is None or len(sof) < 6:
+        return None
+    precision, h_img, w_img, ncomp = sof[0], *struct.unpack(">HH", sof[1:5]), sof[5]
+    if precision != 8 or w_img == 0 or h_img == 0 or len(sof) < 6 + 3 * ncomp:
+        return None
+    comps = []  # (id, hi, vi, tq)
+    for c in range(ncomp):
+        cid, hv, tq = sof[6 + 3 * c : 9 + 3 * c]
+        comps.append((cid, hv >> 4, hv & 0x0F, tq))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    # The luma component must be full-resolution (universally true: Y
+    # carries the max sampling factors); bail rather than mis-scale.
+    if comps[0][1] != hmax or comps[0][2] != vmax:
+        return None
+    # SOS: component → entropy table ids, in scan order. Baseline single
+    # scan must cover all frame components (interleaved when ncomp > 1).
+    ns = scan[0]
+    if ns != ncomp or len(scan) < 1 + 2 * ns:
+        return None
+    scan_tables = {}
+    for c in range(ns):
+        cs, tdta = scan[1 + 2 * c : 3 + 2 * c]
+        scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+    if comps[0][3] not in qt:
+        return None
+    # coefficients land in LINEAR order (per-coefficient zigzag→linear in
+    # _jpeg_decode_block), so scatter the zigzag-ordered DQT through the
+    # same map to get the luma quant matrix in linear order too
+    qy = np.zeros((8, 8), dtype=np.float64)
+    for k, lin in enumerate(_JPEG_ZIGZAG):
+        qy[lin // 8][lin % 8] = qt[comps[0][3]][k]
+    # 8×8 IDCT basis: C[u, x] = c(u)/2 · cos((2x+1)uπ/16)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    basis = np.cos((2 * x + 1) * u * np.pi / 16.0) * 0.5
+    basis[0, :] *= 1.0 / np.sqrt(2.0)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w_img + mcu_w - 1) // mcu_w
+    mcus_y = (h_img + mcu_h - 1) // mcu_h
+    y_plane = np.zeros((mcus_y * mcu_h, mcus_x * mcu_w), dtype=np.float64)
+    preds = {c[0]: 0 for c in comps}
+    br = _JpegBits(d, scan_start)
+    mcu_count = 0
+    rst_n = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    if not br.align_and_expect_rst(rst_n):
+                        return None
+                    rst_n = (rst_n + 1) & 7
+                    preds = {c[0]: 0 for c in comps}
+                for ci, (cid, hi, vi, tq) in enumerate(comps):
+                    td, ta = scan_tables.get(cid, (None, None))
+                    dc_tbl = huff.get((0, td))
+                    ac_tbl = huff.get((1, ta))
+                    if dc_tbl is None or ac_tbl is None:
+                        return None
+                    for by in range(vi):
+                        for bx in range(hi):
+                            coef, preds[cid] = _jpeg_decode_block(
+                                br, dc_tbl, ac_tbl, preds[cid]
+                            )
+                            if ci == 0:  # luma: reconstruct
+                                block = (
+                                    np.array(coef, dtype=np.float64).reshape(8, 8)
+                                    * qy
+                                )
+                                spatial = basis.T @ block @ basis + 128.0
+                                y0 = (my * vmax + by) * 8
+                                x0 = (mx * hmax + bx) * 8
+                                y_plane[y0 : y0 + 8, x0 : x0 + 8] = spatial
+                mcu_count += 1
+    except _JpegMarker as m:
+        # tolerate only end-of-data on the very last MCU row boundary;
+        # a marker mid-image means a truncated/corrupt stream
+        if not (m.marker == 0xD9 and mcu_count >= mcus_x * mcus_y - 1):
+            return None
+    return np.clip(y_plane[:h_img, :w_img], 0.0, 255.0)
+
+
 def decode_pixels(data: bytes):
     """Grayscale float64 (H, W) pixel matrix for binary PPM (P6), PGM
-    (P5), uncompressed 24/32-bpp BMP, or non-interlaced 8/16-bit PNG
-    bytes; None for anything else.
+    (P5), uncompressed 24/32-bpp BMP, non-interlaced 8/16-bit PNG, or
+    baseline-Huffman JPEG (Y plane) bytes; None for anything else.
     """
     import numpy as np
 
     d = data or b""
     if d[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_pixels(d)
+    if d[:2] == b"\xff\xd8":
+        return _jpeg_pixels(d)
     if d[:2] in (b"P6", b"P5"):
         # header: magic, width, height, maxval — whitespace/comment
         # separated, then a single whitespace byte before raster
