@@ -14,13 +14,21 @@ defaults):
 1. Pins the session confs that can change query RESULTS — timezone,
    ANSI mode, parquet NTZ inference — to the values the repo's own
    sessions use, so the driver's Spark run computes the same values the
-   local oracle runs computed.
+   local oracle runs computed.  The prior values are snapshotted on
+   first pin and restored at interpreter exit (atexit), so a host that
+   keeps using the session after the round gets its own conf state
+   back; DURING the round the pins must stay in force because the
+   driver executes the returned DataFrames after ``_wrap`` returns.
 2. Writes a per-entry result trace (row count, column names, sorted
    normalized rows, value hash) under ``DRIVER_TRACE/`` when
    ``entry_trace`` is enabled, so a failing driver hash can be diffed
    row-by-row after the round with ``tools/diff_trace.py`` instead of
-   guessed at.  Tracing re-executes the query once at sf0.01 cost;
-   set ``SPARK_GRAFT_TRACE=0`` to disable.
+   guessed at.  Tracing re-executes the query once at sf0.01 cost,
+   streaming rows via ``toLocalIterator`` with an early stop at
+   ``_TRACE_ROW_BUDGET`` rows so a per-row-output entry can't OOM the
+   driver; over-budget entries record a skip marker instead of rows.
+   Stale traces from earlier rounds are pruned when ``queries()`` is
+   first called.  Set ``SPARK_GRAFT_TRACE=0`` to disable entirely.
 """
 
 from __future__ import annotations
@@ -49,16 +57,51 @@ _RESULT_CONFS = {
 }
 
 _TRACE_DIR = os.path.join(_REPO_ROOT, "DRIVER_TRACE")
-_TRACE_ROW_CAP = 1000
+_TRACE_ROW_CAP = 1000  # rows stored in the JSON artifact
+_TRACE_ROW_BUDGET = 20_000  # rows pulled to the driver before giving up
+
+# prior conf values of the first session we pinned, for atexit restore
+_PRIOR_CONFS: dict[str, str | None] = {}
+_PINNED_SESSION: list[SparkSession] = []
+
+
+def _restore_result_confs() -> None:
+    """atexit: hand the (externally-owned) session its conf state back —
+    ANSI mode in particular changes error behavior, not just values."""
+    if not _PINNED_SESSION:
+        return
+    spark = _PINNED_SESSION[0]
+    try:
+        if spark.sparkContext._jsc is None:  # session already stopped
+            return
+    except Exception:  # noqa: BLE001
+        return
+    for k, prior in _PRIOR_CONFS.items():
+        try:
+            if prior is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prior)
+        except Exception:  # noqa: BLE001 — non-settable conf
+            pass
 
 
 def _pin_result_confs(spark: SparkSession) -> None:
+    first_pin = not _PINNED_SESSION
     for k, v in _RESULT_CONFS.items():
         try:
-            if spark.conf.get(k, None) != v:
+            prior = spark.conf.get(k, None)
+            if first_pin:
+                _PRIOR_CONFS[k] = prior
+            if prior != v:
                 spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — non-settable conf on this session
             pass
+    if first_pin:
+        import atexit
+
+        _PINNED_SESSION.append(spark)
+        atexit.register(_restore_result_confs)
 
 
 def _norm_cell(v) -> str:
@@ -86,7 +129,30 @@ def _trace(name: str, df: DataFrame) -> None:
     try:
         cols = df.columns
         order = sorted(range(len(cols)), key=lambda i: cols[i])
-        rows = df.collect()
+        # stream rows with an early stop: a per-row-output entry (e.g. a
+        # running-total over every order) must not collect() the whole
+        # result onto the driver just for a diagnostic artifact
+        rows = []
+        over_budget = False
+        for r in df.toLocalIterator():
+            rows.append(r)
+            if len(rows) > _TRACE_ROW_BUDGET:
+                over_budget = True
+                break
+        if over_budget:
+            os.makedirs(_TRACE_DIR, exist_ok=True)
+            with open(os.path.join(_TRACE_DIR, f"{name}.json"), "w") as fh:
+                json.dump(
+                    {
+                        "name": name,
+                        "skipped": f"result exceeds the {_TRACE_ROW_BUDGET}-row"
+                        " trace budget; no rows or hash recorded",
+                        "columns": [cols[i] for i in order],
+                        "schema": df.schema.simpleString(),
+                    },
+                    fh,
+                )
+            return
         lines = sorted(
             "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
         )
@@ -131,7 +197,26 @@ def _wrap(name: str, fn: Callable[[SparkSession, str], DataFrame]):
     return wrapped
 
 
+_TRACES_PRUNED: list[bool] = []
+
+
+def _prune_stale_traces() -> None:
+    """One-shot per process: DRIVER_TRACE/ holds only the current
+    round's traces (tools/diff_trace.py documents the retention)."""
+    if _TRACES_PRUNED or os.environ.get("SPARK_GRAFT_TRACE", "1") == "0":
+        return
+    _TRACES_PRUNED.append(True)
+    if os.path.isdir(_TRACE_DIR):
+        for f in os.listdir(_TRACE_DIR):
+            if f.endswith(".json"):
+                try:
+                    os.unlink(os.path.join(_TRACE_DIR, f))
+                except OSError:
+                    pass
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _prune_stale_traces()
     return {name: _wrap(name, fn) for name, fn in _catalog.queries().items()}
 
 

@@ -152,8 +152,16 @@ def main(argv: list[str] | None = None) -> int:
     # only stop a session this invocation created: when main() is
     # called as a library function (tests, notebooks), getOrCreate
     # returns the CALLER's session and stopping it would kill their
-    # SparkContext out from under every later use
-    owns_session = SparkSession.getActiveSession() is None
+    # SparkContext out from under every later use.  getActiveSession is
+    # thread-local, so a default session created in another thread (or
+    # not yet activated in this one) would make it None while
+    # getOrCreate still returns that existing session — check the
+    # process-wide default (what getOrCreate actually reuses) too
+    # before claiming ownership.
+    owns_session = (
+        SparkSession.getActiveSession() is None
+        and getattr(SparkSession, "_instantiatedSession", None) is None
+    )
     spark = get_spark("archive_to_parquet_cli")
     progress_stop = None
     if not args.no_progress and sys.stderr.isatty():

@@ -413,3 +413,29 @@ def test_gapfill_run_length_plan(spark):
     spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert spec_lines
     assert all("windowspecdefinition(user_id" in l for l in spec_lines)
+
+
+def test_ingest_pipeline_is_single_stage(spark, tmp_path):
+    """SCALING.md §Ingest claims walker → project/hash → filters is ONE
+    shuffle-free stage (mapInArrow over the input list, no Exchange
+    anywhere); pin it so a future change can't sneak a repartition or
+    aggregation into the hot ingest path (r4 verdict ask #5)."""
+    from archive_to_parquet_spark.options import ConvertOptions, IncludeType
+    from archive_to_parquet_spark.plans.bucketing import plan_has_exchange
+    from tests.conftest import tar_archive
+
+    p = tmp_path / "one.tar"
+    p.write_bytes(tar_archive({"a.txt": b"alpha", "b.bin": b"\xff\xfe\x00"}))
+    from archive_to_parquet_spark.plans.convert import entries_pipeline
+
+    for opts in (
+        ConvertOptions(),
+        ConvertOptions(include=IncludeType.TEXT, min_size=1, max_size=10_000),
+    ):
+        df = entries_pipeline(spark, [str(p)], opts)
+        assert not plan_has_exchange(df), "ingest gained a shuffle"
+        plan = _plan(df)
+        assert "Exchange" not in plan
+    # the dedup variant IS allowed its single hash-shuffle — but only one
+    df_uniq = entries_pipeline(spark, [str(p)], ConvertOptions(unique=True))
+    assert _plan(df_uniq).count("Exchange") <= 2  # partial+final pair max

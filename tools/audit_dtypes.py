@@ -102,11 +102,14 @@ def compatible(sf: str, df: str) -> bool:
     being absent.
     """
     if "FLOAT64!" in (sf, df):
-        # Spark never produces DECIMAL here unless we wrote one; a duck
-        # HUGEINT/DECIMAL only matches a spark float64 column by luck of
-        # repr — treat float64/FLOAT64! as compatible ONLY when spark
-        # side is float64 (both stringify with pandas float repr).
-        return sf == "float64" and df == "FLOAT64!" or sf == df
+        # The ONLY sanctioned pairing is duck HUGEINT/DECIMAL (pandas
+        # float64) against a true spark float64 — both stringify with
+        # the pandas float repr.  A spark-side FLOAT64! is a Spark
+        # DECIMAL, which pandas keeps as object(Decimal) — its repr
+        # ("1.00") never matches the duck float64 repr ("1.0"), so it
+        # is incompatible with everything, including duck FLOAT64!
+        # (the old `sf == df` fallback silently passed that case).
+        return sf == "float64" and df == "FLOAT64!"
     return sf == df
 
 

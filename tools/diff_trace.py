@@ -7,6 +7,15 @@ prints the first divergent rows, pinpointing a hash mismatch instead of
 leaving it to guesswork.
 
 Usage: python tools/diff_trace.py <name> [sf_dir]
+
+Retention: DRIVER_TRACE/ holds exactly one round's traces —
+``__spark_entry__.queries()`` prunes every existing ``*.json`` the
+first time it is called in a process, so whatever run touched the
+contract last (the official driver round, or a local
+``tools/check_correctness.py`` sweep) owns the directory's contents.
+Per-entry traces store at most 1000 rows, and entries whose result
+exceeds the 20,000-row pull budget record a skip marker instead of
+rows, so the artifact dir stays bounded (~a few MB) round over round.
 """
 
 from __future__ import annotations
@@ -59,22 +68,28 @@ def main() -> int:
     print(f"trace: {trace['n_rows']} rows, hash {trace['value_hash']}, "
           f"cols {trace['columns']}")
     print(f"oracle: {len(oracle_lines)} rows, cols {[cols[i] for i in order]}")
+    # the COUNT check always compares the trace's full row count against
+    # the untrimmed oracle count — trimming is only for the line diff,
+    # else a divergence past the stored-row cap reads as "identical"
+    full_oracle_rows = len(oracle_lines)
+    trace_rows = trace["n_rows"]
+    diff_oracle_lines = oracle_lines
     if trace.get("rows_truncated"):
         print("NOTE: trace rows were truncated; diff covers the stored prefix")
-        oracle_lines = oracle_lines[: len(spark_lines)]
+        diff_oracle_lines = oracle_lines[: len(spark_lines)]
 
     n_shown = 0
-    for i, (a, b) in enumerate(zip(spark_lines, oracle_lines)):
+    for i, (a, b) in enumerate(zip(spark_lines, diff_oracle_lines)):
         if a != b:
             print(f"row {i}:\n  spark : {a.replace(chr(31), ' | ')}\n"
                   f"  oracle: {b.replace(chr(31), ' | ')}")
             n_shown += 1
             if n_shown >= 10:
                 break
-    if len(spark_lines) != len(oracle_lines):
-        print(f"row-count differs: spark {len(spark_lines)} "
-              f"vs oracle {len(oracle_lines)}")
-    if n_shown == 0 and len(spark_lines) == len(oracle_lines):
+    if trace_rows != full_oracle_rows:
+        print(f"row-count differs: spark {trace_rows} "
+              f"vs oracle {full_oracle_rows}")
+    if n_shown == 0 and trace_rows == full_oracle_rows:
         print("identical (the divergence was not reproduced at this sf_dir)")
     return 0
 
