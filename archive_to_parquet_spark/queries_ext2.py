@@ -708,6 +708,66 @@ def _png_fixture() -> bytes:
 _PNG_BLOB = _png_fixture()
 
 
+def _jpeg_fixture() -> bytes:
+    """16×8 two-block BASELINE JPEG (left 8×8 block constant 64, right
+    block constant 192), quantizer all-ones — hand-encoded in the
+    forward direction (canonical Huffman codes, DC prediction across
+    blocks, category/magnitude bits, EOB, 1-padding) independently of
+    ``operators.multimodal._jpeg_pixels`` so the decoder is certified
+    against the spec, not against itself. Constant blocks are DC-only
+    (DC = 8·(v−128), all AC zero), so the decode is EXACT: the 4×4
+    grid-mean feature has closed-form columns 64 (left half) and 192
+    (right half). Also exercises MCU iteration and the DC predictor in
+    the driver-certified path (category 11 on the second block's jump).
+    """
+    import struct as _s
+
+    bits: list[int] = []
+
+    def put(value: int, n: int) -> None:
+        bits.extend((value >> i) & 1 for i in range(n - 1, -1, -1))
+
+    # canonical tables: DC categories 0..11 all at 4 bits (codes 0..11);
+    # AC has the single EOB symbol at 1 bit (code 0)
+    pred = 0
+    for v in (64, 192):
+        dc = 8 * (v - 128)
+        diff = dc - pred
+        pred = dc
+        cat = abs(diff).bit_length()
+        put(cat, 4)  # DC symbol `cat` → canonical code == cat at 4 bits
+        put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        put(0, 1)  # EOB
+    while len(bits) % 8:
+        bits.append(1)
+    data = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2) for i in range(0, len(bits), 8)
+    )
+    assert b"\xff" not in data  # no stuffing needed for this payload
+
+    def seg(marker: bytes, body: bytes) -> bytes:
+        return marker + _s.pack(">H", len(body) + 2) + body
+
+    dqt = seg(b"\xff\xdb", bytes([0x00]) + bytes([1] * 64))
+    sof = seg(b"\xff\xc0", bytes([8]) + _s.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0]))
+    dht_dc = seg(
+        b"\xff\xc4",
+        bytes([0x00])
+        + bytes([0, 0, 0, 12] + [0] * 12)
+        + bytes(range(12)),
+    )
+    dht_ac = seg(
+        b"\xff\xc4", bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+    )
+    sos = seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + data + b"\xff\xd9"
+    )
+
+
+_JPEG_BLOB = _jpeg_fixture()
+
+
 def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTENT-level codec-free decode, driver-checked (the round-3
     step past ``multimodal_header_decode``'s header parsing): per doc,
@@ -729,7 +789,12 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       half bright, Sub/Up/Average/Paeth rows, zlib IDAT) goes through
       the REAL stdlib PNG pixel decode — the 4×4 grid corners must hit
       the closed forms −1.0 (dark left) and +1.0 (bright right),
-      certifying inflate + inverse filtering end-to-end.
+      certifying inflate + inverse filtering end-to-end;
+    - a hand-encoded two-block BASELINE JPEG (``_jpeg_fixture``: left
+      block 64, right block 192, quant 1 → DC-only, EXACT decode) goes
+      through the REAL pure-stdlib JPEG entropy decoder — grid columns
+      must hit the closed forms for 64 and 192, certifying Huffman
+      decode, DC prediction, dequantize and IDCT end-to-end.
 
     All four decoders run as Arrow ``mapInPandas`` stages — per-row,
     no shuffle; the result frames join on doc_id.
@@ -765,12 +830,14 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mp4 = F.unhex(F.lit(_MP4_BLOB.hex()))
     png = F.unhex(F.lit(_PNG_BLOB.hex()))
+    jpg = F.unhex(F.lit(_JPEG_BLOB.hex()))
     media = docs.select(
         "doc_id",
         pgm.alias("pgm"),
         wav.alias("wav"),
         mp4.alias("mp4"),
         png.alias("png"),
+        jpg.alias("jpg"),
     )
 
     img = extract_image_features(
@@ -795,6 +862,19 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.element_at("feature", 4).cast("double") * 1e6 + F.lit(0.5)
         ).cast("long").alias("png_p03_e6"),
+    )
+    jpg_img = extract_image_features(
+        media, data_col="jpg", id_col="doc_id", decode="real"
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").alias("jpg_width"),
+        F.col("height").alias("jpg_height"),
+        F.floor(
+            F.element_at("feature", 1).cast("double") * 1e6 + F.lit(0.5)
+        ).cast("long").alias("jpg_p00_e6"),
+        F.floor(
+            F.element_at("feature", 4).cast("double") * 1e6 + F.lit(0.5)
+        ).cast("long").alias("jpg_p03_e6"),
     )
     aud = audio_fingerprints(media, id_col="doc_id", data_col="wav").select(
         F.col("media_id").alias("doc_id"),
@@ -823,7 +903,10 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        img.join(png_img, "doc_id").join(aud, "doc_id").join(vid, "doc_id")
+        img.join(png_img, "doc_id")
+        .join(jpg_img, "doc_id")
+        .join(aud, "doc_id")
+        .join(vid, "doc_id")
     )
 
 
@@ -837,6 +920,12 @@ SELECT doc_id,
        8 AS png_height,
        CAST(-1000000 AS BIGINT) AS png_p00_e6,
        CAST(1000000 AS BIGINT) AS png_p03_e6,
+       16 AS jpg_width,
+       8 AS jpg_height,
+       CAST(floor(CAST(CAST((64.0 / 255.0) * 2.0 - 1.0 AS FLOAT) AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) AS jpg_p00_e6,
+       CAST(floor(CAST(CAST((192.0 / 255.0) * 2.0 - 1.0 AS FLOAT) AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) AS jpg_p03_e6,
        8000 AS sample_rate,
        CAST(128 AS BIGINT) AS n_samples,
        CAST(-4294967296 AS BIGINT) AS audio_fp,
