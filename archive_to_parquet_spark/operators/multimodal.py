@@ -17,8 +17,12 @@ Decode tiers (no image/audio libs exist in this container):
   (non-interlaced 8/16-bit, color types 0/2/3/4/6), baseline-Huffman
   JPEG pixels via a pure-stdlib entropy decoder + numpy IDCT (SOF0/
   SOF1, the dominant web JPEG — Y-plane luminance, chroma entropy-
-  skipped), (grid-mean features, perceptual hashes), WAV PCM samples
-  (log-RMS features, energy fingerprints), and MP4 keyframe bitstream
+  skipped), GIF first-frame pixels via pure-stdlib LZW (global/local
+  palettes, interlace), uncompressed striped 8-bit TIFF pixels (both
+  byte orders), (grid-mean features, perceptual hashes), WAV samples in
+  linear PCM, G.711 μ-law/A-law, and mono IMA ADPCM (log-RMS features,
+  energy fingerprints — G.711 and the ADPCM nibble core are bit-exact
+  against the stdlib audioop reference), and MP4 keyframe bitstream
   samples sliced out of mdat via the stss/stsc/stco/stsz box walk.
   Formats whose *feature* needs an actual codec (progressive/
   arithmetic JPEG, MP3 PCM, H.264 frame decode) keep hash-derived
@@ -326,14 +330,15 @@ def _fake_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
 
 def _real_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
     """Codec-free formats (PPM/PGM/uncompressed BMP, non-interlaced
-    8/16-bit PNG via stdlib zlib, and baseline-Huffman JPEG via the
-    pure-stdlib entropy decoder) yield REAL pixel features: a 4×4 grid
+    8/16-bit PNG via stdlib zlib, baseline-Huffman JPEG via the
+    pure-stdlib entropy decoder, GIF via pure-stdlib LZW, and
+    uncompressed 8-bit TIFF) yield REAL pixel features: a 4×4 grid
     of box-mean luminances scaled to [-1, 1]. Header-only formats
-    (GIF/TIFF/WEBP, plus PNGs outside the stdlib-decodable subset)
-    yield true dims with a hash-fingerprint feature (pixels need a
-    codec lib); JPEG coding processes outside baseline (progressive /
-    arithmetic / lossless) and unknown magic raise NotImplementedError
-    — the loud codec boundary."""
+    (WEBP, compressed/tiled TIFF, plus PNGs outside the
+    stdlib-decodable subset) yield true dims with a hash-fingerprint
+    feature (pixels need a codec lib); JPEG coding processes outside
+    baseline (progressive / arithmetic / lossless) and unknown magic
+    raise NotImplementedError — the loud codec boundary."""
     gray = decode_pixels(data)
     if gray is not None:
         parsed = parse_image_header(data)
@@ -414,11 +419,11 @@ def _fake_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
 
 
 def _real_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
-    """Uncompressed PCM WAV yields REAL sample features: log-RMS energy
-    over 13 equal time blocks (MFCC-shaped, codec-free). Compressed
-    formats with parseable headers (FLAC/MP3) yield true rate/length
-    with a hash-fingerprint feature; unknown magic raises
-    NotImplementedError."""
+    """WAV in linear PCM, G.711 μ-law/A-law, or mono IMA ADPCM yields
+    REAL sample features: log-RMS energy over 13 equal time blocks
+    (MFCC-shaped, codec-free). Compressed formats with parseable
+    headers (FLAC/MP3) yield true rate/length with a hash-fingerprint
+    feature; unknown magic raises NotImplementedError."""
     decoded = decode_pcm(data)
     if decoded is not None:
         import math
@@ -1196,10 +1201,222 @@ def _jpeg_pixels(d: bytes):
     return np.clip(y_plane[:h_img, :w_img], 0.0, 255.0)
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_out: int):
+    """GIF-variant LZW (LSB-first bit packing, variable width 3..12
+    bits, clear/EOI codes): returns the decoded index bytes, or None on
+    a corrupt stream. ``max_out`` bounds output so a malicious blob
+    can't balloon memory (quine-zip guard discipline, walker.py:653)."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                # missing EOI: tolerated by most decoders — accept what
+                # we have (matches the walker's truncation tolerance)
+                return bytes(out)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and code != clear and code != eoi:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt: code beyond table
+        out += entry
+        if len(out) > max_out:
+            return None
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _gif_pixels(d: bytes):
+    """Grayscale float64 (H, W) matrix for the FIRST frame of a GIF87a/
+    GIF89a — REAL pixel decode, pure stdlib: global/local color table,
+    extension-block skip, GIF-LZW sub-block decode, Adam-style 4-pass
+    deinterlace when flagged, palette lookup → BT.601 luminance. None
+    for malformed/truncated streams."""
+    import numpy as np
+
+    if d[:6] not in (b"GIF87a", b"GIF89a") or len(d) < 13:
+        return None
+    flags = d[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = d[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+    while pos < len(d):
+        block = d[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(d) and d[pos] != 0:
+                pos += 1 + d[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(d):
+                return None
+            w, h = struct.unpack("<HH", d[pos + 5 : pos + 9])
+            iflags = d[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                ct = d[pos : pos + 3 * n]
+                if len(ct) < 3 * n:
+                    return None
+                pos += 3 * n
+            if ct is None or w == 0 or h == 0 or pos >= len(d):
+                return None
+            mcs = d[pos]
+            pos += 1
+            sub = bytearray()
+            while pos < len(d) and d[pos] != 0:
+                ln = d[pos]
+                sub += d[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(mcs, bytes(sub), max_out=w * h + 8)
+            if idx is None or len(idx) < w * h:
+                return None
+            pal = np.frombuffer(ct, dtype=np.uint8)
+            pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+            arr = np.frombuffer(idx[: w * h], dtype=np.uint8).reshape(h, w)
+            if arr.max(initial=0) >= len(pal):
+                return None
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.empty_like(arr)
+                de[order] = arr
+                arr = de
+            rgb = pal[arr].astype(np.float64)
+            return rgb @ np.array([0.299, 0.587, 0.114])
+        else:  # trailer (0x3B) or junk
+            return None
+    return None
+
+
+def _tiff_pixels(d: bytes):
+    """Grayscale float64 (H, W) matrix for an UNCOMPRESSED striped
+    8-bit TIFF (grayscale or RGB, either byte order) — REAL pixel
+    decode, pure stdlib IFD walk: ImageWidth/Length, BitsPerSample,
+    Compression=1, PhotometricInterpretation (0 inverts), StripOffsets/
+    ByteCounts, SamplesPerPixel, RowsPerStrip. None for compressed,
+    tiled, planar, or non-8-bit TIFFs (they need a codec or are out of
+    this tier's scope)."""
+    import numpy as np
+
+    if d[:4] not in (b"II*\x00", b"MM\x00*") or len(d) < 8:
+        return None
+    bo = "<" if d[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", d[4:8])
+    if ifd_off + 2 > len(d):
+        return None
+    (n_tags,) = struct.unpack(bo + "H", d[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for t in range(n_tags):
+        e = ifd_off + 2 + t * 12
+        if e + 12 > len(d):
+            return None
+        tag, typ = struct.unpack(bo + "HH", d[e : e + 4])
+        (count,) = struct.unpack(bo + "I", d[e + 4 : e + 8])
+        tags[tag] = (typ, count, d[e + 8 : e + 12])
+
+    _SZ = {1: 1, 3: 2, 4: 4}
+
+    def values(tag: int, default=None):
+        if tag not in tags:
+            return default
+        typ, count, inline = tags[tag]
+        if typ not in _SZ:
+            return None
+        total = _SZ[typ] * count
+        if total <= 4:
+            buf = inline[:total]
+        else:
+            (off,) = struct.unpack(bo + "I", inline)
+            buf = d[off : off + total]
+            if len(buf) < total:
+                return None
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(struct.unpack(bo + str(count) + fmt, buf))
+
+    w = (values(256) or [None])[0]
+    h = (values(257) or [None])[0]
+    compression = (values(259, [1]) or [1])[0]
+    photometric = (values(262, [1]) or [1])[0]
+    spp = (values(277, [1]) or [1])[0]
+    bits = values(258, [8]) or [8]
+    offsets = values(273)
+    counts = values(279)
+    rows_per_strip = (values(278, [h]) or [h])[0]
+    if (
+        not w
+        or not h
+        or compression != 1
+        or photometric not in (0, 1, 2)
+        or spp not in (1, 3)
+        or any(b != 8 for b in bits)
+        or not offsets
+        or not counts
+        or len(offsets) != len(counts)
+        or not rows_per_strip
+    ):
+        return None
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        chunk = d[off : off + cnt]
+        if len(chunk) < cnt:
+            return None
+        raw += chunk
+    need = w * h * spp
+    if len(raw) < need:
+        return None
+    px = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(h, w, spp)
+    samples = px.astype(np.float64)
+    if spp == 3:
+        return samples @ np.array([0.299, 0.587, 0.114])
+    gray = samples[:, :, 0]
+    if photometric == 0:  # white-is-zero
+        gray = 255.0 - gray
+    return gray
+
+
 def decode_pixels(data: bytes):
     """Grayscale float64 (H, W) pixel matrix for binary PPM (P6), PGM
-    (P5), uncompressed 24/32-bpp BMP, non-interlaced 8/16-bit PNG, or
-    baseline-Huffman JPEG (Y plane) bytes; None for anything else.
+    (P5), uncompressed 24/32-bpp BMP, non-interlaced 8/16-bit PNG,
+    baseline-Huffman JPEG (Y plane), GIF (first frame, LZW), or
+    uncompressed striped 8-bit TIFF bytes; None for anything else.
     """
     import numpy as np
 
@@ -1208,6 +1425,10 @@ def decode_pixels(data: bytes):
         return _png_pixels(d)
     if d[:2] == b"\xff\xd8":
         return _jpeg_pixels(d)
+    if d[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_pixels(d)
+    if d[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_pixels(d)
     if d[:2] in (b"P6", b"P5"):
         # header: magic, width, height, maxval — whitespace/comment
         # separated, then a single whitespace byte before raster
@@ -1357,10 +1578,82 @@ def image_perceptual_hashes(
 # -- real PCM decode + audio fingerprinting ------------------------------------
 
 
+def _g711_ulaw_to_linear(codes):
+    """Vectorized G.711 μ-law → 16-bit-range linear (the classic
+    ulaw2linear: complement, mantissa<<3 + 0x84 bias, segment shift)."""
+    import numpy as np
+
+    u = (~codes.astype(np.int64)) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.float64)
+
+
+def _g711_alaw_to_linear(codes):
+    """Vectorized G.711 A-law → 16-bit-range linear (alaw2linear:
+    XOR 0x55, segment expansion; sign bit SET means positive)."""
+    import numpy as np
+
+    a = codes.astype(np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.float64)
+
+
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_decode(raw: bytes, block_align: int):
+    """Mono IMA ADPCM (WAV fmt 0x11) → float64 samples in [-1, 1]:
+    per-block 4-byte header (predictor, step index) then 4-bit nibbles,
+    low nibble first. Sequential by construction (each sample feeds the
+    next predictor) — correctness tier, like the JPEG entropy loop."""
+    import numpy as np
+
+    if block_align < 5:
+        return None
+    out: list[float] = []
+    for b0 in range(0, len(raw) - block_align + 1, block_align):
+        block = raw[b0 : b0 + block_align]
+        pred = struct.unpack("<h", block[0:2])[0]
+        index = block[2]
+        if index > 88:
+            return None
+        out.append(pred / 32768.0)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEPS[index]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _IMA_INDEX_ADJUST[nib & 7]))
+                out.append(pred / 32768.0)
+    if not out:
+        return None
+    return np.array(out, dtype=np.float64)
+
+
 def decode_pcm(data: bytes):
-    """(sample_rate, mono float64 sample array) for uncompressed PCM
-    RIFF/WAVE bytes (format tag 1, 8/16-bit); None otherwise. Multi-
-    channel audio is averaged to mono. numpy only — no codec."""
+    """(sample_rate, mono float64 sample array) for RIFF/WAVE bytes in
+    linear PCM (format tag 1, 8/16-bit), G.711 A-law (6) / μ-law (7),
+    or mono IMA ADPCM (0x11); None otherwise. Multi-channel linear/
+    G.711 audio is averaged to mono. numpy + stdlib only — no codec."""
     import numpy as np
 
     d = data or b""
@@ -1368,26 +1661,42 @@ def decode_pcm(data: bytes):
         return None
     i = 12
     rate = channels = bits = fmt = None
+    block_align = 0
     raw = None
     while i + 8 <= len(d):
         cid = d[i : i + 4]
         size = struct.unpack("<I", d[i + 4 : i + 8])[0]
         if cid == b"fmt " and i + 24 <= len(d):
             fmt, channels, rate = struct.unpack("<HHI", d[i + 8 : i + 16])
+            block_align = struct.unpack("<H", d[i + 20 : i + 22])[0]
             bits = struct.unpack("<H", d[i + 22 : i + 24])[0]
         elif cid == b"data":
             raw = d[i + 8 : i + 8 + size]
         i += 8 + size + (size & 1)
-    if fmt != 1 or not rate or not channels or bits not in (8, 16) or raw is None:
+    if not rate or not channels or raw is None:
         return None
-    if bits == 16:
-        samples = np.frombuffer(
-            raw[: len(raw) & ~1], dtype="<i2"
-        ).astype(np.float64) / 32768.0
+    if fmt == 1 and bits in (8, 16):
+        if bits == 16:
+            samples = np.frombuffer(
+                raw[: len(raw) & ~1], dtype="<i2"
+            ).astype(np.float64) / 32768.0
+        else:
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+    elif fmt in (6, 7) and bits == 8:
+        codes = np.frombuffer(raw, dtype=np.uint8)
+        linear = (
+            _g711_ulaw_to_linear(codes) if fmt == 7 else _g711_alaw_to_linear(codes)
+        )
+        samples = linear / 32768.0
+    elif fmt == 0x11 and channels == 1 and bits == 4:
+        mono = _ima_adpcm_decode(raw, block_align)
+        if mono is None:
+            return None
+        return rate, mono
     else:
-        samples = (
-            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
-        ) / 128.0
+        return None
     frames = samples.size // channels
     if frames == 0:
         return None

@@ -767,6 +767,17 @@ def _jpeg_fixture() -> bytes:
 
 _JPEG_BLOB = _jpeg_fixture()
 
+# 16×8 two-color GIF89a (left half palette (20,20,20), right half
+# (230,230,230)) generated by the FORWARD LZW encoder in
+# tests/test_gif_tiff_real.py (make_gif) and frozen here;
+# test_content_decode_gif_literal_matches_generator pins the literal to
+# the generator so it stays regenerable and decoder-independent.
+# Luminance is exactly 20 / 230, so the 4×4 grid has closed forms.
+_GIF_BLOB = bytes.fromhex(
+    "47494638396110000800800000141414e6e6e62c000000001000080000021384"
+    "6fa1ab88ccdc814b261a2cc0d972fd795801003b"
+)
+
 
 def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTENT-level codec-free decode, driver-checked (the round-3
@@ -794,7 +805,11 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       block 64, right block 192, quant 1 → DC-only, EXACT decode) goes
       through the REAL pure-stdlib JPEG entropy decoder — grid columns
       must hit the closed forms for 64 and 192, certifying Huffman
-      decode, DC prediction, dequantize and IDCT end-to-end.
+      decode, DC prediction, dequantize and IDCT end-to-end;
+    - a forward-LZW-encoded two-color GIF (``_GIF_BLOB``: left half
+      luminance 20, right half 230, EXACT decode) goes through the
+      REAL pure-stdlib GIF-LZW decoder — grid columns must hit the
+      closed forms for 20 and 230.
 
     All four decoders run as Arrow ``mapInPandas`` stages — per-row,
     no shuffle; the result frames join on doc_id.
@@ -831,6 +846,7 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp4 = F.unhex(F.lit(_MP4_BLOB.hex()))
     png = F.unhex(F.lit(_PNG_BLOB.hex()))
     jpg = F.unhex(F.lit(_JPEG_BLOB.hex()))
+    gif = F.unhex(F.lit(_GIF_BLOB.hex()))
     media = docs.select(
         "doc_id",
         pgm.alias("pgm"),
@@ -838,6 +854,7 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp4.alias("mp4"),
         png.alias("png"),
         jpg.alias("jpg"),
+        gif.alias("gif"),
     )
 
     img = extract_image_features(
@@ -876,6 +893,18 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("feature", 4).cast("double") * 1e6 + F.lit(0.5)
         ).cast("long").alias("jpg_p03_e6"),
     )
+    gif_img = extract_image_features(
+        media, data_col="gif", id_col="doc_id", decode="real"
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").alias("gif_width"),
+        F.floor(
+            F.element_at("feature", 1).cast("double") * 1e6 + F.lit(0.5)
+        ).cast("long").alias("gif_p00_e6"),
+        F.floor(
+            F.element_at("feature", 4).cast("double") * 1e6 + F.lit(0.5)
+        ).cast("long").alias("gif_p03_e6"),
+    )
     aud = audio_fingerprints(media, id_col="doc_id", data_col="wav").select(
         F.col("media_id").alias("doc_id"),
         "sample_rate",
@@ -905,6 +934,7 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         img.join(png_img, "doc_id")
         .join(jpg_img, "doc_id")
+        .join(gif_img, "doc_id")
         .join(aud, "doc_id")
         .join(vid, "doc_id")
     )
@@ -926,6 +956,11 @@ SELECT doc_id,
             * 1000000 + 0.5) AS BIGINT) AS jpg_p00_e6,
        CAST(floor(CAST(CAST((192.0 / 255.0) * 2.0 - 1.0 AS FLOAT) AS DOUBLE)
             * 1000000 + 0.5) AS BIGINT) AS jpg_p03_e6,
+       16 AS gif_width,
+       CAST(floor(CAST(CAST((20.0 / 255.0) * 2.0 - 1.0 AS FLOAT) AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) AS gif_p00_e6,
+       CAST(floor(CAST(CAST((230.0 / 255.0) * 2.0 - 1.0 AS FLOAT) AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) AS gif_p03_e6,
        8000 AS sample_rate,
        CAST(128 AS BIGINT) AS n_samples,
        CAST(-4294967296 AS BIGINT) AS audio_fp,
