@@ -135,14 +135,61 @@ def read_archives(
     # Exactly-even input spread: hash/round-robin repartition of a small
     # path list clumps several archives into one task (measured 3-4× skew
     # on 16 paths). The path list is a driver-side Python list already,
-    # so slice it HERE: parallelize(n_tasks) hands each task one
-    # contiguous equal slice — no shuffle, no global Window sort at the
-    # head of the ingest DAG (the previous row_number-over-everything
-    # approach would funnel a 10M-path manifest through a single
-    # WindowExec partition before any work started).
-    rows = [(p, urls) for p in sorted(paths)]
+    # so pack it HERE — no shuffle, no global Window sort at the head of
+    # the ingest DAG (a previous row_number-over-everything approach
+    # would funnel a 10M-path manifest through a single WindowExec
+    # partition before any work started). When input SIZES are cheaply
+    # knowable (local files, bounded manifest), tasks are packed
+    # size-weighted (greedy LPT) instead of count-even: at 100 TB, a
+    # count-even split of heterogeneous archives makes the task that
+    # drew the biggest archives the job's straggler, while LPT bounds
+    # the makespan at ~4/3 of optimal. Falls back to contiguous
+    # count-even slices for URLs or very large manifests (stat cost).
+    bins = _pack_inputs(sorted(paths), n_tasks, urls=urls)
+    rdd = spark.sparkContext.parallelize(
+        [[(p, urls) for p in b] for b in bins], len(bins)
+    ).flatMap(lambda b: b)
     paths_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, n_tasks),
-        "input_path string, is_url boolean",
+        rdd, "input_path string, is_url boolean"
     )
     return paths_df.mapInArrow(_make_walk_partition(options), ENTRY_SCHEMA_DDL)
+
+
+# stat-ing a manifest beyond this on the driver costs more than the
+# skew it prevents; contiguous slicing takes over (sizes usually come
+# from the manifest itself at that scale — pass pre-binned paths then)
+_MAX_STAT_PATHS = 100_000
+
+
+def _pack_inputs(
+    paths: list[str], n_tasks: int, urls: bool = False
+) -> list[list[str]]:
+    """Deterministic task packing for the ingest fan-out: greedy LPT on
+    file size when sizes are obtainable (each path goes to the
+    currently-lightest bin, biggest first), else contiguous count-even
+    slices. Every bin is non-empty for n_tasks <= len(paths)."""
+    import heapq
+    import os
+
+    sizes: list[int] | None = None
+    if not urls and len(paths) <= _MAX_STAT_PATHS:
+        try:
+            sizes = [os.path.getsize(p) for p in paths]
+        except OSError:
+            sizes = None
+    if sizes is None:
+        k, m = divmod(len(paths), n_tasks)
+        out, i = [], 0
+        for t in range(n_tasks):
+            step = k + (1 if t < m else 0)
+            out.append(paths[i : i + step])
+            i += step
+        return out
+    bins: list[list[str]] = [[] for _ in range(n_tasks)]
+    heap = [(0, t) for t in range(n_tasks)]  # (load, bin) — ties by index
+    heapq.heapify(heap)
+    for sz, p in sorted(zip(sizes, paths), key=lambda x: (-x[0], x[1])):
+        load, t = heapq.heappop(heap)
+        bins[t].append(p)
+        heapq.heappush(heap, (load + max(sz, 1), t))
+    return [b for b in bins if b]

@@ -324,3 +324,59 @@ def test_zstd_subprocess_corrupt_input_raises(monkeypatch):
         assert reader.read(4096) == b""  # idempotent EOF after rc check
     finally:
         reader.close()
+
+
+def test_pack_inputs_size_weighted_lpt(tmp_path):
+    """Skewed archive sizes pack by LPT: the one giant input gets a bin
+    to itself and the small ones share, instead of a contiguous
+    count-even split that would put the giant plus neighbors together."""
+    from archive_to_parquet_spark.sources.archive_source import _pack_inputs
+
+    sizes = {"a.tar": 1000, "b.tar": 10, "c.tar": 10, "d.tar": 980}
+    for name, sz in sizes.items():
+        (tmp_path / name).write_bytes(b"x" * sz)
+    paths = sorted(str(tmp_path / n) for n in sizes)
+    bins = _pack_inputs(paths, 2)
+    loads = sorted(
+        sum(sizes[p.rsplit("/", 1)[1]] for p in b) for b in bins
+    )
+    # LPT: a→bin0, d→bin1, then both small files join d's bin → perfect
+    # 1000/1000 balance; contiguous count-even (a,b | c,d) gives 1010/990
+    assert loads == [1000, 1000]
+    # deterministic across calls
+    assert bins == _pack_inputs(paths, 2)
+    # URL mode / unstatable paths: contiguous count-even fallback
+    fallback = _pack_inputs(["u1", "u2", "u3"], 2, urls=True)
+    assert fallback == [["u1", "u2"], ["u3"]]
+    missing = _pack_inputs(["/nonexistent/x", "/nonexistent/y"], 2)
+    assert missing == [["/nonexistent/x"], ["/nonexistent/y"]]
+
+
+def test_read_archives_lpt_rows_identical(spark, tmp_path):
+    """The LPT packing changes task assignment only — the emitted row
+    set is identical to what the archives contain."""
+    import tarfile as _tf
+
+    from archive_to_parquet_spark.options import ConvertOptions
+    from archive_to_parquet_spark.plans.convert import entries_pipeline
+
+    names = []
+    for i, n_members in enumerate((1, 7, 2)):
+        p = tmp_path / f"in{i}.tar"
+        with _tf.open(p, "w") as tf:
+            for m in range(n_members):
+                data = f"payload {i} {m}".encode() * (i * 50 + 1)
+                info = _tf.TarInfo(f"f{m}.txt")
+                info.size = len(data)
+                import io as _io
+
+                tf.addfile(info, _io.BytesIO(data))
+        names.append(str(p))
+    df = entries_pipeline(spark, names, ConvertOptions())
+    rows = {(r.source.rsplit("/", 1)[1], r.path) for r in df.collect()}
+    assert rows == {
+        ("in0.tar", "f0.txt"),
+        *{("in1.tar", f"f{m}.txt") for m in range(7)},
+        ("in2.tar", "f0.txt"),
+        ("in2.tar", "f1.txt"),
+    }
