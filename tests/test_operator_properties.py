@@ -229,6 +229,58 @@ def test_driver_wrap_pins_confs_and_traces(spark, tmp_path, monkeypatch):
     assert not (tmp_path / "trace2").exists()
 
 
+def test_driver_conf_restore_and_trace_budget(spark, tmp_path, monkeypatch):
+    """r4 advice: (a) the prior values of pinned confs are snapshotted
+    and restorable (atexit hands the host its session state back);
+    (b) a result beyond the trace row budget records a skip marker
+    instead of pulling every row to the driver."""
+    import json
+
+    import __spark_entry__ as mod
+
+    monkeypatch.setattr(mod, "_TRACE_DIR", str(tmp_path / "trace"))
+    monkeypatch.delenv("SPARK_GRAFT_TRACE", raising=False)
+    # simulate a fresh pin on a host session with non-default values
+    monkeypatch.setattr(mod, "_PINNED_SESSION", [])
+    monkeypatch.setattr(mod, "_PRIOR_CONFS", {})
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        mod._pin_result_confs(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert mod._PRIOR_CONFS["spark.sql.session.timeZone"] == "Asia/Tokyo"
+        mod._restore_result_confs()
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # row-budget: a >budget result must be skipped, not collected
+    monkeypatch.setattr(mod, "_TRACE_ROW_BUDGET", 5)
+    df = spark.range(100).selectExpr("id", "id * 2 AS dbl")
+    mod._trace("budget_case", df)
+    payload = json.load(open(tmp_path / "trace" / "budget_case.json"))
+    assert "skipped" in payload and "rows" not in payload
+    assert payload["columns"] == ["dbl", "id"]
+
+
+def test_queries_prunes_stale_traces(tmp_path, monkeypatch):
+    """DRIVER_TRACE retention: the first queries() call of a process
+    clears old trace files (one round's traces on disk, ever)."""
+    import __spark_entry__ as mod
+
+    trace_dir = tmp_path / "old_traces"
+    trace_dir.mkdir()
+    (trace_dir / "stale_entry.json").write_text("{}")
+    monkeypatch.setattr(mod, "_TRACE_DIR", str(trace_dir))
+    monkeypatch.setattr(mod, "_TRACES_PRUNED", [])
+    monkeypatch.delenv("SPARK_GRAFT_TRACE", raising=False)
+    mod.queries()
+    assert not list(trace_dir.glob("*.json"))
+    # second call is a no-op (does not delete the current round's files)
+    (trace_dir / "fresh_entry.json").write_text("{}")
+    mod.queries()
+    assert (trace_dir / "fresh_entry.json").exists()
+
+
 def test_no_new_order_dependent_rounded_aggregates():
     """Lint: round(SUM/AVG(<double>)) is accumulation-order-dependent
     (results can change with partition count — see
