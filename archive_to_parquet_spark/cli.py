@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit a curated documents table (UTF-8 gate, "
                         "HTML→text, language ID) instead of raw entries — "
                         "the crawl-corpus path (plans/crawl.py)")
+    p.add_argument("--media", action="store_true",
+                   help="emit a media profile table (kind, dims/duration, "
+                        "perceptual hash, audio fingerprint) instead of raw "
+                        "entries — header parse + pure-stdlib content "
+                        "decode, null for undecodable bytes, never fails "
+                        "on one weird file (operators/multimodal.py)")
     p.add_argument("--output-format", default="parquet",
                    choices=["parquet", "jsonl"],
                    help="--documents output format: parquet dataset "
@@ -167,7 +173,35 @@ def main(argv: list[str] | None = None) -> int:
     if not args.no_progress and sys.stderr.isatty():
         progress_stop = _start_progress_reporter(spark)
     try:
-        if args.documents:
+        if args.media:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            from archive_to_parquet_spark.operators.multimodal import (
+                media_table_from_entries,
+                profile_media,
+            )
+            from archive_to_parquet_spark.plans.convert import (
+                ConversionCounters,
+                entries_pipeline,
+            )
+
+            entries = entries_pipeline(spark, paths, options, urls=args.urls)
+            obs = Observation("media")
+            profile = profile_media(media_table_from_entries(entries)).observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_bytes").alias("bytes"),
+            )
+            profile.write.mode("overwrite").parquet(args.output)
+            got = obs.get
+            if not got["rows"]:
+                print("error: no media rows produced", file=sys.stderr)
+                return 1
+            counters = ConversionCounters(
+                output_rows=got["rows"], output_bytes=got["bytes"] or 0
+            )
+        elif args.documents:
             from pyspark.sql import Observation
             from pyspark.sql import functions as F
 

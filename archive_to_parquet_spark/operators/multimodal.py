@@ -758,6 +758,9 @@ def media_table_from_entries(entries: DataFrame) -> DataFrame:
         .when(magic(5, b"ftyp"), "video")
         .when(magic(1, b"fLaC"), "audio")
         .when(magic(1, b"ID3"), "audio")
+        .when(magic(1, b"P5\n") | magic(1, b"P5 ") | magic(1, b"P6\n")
+              | magic(1, b"P6 "), "image")
+        .when(magic(1, b"II*\x00") | magic(1, b"MM\x00*"), "image")
         .otherwise("unknown")
     )
     return entries.select(
@@ -1761,3 +1764,88 @@ def audio_fingerprints(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, AUDIO_FP_DDL)
+
+
+MEDIA_PROFILE_DDL = (
+    "media_id long, kind string, path string, n_bytes long, "
+    "width int, height int, channels int, phash long, "
+    "sample_rate int, n_samples long, duration_s double, audio_fp long, "
+    "n_frames long"
+)
+
+
+def profile_media(df: DataFrame) -> DataFrame:
+    """Single-pass BULK media profile over a media table
+    (`media_table_from_entries` schema): per row, kind-routed header
+    metadata plus content fingerprints where the pure-stdlib decoders
+    reach — image dims/channels + perceptual hash, audio
+    rate/length/duration + energy fingerprint, video
+    duration/frames/dims. Every kernel degrades to null on undecodable
+    bytes (the CLI bulk path must NEVER die on one weird file — unlike
+    ``extract_*_features(decode="real")``, whose loud NotImplementedError
+    is the right contract for targeted extraction).
+
+    Scale shape: one Arrow-batched ``mapInPandas`` stage, no shuffle —
+    the whole profile of a 100 TB corpus is scan-cost plus the Python
+    kernels; rows stay where the walker emitted them.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "kind", "path", "n_bytes", "width", "height",
+                    "channels", "phash", "sample_rate", "n_samples",
+                    "duration_s", "audio_fp", "n_frames",
+                )
+            }
+            for mid, kind, data, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["data"], pdf["meta"]
+            ):
+                data = bytes(data) if data is not None else b""
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["path"].append((meta or {}).get("path"))
+                out["n_bytes"].append(len(data))
+                w = h = ch = ph = rate = None
+                n_samp = dur = fp = frames = None
+                if kind == "image":
+                    parsed = parse_image_header(data)
+                    if parsed:
+                        w, h, ch = parsed
+                    ph = perceptual_hash(data)
+                elif kind == "audio":
+                    parsed = (
+                        parse_wav_header(data)
+                        or parse_flac_header(data)
+                        or parse_mp3_header(data)
+                    )
+                    if parsed:
+                        rate, n_samp, dur = parsed
+                    fp = audio_fingerprint64(data)
+                elif kind == "video":
+                    info = parse_video_header(data)
+                    if info:
+                        dur = info.get("duration_s")
+                        frames = info.get("n_frames")
+                        w = info.get("width")
+                        h = info.get("height")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["phash"].append(ph)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(
+                    int(n_samp) if n_samp is not None else None
+                )
+                out["duration_s"].append(
+                    float(dur) if dur is not None else None
+                )
+                out["audio_fp"].append(fp)
+                out["n_frames"].append(
+                    int(frames) if frames is not None else None
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, MEDIA_PROFILE_DDL)

@@ -377,3 +377,77 @@ def test_png_random_roundtrip_property():
             else:
                 expected = pix[:, :, :3].astype(np.float64) @ lum
             np.testing.assert_allclose(gray, expected, err_msg=str((color, filters)))
+
+
+def test_profile_media_bulk_never_raises(spark):
+    """`profile_media` routes by kind and degrades to nulls on
+    undecodable bytes — the CLI bulk contract (one weird file must not
+    fail a 100 TB sweep)."""
+    from pyspark.sql import Row
+
+    from archive_to_parquet_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        profile_media,
+    )
+    from tests.test_phash import make_ppm, make_wav as make_pcm_wav
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:, 4:] = 200
+    rows = [
+        Row(media_id=1, kind="image", mime=None,
+            data=bytes(make_ppm(px)), meta={"path": "a/img.ppm"}),
+        Row(media_id=2, kind="image", mime=None,
+            data=b"\xff\xd8\xff\xe0 not really a jpeg", meta={"path": "b"}),
+        Row(media_id=3, kind="audio", mime=None,
+            data=bytes(
+                make_pcm_wav(np.array([0.0] * 64 + [0.5] * 64))
+            ),
+            meta={"path": "c/a.wav"}),
+        Row(media_id=4, kind="unknown", mime=None,
+            data=b"\x00\x01\x02", meta=None),
+    ]
+    got = {r.media_id: r for r in profile_media(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()}
+    assert got[1].width == 8 and got[1].height == 8 and got[1].channels == 3
+    assert got[1].phash is not None and got[1].path == "a/img.ppm"
+    assert got[2].phash is None  # truncated JPEG: quiet null, no raise
+    assert got[3].sample_rate == 8000 and got[3].n_samples == 128
+    assert got[3].audio_fp is not None
+    assert got[4].width is None and got[4].audio_fp is None
+    assert got[4].n_bytes == 3
+
+
+def test_cli_media_mode(tmp_path):
+    """CLI --media: archive of mixed media → profile parquet."""
+    import io as _io
+    import tarfile as _tf
+
+    import pyarrow.parquet as pq
+
+    from archive_to_parquet_spark.cli import main
+    from tests.test_phash import make_ppm, make_wav as make_pcm_wav
+
+    px = np.full((8, 8, 3), 65, dtype=np.uint8)
+    wav = bytes(make_pcm_wav(np.full(128, 0.03)))
+    src = tmp_path / "media.tar"
+    with _tf.open(src, "w") as tf:
+        for name, blob in (
+            ("img.ppm", bytes(make_ppm(px))),
+            ("snd.wav", wav),
+            ("note.txt", b"not media at all"),
+        ):
+            info = _tf.TarInfo(name)
+            info.size = len(blob)
+            tf.addfile(info, _io.BytesIO(blob))
+    out = str(tmp_path / "profile.parquet")
+    rc = main(["--media", "--no-progress", out, str(src)])
+    assert rc == 0
+    rows = {r["path"]: r for r in pq.read_table(out).to_pylist()}
+    img_row = rows["img.ppm"]
+    assert img_row["kind"] == "image"
+    assert img_row["width"] == 8 and img_row["phash"] is not None
+    wav_row = rows["snd.wav"]
+    assert wav_row["kind"] == "audio"
+    assert wav_row["sample_rate"] == 8000
+    assert rows["note.txt"]["kind"] == "unknown"

@@ -21,7 +21,28 @@ _name = st.text(
     max_size=24,
 ).filter(lambda s: s not in (".", "..") and not s.startswith("-"))
 
-_content = st.binary(min_size=1, max_size=4096)
+def _is_plain(b: bytes) -> bool:
+    """Member content must not sniff as a compression/container format:
+    the walker RECURSES into those by design (a member that happens to
+    start with the 2-byte gzip magic is treated as a truncated gzip
+    stream — hypothesis found exactly that with b"\x1f\x8b").
+    Recursion-on-magic has its own tests (nested roundtrip, truncation
+    fuzz); these roundtrip tests are about plain members."""
+    from archive_to_parquet_spark.functions.sniff import (
+        detect_compression,
+        detect_format,
+    )
+
+    return detect_compression(b) is None and detect_format(b) not in (
+        "tar",
+        "zip",
+        "warc",
+        "ar",
+        "cpio",
+    )
+
+
+_content = st.binary(min_size=1, max_size=4096).filter(_is_plain)
 _files = st.dictionaries(_name, _content, min_size=1, max_size=8)
 
 
