@@ -1846,6 +1846,23 @@ def profile_media(df: DataFrame) -> DataFrame:
                 out["n_frames"].append(
                     int(frames) if frames is not None else None
                 )
-            yield pd.DataFrame(out)
+            # nullable Int64 for every integer column: a plain list with
+            # None in it becomes float64, which corrupts 64-bit
+            # fingerprints above 2^53 (caught by the multimodal_profile
+            # oracle — the exact dtype class the round-4 audit chases)
+            frame = {
+                k: (
+                    pd.array(v, dtype="Int64")
+                    if k
+                    in (
+                        "media_id", "n_bytes", "width", "height", "channels",
+                        "phash", "sample_rate", "n_samples", "audio_fp",
+                        "n_frames",
+                    )
+                    else v
+                )
+                for k, v in out.items()
+            }
+            yield pd.DataFrame(frame)
 
     return df.mapInPandas(batches, MEDIA_PROFILE_DDL)

@@ -1591,6 +1591,110 @@ WHERE doc_id < 64
 
 
 # ---------------------------------------------------------------------------
+# Bulk media profile, driver-checked
+# ---------------------------------------------------------------------------
+
+_PROFILE_WAV_HEX = (
+    "52494646" "24010000" "57415645666D7420" "10000000" "0100" "0100"
+    "401F0000" "803E0000" "0200" "1000" "64617461" "00010000"
+    + "0000" * 64 + "0040" * 64
+)
+
+
+def multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``operators.multimodal.profile_media`` driver-checked — the CLI
+    ``--media`` bulk path: each doc explodes into three media rows (the
+    frozen two-tone GIF, the 64-silent/64-hot PCM WAV, and three
+    unclassifiable bytes) and the profile must produce the closed
+    forms: GIF 16×8×3 with ahash 0xF0F0F0F0F0F0F0F0 (signed), WAV
+    8000 Hz / 128 samples / 16 ms with energy fingerprint −2³², and
+    all-null metadata (but exact n_bytes) for the unknown row.
+
+    Scale shape: explode then ONE Arrow mapInPandas stage — no shuffle,
+    no join; the bulk profile of a corpus is scan cost plus the Python
+    kernels (every kernel degrades to null, never raises).
+    """
+    from archive_to_parquet_spark.operators.multimodal import profile_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 40
+    )
+    legs = F.array(
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.unhex(F.lit(_GIF_BLOB.hex())).alias("data"),
+            F.lit(0).alias("leg"),
+        ),
+        F.struct(
+            F.lit("audio").alias("kind"),
+            F.unhex(F.lit(_PROFILE_WAV_HEX)).alias("data"),
+            F.lit(1).alias("leg"),
+        ),
+        F.struct(
+            F.lit("unknown").alias("kind"),
+            F.unhex(F.lit("000102")).alias("data"),
+            F.lit(2).alias("leg"),
+        ),
+    )
+    media = docs.select(
+        "doc_id", F.explode(legs).alias("m")
+    ).select(
+        (F.col("doc_id") * 3 + F.col("m.leg")).alias("media_id"),
+        F.col("m.kind").alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.col("m.data").alias("data"),
+        F.create_map(
+            F.lit("path"), F.concat(F.lit("doc/"), F.col("m.kind"))
+        ).alias("meta"),
+    )
+    prof = profile_media(media)
+    return prof.select(
+        "media_id",
+        "kind",
+        "path",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        "phash",
+        "sample_rate",
+        "n_samples",
+        F.floor(F.col("duration_s") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("dur_ms"),
+        "audio_fp",
+    )
+
+
+MULTIMODAL_PROFILE_SQL = f"""
+SELECT d.doc_id * 3 + l.leg AS media_id,
+       l.kind,
+       'doc/' || l.kind AS path,
+       l.n_bytes,
+       l.width, l.height, l.channels, l.phash,
+       l.sample_rate, l.n_samples, l.dur_ms, l.audio_fp
+FROM documents d
+CROSS JOIN (
+  VALUES
+    (0, 'image', CAST({len(_GIF_BLOB)} AS BIGINT), 16, 8, 3,
+     CAST(-1085102592571150096 AS BIGINT),
+     NULL, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+     CAST(NULL AS BIGINT)),
+    (1, 'audio', CAST(300 AS BIGINT), NULL, NULL, NULL,
+     CAST(NULL AS BIGINT),
+     8000, CAST(128 AS BIGINT), CAST(16 AS BIGINT),
+     CAST(-4294967296 AS BIGINT)),
+    (2, 'unknown', CAST(3 AS BIGINT), NULL, NULL, NULL,
+     CAST(NULL AS BIGINT),
+     NULL, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+     CAST(NULL AS BIGINT))
+) AS l(leg, kind, n_bytes, width, height, channels, phash,
+       sample_rate, n_samples, dur_ms, audio_fp)
+WHERE d.doc_id < 40
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-order layout key, driver-checked
 # ---------------------------------------------------------------------------
 
@@ -2194,6 +2298,7 @@ CATALOG = {
     "eval_calibration_bins": (eval_calibration_bins, EVAL_CALIBRATION_SQL),
     "corpus_global_index": (corpus_global_index, CORPUS_GLOBAL_INDEX_SQL),
     "multimodal_phash_dedup": (multimodal_phash_dedup, MULTIMODAL_PHASH_SQL),
+    "multimodal_profile": (multimodal_profile, MULTIMODAL_PROFILE_SQL),
     "maintenance_zorder_stats": (
         maintenance_zorder_stats,
         MAINTENANCE_ZORDER_SQL,
