@@ -297,3 +297,18 @@ def test_content_decode_gif_literal_matches_generator():
     idx = np.zeros((8, 16), dtype=np.uint8)
     idx[:, 8:] = 1
     assert _GIF_BLOB == make_gif(idx, [(20, 20, 20), (230, 230, 230)])
+
+
+def test_gif_kwkwk_immediate_self_reference():
+    """The classic LZW edge: a run of identical pixels makes the
+    encoder emit a code EQUAL to the decoder's next table slot (the
+    kwkwk case) — the decoder must synthesize prev + prev[0]."""
+    pal = [(10, 10, 10), (240, 240, 240)]
+    idx = np.zeros((4, 16), dtype=np.uint8)  # long constant runs
+    gray = _gif_pixels(make_gif(idx, pal))
+    assert gray is not None
+    assert np.allclose(gray, 10.0, atol=1e-9)
+    idx2 = np.tile(np.array([[0, 0, 0, 0, 1, 1, 1, 1]], dtype=np.uint8), (4, 2))
+    gray2 = _gif_pixels(make_gif(idx2, pal))
+    expect = np.where(idx2 == 0, 10.0, 240.0)
+    assert np.allclose(gray2, expect, atol=1e-9)
