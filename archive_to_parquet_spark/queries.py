@@ -3469,6 +3469,71 @@ FROM h GROUP BY 1
 """
 
 
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: a character-trigram language
+    model with add-½ smoothing is fit on the corpus itself, and each
+    document is scored by its cross-entropy under the model (nats per
+    trigram; exp(H) is the perplexity CCNet thresholds on to split a
+    crawl into head/middle/tail quality buckets). Repetitive or
+    formulaic text scores low, alien/garbled text scores high.
+
+    Scale shape: trigram explode is pure column work (sequence +
+    substr — no Python); the model is ONE groupBy over grams with
+    map-side partials, and its size is bounded by charset³ (a fixed
+    artifact, like CCNet's own KenLM files) so scoring is a BROADCAST
+    join of per-doc gram histograms against the model — histograms, not
+    raw grams, cross the shuffle, exactly like text_char_entropy.
+    """
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("g").agg(F.count("*").alias("cg"))
+    totals = counts.agg(F.sum("cg").alias("t"), F.count("*").alias("v"))
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "g",
+        F.log(
+            (F.col("cg") + F.lit(0.5)) / (F.col("t") + 0.5 * F.col("v"))
+        ).alias("lp"),
+    )
+    hist = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (
+        hist.join(F.broadcast(model), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.round(
+                -F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 4
+            ).alias("h_nats"),
+        )
+    )
+
+
+TEXT_LM_PERPLEXITY_SQL = """
+WITH grams AS (
+  SELECT doc_id, substr(text, CAST(u AS INT), 3) AS g
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS u
+        FROM documents WHERE length(text) >= 3)
+),
+counts AS (SELECT g, COUNT(*) AS cg FROM grams GROUP BY g),
+tot AS (SELECT CAST(SUM(cg) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v
+        FROM counts),
+model AS (SELECT g, ln((cg + 0.5) / (t + 0.5 * v)) AS lp FROM counts, tot),
+hist AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       round(-SUM(c * lp) / SUM(c), 4) AS h_nats
+FROM hist JOIN model USING (g)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3557,6 +3622,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "mix_weights": (mix_weights, MIX_WEIGHTS_SQL),
     "rel_recursive_cte": (rel_recursive_cte, REL_RECURSIVE_SQL),
     "text_char_entropy": (text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
+    "text_lm_perplexity": (text_lm_perplexity, TEXT_LM_PERPLEXITY_SQL),
 }
 
 # TPC-H-pattern relational suite (classic plan shapes adapted to the

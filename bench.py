@@ -103,6 +103,8 @@ HEADLINE = [
     "corpus_global_index",
     "multimodal_phash_dedup",
     "maintenance_zorder_stats",
+    # round-5 additions
+    "text_lm_perplexity",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):

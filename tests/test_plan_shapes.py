@@ -439,3 +439,16 @@ def test_ingest_pipeline_is_single_stage(spark, tmp_path):
     # the dedup variant IS allowed its single hash-shuffle — but only one
     df_uniq = entries_pipeline(spark, [str(p)], ConvertOptions(unique=True))
     assert _plan(df_uniq).count("Exchange") <= 2  # partial+final pair max
+
+
+def test_lm_perplexity_broadcasts_model_and_scalar(spark):
+    """text_lm_perplexity: the trigram model (charset-bounded) and the
+    1-row totals must BROADCAST — per-doc histograms are the only
+    shuffled data, and no per-row Python appears anywhere."""
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["text_lm_perplexity"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "Python" not in plan
