@@ -3533,6 +3533,102 @@ FROM hist JOIN model USING (g)
 GROUP BY doc_id
 """
 
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    importance weights over hashed character-bigram features: a target
+    distribution (here the deterministic doc_id %% 5 == 0 slice standing
+    in for a curated domain) and the raw distribution are both modeled
+    as add-1-smoothed histograms over 256 hash buckets, and every
+    document's log importance weight is Σ c_b·(ln p_target(b) −
+    ln p_raw(b)) — resampling by these weights tilts a raw crawl toward
+    the target domain.
+
+    Scale shape: bucketing is pure column math (codepoint polynomial,
+    identical in both engines); both distributions are ONE map-side-
+    partial aggregation over ≤256 buckets (a broadcast-sized model, by
+    construction); only per-doc histograms cross the shuffle. Same
+    plan discipline as text_lm_perplexity.
+    """
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("g"),
+    )
+    bucketed = grams.select(
+        "doc_id",
+        (
+            (F.ascii(F.col("g").substr(1, 1)) * 31
+             + F.ascii(F.col("g").substr(2, 1))) % 256
+        ).alias("b"),
+    )
+    raw = bucketed.groupBy("b").agg(F.count("*").alias("rb"))
+    tgt = (
+        bucketed.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("b")
+        .agg(F.count("*").alias("tb"))
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .select("b", "rb", F.coalesce("tb", F.lit(0)).alias("tb"))
+    )
+    totals = model.agg(
+        F.sum("rb").alias("tr"), F.sum("tb").alias("tt")
+    )
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("tb") + 1.0) / (F.col("tt") + 256.0))
+            - F.log((F.col("rb") + 1.0) / (F.col("tr") + 256.0))
+        ).alias("lr"),
+    )
+    hist = bucketed.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (
+        hist.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("logw"),
+        )
+    )
+
+
+DSIR_IMPORTANCE_SQL = """
+WITH grams AS (
+  SELECT doc_id, substr(text, CAST(u AS INT), 2) AS g
+  FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS u
+        FROM documents WHERE length(text) >= 2)
+),
+bucketed AS (
+  SELECT doc_id,
+         (unicode(substr(g, 1, 1)) * 31 + unicode(substr(g, 2, 1))) % 256 AS b
+  FROM grams
+),
+raw AS (SELECT b, COUNT(*) AS rb FROM bucketed GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS tb FROM bucketed WHERE doc_id % 5 = 0 GROUP BY b),
+model AS (
+  SELECT raw.b, rb, COALESCE(tb, 0) AS tb
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+),
+tot AS (SELECT CAST(SUM(rb) AS DOUBLE) AS tr, CAST(SUM(tb) AS DOUBLE) AS tt
+        FROM model),
+lr AS (
+  SELECT b, ln((tb + 1.0) / (tt + 256.0)) - ln((rb + 1.0) / (tr + 256.0)) AS lr
+  FROM model, tot
+),
+hist AS (SELECT doc_id, b, COUNT(*) AS c FROM bucketed GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       round(SUM(c * lr), 4) AS logw
+FROM hist JOIN lr USING (b)
+GROUP BY doc_id
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # Registry
@@ -3623,6 +3719,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rel_recursive_cte": (rel_recursive_cte, REL_RECURSIVE_SQL),
     "text_char_entropy": (text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
     "text_lm_perplexity": (text_lm_perplexity, TEXT_LM_PERPLEXITY_SQL),
+    "dsir_importance_weights": (dsir_importance_weights, DSIR_IMPORTANCE_SQL),
 }
 
 # TPC-H-pattern relational suite (classic plan shapes adapted to the

@@ -105,6 +105,7 @@ HEADLINE = [
     "maintenance_zorder_stats",
     # round-5 additions
     "text_lm_perplexity",
+    "dsir_importance_weights",
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):

@@ -452,3 +452,15 @@ def test_lm_perplexity_broadcasts_model_and_scalar(spark):
         "BroadcastNestedLoopJoin"
     ) >= 2
     assert "Python" not in plan
+
+
+def test_dsir_broadcasts_bucket_model(spark):
+    """dsir_importance_weights: the 256-bucket model and the totals
+    scalar broadcast; only per-doc histograms shuffle; no Python."""
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["dsir_importance_weights"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "Python" not in plan
