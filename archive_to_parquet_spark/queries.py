@@ -3494,6 +3494,12 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # two aggregations straight off the gram stream: each shuffles only
+    # its map-side-partial output (gram totals; per-doc histograms).
+    # Measured AGAINST the alternatives at sf0.1: deriving the model
+    # from the histogram (with or without localCheckpoint) is 10-25%
+    # slower — the explode is whole-stage-codegen-cheap to recompute,
+    # while materializing or re-shuffling the histogram is not.
     counts = grams.groupBy("g").agg(F.count("*").alias("cg"))
     totals = counts.agg(F.sum("cg").alias("t"), F.count("*").alias("v"))
     model = counts.crossJoin(F.broadcast(totals)).select(
@@ -3566,6 +3572,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              + F.ascii(F.col("g").substr(2, 1))) % 256
         ).alias("b"),
     )
+    # distributions aggregate straight off the bucket stream (256-row
+    # outputs after map-side partials); see text_lm_perplexity for the
+    # measured rejection of the histogram-derived variants
     raw = bucketed.groupBy("b").agg(F.count("*").alias("rb"))
     tgt = (
         bucketed.filter(F.col("doc_id") % 5 == 0)
