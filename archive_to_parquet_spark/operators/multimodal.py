@@ -847,7 +847,7 @@ def _png_pixels(d: bytes):
         elif ftype == 1:  # Sub — sequential in x
             cur = line.copy()
             for x in range(bpp, stride):
-                cur[x] += cur[x - bpp]
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
         elif ftype == 3:  # Average
             cur = line.copy()
             for x in range(stride):
