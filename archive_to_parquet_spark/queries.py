@@ -3801,7 +3801,11 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "mixture_sample_epoch",
     "rel_scd2_intervals",
     "sample_fixed_per_lang",
-    # -- slots 21-28: reference-surface core (q1-q6 family)
+    # -- slots 21-23: new in round 5, also never driver-sampled
+    "text_lm_perplexity",
+    "dsir_importance_weights",
+    "multimodal_profile",
+    # -- slots 24-31: reference-surface core (q1-q6 family)
     "q1_projection_hash",
     "q2_include_text",
     "q2b_utf8_binary",
@@ -3810,29 +3814,28 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "q4b_distinct_hash_count",
     "q5_extract_strings",
     "q6_union_group",
-    # -- slots 29-33: ingest-path certification re-confirmation
+    # -- slots 32-36: ingest-path certification re-confirmation
     "source_nested_walk",
     "source_url_ingest",
     "source_incremental_convert",
     "crawl_warc_to_documents",
     "stream_archive_ingest",
-    # -- slots 34-36: round-3 hash-fails (HUGEINT oracle fix, 2nd green)
+    # -- slots 37-39: round-3 hash-fails (HUGEINT oracle fix, 2nd green)
     "vocab_coverage",
     "pack_sequences",
     "tpch_q12_priority_split",
-    # -- slots 37-42: exact-integer money refactor cohort
+    # -- slots 40-45: exact-integer money refactor cohort
     "tpch_q01_pricing_summary",
     "rel_pricing_summary",
     "stream_events_hourly",
     "tpch_q06_forecast_revenue",
     "tpch_q03_shipping_priority",
     "rel_revenue_by_nation",
-    # -- slots 43-50: highest-value pipeline operators, fresh rows
+    # -- slots 46-50: highest-value pipeline operators, fresh rows
+    # (simhash/jaccard/ann guards dropped for the three round-5
+    # entries above: their code is unchanged since their r2 green)
     "dedup_exact_docs",
     "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
     "cluster_kmeans",
     "text_quality",
     "multimodal_content_decode",
