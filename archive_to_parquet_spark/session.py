@@ -57,7 +57,12 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or cpus
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS exists so the oracle gate can be
+    # re-run at a hostile partition count (e.g. 7) as a dynamic proof
+    # of partition-order independence — results must not change.
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -1,0 +1,74 @@
+"""Dynamic partition-order-independence proof, pinned.
+
+The static lint (tests/test_operator_properties.py) bans the
+`round(SUM(double))` class; this test goes further and RUNS a cohort
+of the most partition-order-sensitive entries (money rollups, float
+aggregations, model-fit scores) at two different
+`spark.sql.shuffle.partitions` settings and asserts bit-identical
+results. At 100 TB the partition count is whatever AQE picks that
+day — results must not depend on it.
+
+The full-catalog version of this check is the oracle sweep rerun with
+SPARK_GRAFT_SHUFFLE_PARTITIONS=7 (see session.py); round 5 ran it at
+sf0.01: 172/172 green.
+"""
+
+import datetime
+import math
+
+SF_DIR = "/root/testdata/sf0.001"
+
+COHORT = [
+    "tpch_q01_pricing_summary",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_part_type_stats",
+    "vocab_coverage",
+    "text_lm_perplexity",
+    "dsir_importance_weights",
+    "lm_bigram_score",
+    "sketch_accuracy",
+]
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)  # exact — no rounding leniency here
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def _result_set(df) -> list[str]:
+    cols = sorted(range(len(df.columns)), key=lambda i: df.columns[i])
+    return sorted(
+        "\x1f".join(_norm(r[i]) for i in cols) for r in df.collect()
+    )
+
+
+def test_results_identical_across_partition_counts(spark):
+    from archive_to_parquet_spark import queries as q
+
+    catalog = q.queries()
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    diffs = {}
+    try:
+        for name in COHORT:
+            fn = catalog[name]
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
+            base = _result_set(fn(spark, SF_DIR))
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            alt = _result_set(fn(spark, SF_DIR))
+            if base != alt:
+                diffs[name] = (len(base), len(alt))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    assert not diffs, f"partition-count-dependent results: {diffs}"
