@@ -3837,7 +3837,7 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "dedup_exact_docs",
     "dedup_minhash",
     "cluster_kmeans",
-    "text_quality",
+    "stream_neardup_incremental",
     "multimodal_content_decode",
 )
 
@@ -4103,6 +4103,116 @@ WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
 
 
 _CATALOG.update({"dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL)})
+
+
+def stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous near-dup over a documents STREAM: the corpus arrives
+    as 4 slice files (doc_id % 4), one per micro-batch
+    (maxFilesPerTrigger=1); each batch probes the accumulated MinHash
+    band index for cross-batch collisions, self-joins for intra-batch
+    ones, and appends its own band rows (streaming/neardup.py — the
+    probe+append loop of dedup_incremental driven by Structured
+    Streaming foreachBatch). The emitted pair set is invariant to
+    batch boundaries (each colliding pair is found exactly once, by
+    the later arrival), so over the bounded stream it equals batch
+    all-pairs banding; after exact-Jaccard confirmation (≥ 0.5) the
+    oracle is the full exact pair set — same recall-by-construction
+    as dedup_minhash. The reference has no near-dup tier (its
+    `unique` is exact sha256, src/lib.rs:30); this is the streaming
+    extension of that dedup model."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from archive_to_parquet_spark.operators.dedup import (
+        _exact_jaccard_on_pairs,
+        shingles_col,
+    )
+    from archive_to_parquet_spark.streaming.neardup import neardup_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="stream_neardup_")
+    stage = os.path.join(root, "in")
+    os.makedirs(stage)
+    try:
+        for k in range(4):
+            tmp = os.path.join(root, f"slice{k}")
+            docs.filter(F.col("doc_id") % 4 == k).coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"{k:02d}.parquet")
+            shutil.copy(part, dst)
+            t = 1_700_000_000 + k * 10  # deterministic arrival order
+            os.utime(dst, (t, t))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = neardup_stream(
+            spark,
+            stream,
+            index_dir=os.path.join(root, "index"),
+            pairs_dir=os.path.join(root, "pairs"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cand = (
+            spark.read.parquet(os.path.join(root, "pairs"))
+            .dropDuplicates(["id_a", "id_b"])
+            .localCheckpoint(eager=True)  # staging dir is removed below
+        )
+        sh = docs.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(shingles_col("text", 3)).alias("sh"),
+        )
+        return _exact_jaccard_on_pairs(cand, sh, 0.5).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_NEARDUP_INCREMENTAL_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(words) - 2, 1))]) AS grams
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), sizes AS (
+  SELECT doc_id, len(grams) AS n FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.g = b.g
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+"""
+
+
+_CATALOG.update(
+    {
+        "stream_neardup_incremental": (
+            stream_neardup_incremental,
+            STREAM_NEARDUP_INCREMENTAL_SQL,
+        )
+    }
+)
 
 
 def rel_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:

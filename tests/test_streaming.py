@@ -305,3 +305,28 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == ev.count()  # nothing lost...
     assert out.select("event_id").distinct().count() == ev.count()  # ...no dupes
+
+
+def test_stream_neardup_equals_batch(spark):
+    """The streaming probe/append loop must emit exactly the batch-mode
+    all-pairs band-collision set (exact-confirmed): the pair union is
+    invariant to micro-batch boundaries."""
+    from archive_to_parquet_spark import queries as q
+    from archive_to_parquet_spark.operators.dedup import (
+        minhash_near_duplicates_confirmed,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in q.stream_neardup_incremental(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in minhash_near_duplicates_confirmed(
+            docs, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert streamed == batch
+    assert streamed, "corpus should contain at least one near-dup pair"
