@@ -22,6 +22,12 @@ equals the batch-mode all-pairs band-collision set, which is why the
 catalog entry carries a full SQL oracle (exact Jaccard, same
 recall-by-construction argument as dedup_minhash).
 
+Restart semantics: `foreachBatch` is at-least-once — a replayed batch
+appends its band rows and pairs AGAIN. Both are deterministic
+functions of the batch, so replays create exact duplicates, which the
+downstream `dropDuplicates` on (id_a, id_b) absorbs; duplicate index
+rows only duplicate future candidates, never change the pair set.
+
 No reference twin: the reference's dedup is exact-hash only
 (src/lib.rs:30 `unique`); this is the near-dup extension of its
 streaming ingest model.

@@ -106,6 +106,10 @@ HEADLINE = [
     # round-5 additions
     "text_lm_perplexity",
     "dsir_importance_weights",
+    # (stream_neardup_incremental is deliberately NOT here: like the
+    # other stream_* entries its wall time is streaming machinery —
+    # micro-batch scheduling, checkpoint I/O — not operator throughput,
+    # and best-of-5 would rerun the full stream five times for noise.)
 ]
 
 # The exact 15-query battery BENCH_r01 measured (12.354s at sf0.1):
