@@ -2514,6 +2514,73 @@ FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
 """
 
 
+_LSPLIT_THRESH_U32 = 3435973836  # floor(0.8 · 2^32): 80/20 split
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/heldout split: near-duplicate clusters
+    (MinHash LSH candidates, exact-Jaccard confirmed, connected
+    components — the ``dedup_near_clusters`` machinery) are assigned
+    to a split AS A UNIT by hashing the component id, so a document
+    and its near-duplicates can never straddle the train/heldout
+    boundary — the eval-contamination path that per-document random
+    splits leave open even after deduplication (the heldout copy of a
+    kept train document is still a leak). Split membership is
+    md5('lsplit' || component) truncated to 32 bits vs a literal 80%
+    threshold: deterministic, engine-independent, and stable under
+    corpus repartitioning (same property as ``sample_split``, lifted
+    from document grain to cluster grain).
+
+    Returns (doc_id, component, split) for every document.
+
+    Scale: adds only per-row column expressions on top of the cluster
+    labeling (LSH band join + O(diameter) label propagation — see
+    ``near_duplicate_clusters``); the split step itself is
+    shuffle-free.
+    """
+    from archive_to_parquet_spark.operators.dedup import (
+        near_duplicate_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = near_duplicate_clusters(
+        docs, "doc_id", "text", jaccard_threshold=0.5,
+        confirm_exact=True, num_hashes=32, bands=8,
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("lsplit"), F.col("component").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return labeled.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.when(u32 < _LSPLIT_THRESH_U32, F.lit("train"))
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )
+
+
+# The cluster labeling is DEDUP_CLUSTERS_SQL verbatim (nested CTE);
+# the split is a pure expression over the component id.
+SPLIT_LEAKAGE_SQL = f"""
+WITH base AS ({DEDUP_CLUSTERS_SQL})
+SELECT doc_id, component,
+       CASE WHEN ('0x' || substr(md5('lsplit' || CAST(component AS VARCHAR)),
+                                 1, 8))::BIGINT < {_LSPLIT_THRESH_U32}
+            THEN 'train' ELSE 'heldout' END AS split
+FROM base
+"""
+
+
 def rel_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL/posexplode coverage: word with its position per document
     (first 5 positions of even-id docs, to keep the result bounded);
@@ -3695,6 +3762,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMBEDDING_LSH_SQL),
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "dedup_near_clusters": (dedup_near_clusters, DEDUP_CLUSTERS_SQL),
+    "split_leakage_safe": (split_leakage_safe, SPLIT_LEAKAGE_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
@@ -3831,12 +3899,14 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "tpch_q06_forecast_revenue",
     "tpch_q03_shipping_priority",
     "rel_revenue_by_nation",
-    # -- slots 46-50: highest-value pipeline operators, fresh rows
-    # (simhash/jaccard/ann guards dropped for the three round-5
-    # entries above: their code is unchanged since their r2 green)
-    "dedup_exact_docs",
+    # -- slots 46-51: round-5 additions (never sampled) + near-dup
+    # guard (dedup_exact/cluster_kmeans/multimodal_content guards
+    # dropped — all were driver-green in r4 or r2 with unchanged code;
+    # the new entries have never had a driver row)
+    "sketch_kmv_overlap",
+    "sketch_hdr_quantiles",
+    "split_leakage_safe",
     "dedup_minhash",
-    "cluster_kmeans",
     "stream_neardup_incremental",
     "multimodal_content_decode",
 )

@@ -2277,6 +2277,307 @@ def _nested_walk_oracle_sql() -> str:
 SOURCE_NESTED_WALK_SQL = _nested_walk_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) overlap sketch: snapshot Jaccard without a full join
+# ---------------------------------------------------------------------------
+
+_KMV_K = 128
+# Certificate bound: 3σ with σ ≈ ½/√k for the KMV Jaccard estimator
+# (Beyer et al., SIGMOD 2007 give Var ≤ J(1-J)/k ≤ 1/(4k)); for k=128
+# that is 3/(2·√128) ≈ 0.132583 → 132583 ppm.
+_KMV_BOUND_PPM = 132583
+
+
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimate between two document snapshots via KMV
+    (k-minimum-values / bottom-k) sketches, certified against the exact
+    Jaccard. Snapshot A = docs with ``doc_id % 5 != 4``, snapshot B =
+    ``doc_id % 5 != 0`` (a deterministic 60% content overlap — the
+    "how much of last month's crawl is in this month's" question).
+    Values are 60-bit md5 hashes of the text, so both engines draw the
+    identical "random" permutation. Estimator: among the bottom-k of
+    A∪B, the fraction also present in BOTH per-side bottom-k sketches
+    (any union-sketch member belonging to a side is necessarily in
+    that side's bottom-k, so sketch membership is exact). All derived
+    ratios in integer ppm (``div``) — no float anywhere.
+
+    Returns one row: (k_eff, n_a, n_b, n_union, n_both,
+    jaccard_est_ppm, jaccard_exact_ppm, abs_err_ppm, within_bound).
+
+    Scale: the sketch path is ``ORDER BY hv LIMIT k`` per side —
+    Spark plans TakeOrderedAndProject: per-partition bottom-k partials
+    merged at the driver, which IS the KMV merge (k-sized state per
+    partition, no global sort). Each k-row sketch is then
+    ``localCheckpoint``-materialized (k rows — materializing the
+    sketch is the point of a sketch) so the union/membership algebra
+    runs over broadcast k-row tables instead of re-deriving the
+    corpus scan per consumer. The map-side-combined ``groupBy(hv)``
+    dedup feeding each sketch and the exact n_a/n_b/n_both
+    certificate are the only full-width shuffles — at 100 TB you keep
+    the sketch path and drop the certificate; it exists here to prove
+    the estimator's error bound on the same data.
+    """
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hv = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    sides = docs.select(
+        hv.alias("hv"),
+        (F.col("doc_id") % 5 != 4).cast("int").alias("in_a"),
+        (F.col("doc_id") % 5 != 0).cast("int").alias("in_b"),
+    )
+    # distinct VALUES with side membership (KMV is over sets)
+    sets = sides.groupBy("hv").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    ak = (
+        sets.filter(F.col("in_a") == 1)
+        .orderBy("hv")
+        .limit(_KMV_K)
+        .select("hv")
+        .localCheckpoint(eager=False)
+    )
+    bk = (
+        sets.filter(F.col("in_b") == 1)
+        .orderBy("hv")
+        .limit(_KMV_K)
+        .select("hv")
+        .localCheckpoint(eager=False)
+    )
+    uk = ak.union(bk).distinct().orderBy("hv").limit(_KMV_K)
+    sketch = (
+        uk.join(F.broadcast(ak.withColumn("a1", F.lit(1))), "hv", "left")
+        .join(F.broadcast(bk.withColumn("b1", F.lit(1))), "hv", "left")
+        .agg(
+            F.count("*").alias("k_eff"),
+            F.sum(
+                ((F.col("a1") == 1) & (F.col("b1") == 1)).cast("long")
+            ).alias("c_both"),
+        )
+    )
+    exact = sets.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.count("*").alias("n_union"),
+    )
+    return (
+        sketch.crossJoin(exact)
+        .withColumn("jaccard_est_ppm", F.expr("c_both * 1000000 div k_eff"))
+        .withColumn(
+            "jaccard_exact_ppm", F.expr("n_both * 1000000 div n_union")
+        )
+        .withColumn(
+            "abs_err_ppm",
+            F.abs(F.col("jaccard_est_ppm") - F.col("jaccard_exact_ppm")),
+        )
+        .select(
+            "k_eff",
+            "n_a",
+            "n_b",
+            "n_union",
+            "n_both",
+            "jaccard_est_ppm",
+            "jaccard_exact_ppm",
+            "abs_err_ppm",
+            (F.col("abs_err_ppm") <= _KMV_BOUND_PPM)
+            .cast("int")
+            .alias("within_bound"),
+        )
+    )
+
+
+SKETCH_KMV_SQL = f"""
+WITH sides AS (
+  SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv,
+         CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS in_b
+  FROM documents WHERE text IS NOT NULL
+), sets AS (
+  SELECT hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM sides GROUP BY hv
+), ak AS (SELECT hv FROM sets WHERE in_a = 1 ORDER BY hv LIMIT {_KMV_K}),
+bk AS (SELECT hv FROM sets WHERE in_b = 1 ORDER BY hv LIMIT {_KMV_K}),
+uk AS (
+  SELECT DISTINCT hv
+  FROM (SELECT hv FROM ak UNION ALL SELECT hv FROM bk)
+  ORDER BY hv LIMIT {_KMV_K}
+), cb AS (
+  SELECT COUNT(*) AS c_both FROM uk JOIN ak USING (hv) JOIN bk USING (hv)
+), ke AS (SELECT COUNT(*) AS k_eff FROM uk),
+ex AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+         CAST(SUM(in_b) AS BIGINT) AS n_b,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+         COUNT(*) AS n_union
+  FROM sets
+)
+SELECT k_eff, n_a, n_b, n_union, n_both,
+       c_both * 1000000 // k_eff AS jaccard_est_ppm,
+       n_both * 1000000 // n_union AS jaccard_exact_ppm,
+       abs(c_both * 1000000 // k_eff - n_both * 1000000 // n_union)
+         AS abs_err_ppm,
+       CAST(CASE WHEN abs(c_both * 1000000 // k_eff
+                          - n_both * 1000000 // n_union)
+                      <= {_KMV_BOUND_PPM} THEN 1 ELSE 0 END AS INT)
+         AS within_bound
+FROM cb, ke, ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch: integer log buckets, bracket certificate
+# ---------------------------------------------------------------------------
+
+_HDR_M = 5  # mantissa sub-bits → relative bucket width ≤ 2^-5 = 3.125%
+_HDR_QS = (500000, 900000, 990000)  # p50 / p90 / p99 in ppm
+
+
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation via HDR-histogram-style integer
+    log bucketing (exponent + top ``_HDR_M`` mantissa bits of the
+    exact order-price cents) — the fixed-size, merge-by-addition
+    alternative to exact sorting for p50/p90/p99 at 100 TB.  Bucketing
+    is PURE INTEGER (bit-length + shifts), so every engine bins every
+    value identically — no log()/float boundary drift, unlike
+    DDSketch's γ-log buckets.  Instead of comparing against an exact
+    quantile (which would need a global sort), the entry emits a
+    BRACKET CERTIFICATE per quantile: the true rank-``target`` value
+    provably lies in [est_lo, est_hi] iff ``count(cents < est_lo) <
+    target <= count(cents <= est_hi)`` — two counting aggregates.
+    Relative bucket width is ≤ 2^-M by construction.
+
+    Returns one row per quantile: (q_ppm, n, target_rank, est_lo,
+    est_hi, n_lt_lo, n_le_hi, bracket_ok).
+
+    Scale: one scan → groupBy over at most ``64·2^M`` buckets
+    (map-side combinable, k-sized shuffle), materialized once
+    (``localCheckpoint`` of ≤2k rows — the sketch itself); total
+    count, cumulative ranks, and quantile picks all derive from that
+    bucket table, never from a re-scan.  The certificate re-scans
+    once against the 3-row broadcast estimate.  Sketches from
+    different partitions/days merge by adding bucket counts.
+    """
+    from archive_to_parquet_spark.functions.exactnum import cents_col
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(cents_col("o_totalprice").alias("cents")).filter(
+        F.col("cents") > 0
+    )
+    b = base.select(
+        "cents",
+        F.greatest(
+            F.length(F.bin("cents")) - F.lit(1 + _HDR_M), F.lit(0)
+        ).alias("s"),
+    )
+    buckets = (
+        b.select("s", F.expr("shiftright(cents, s)").alias("sub"))
+        .groupBy("s", "sub")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    ranges = buckets.select(
+        "cnt",
+        F.expr("shiftleft(sub, s)").alias("lo"),
+        (F.expr("shiftleft(sub + 1, s)") - 1).alias("hi"),
+    )
+    from pyspark.sql import Window
+
+    cum_w = Window.orderBy("lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = ranges.withColumn("cum", F.sum("cnt").over(cum_w))
+    qdf = spark.createDataFrame([(q,) for q in _HDR_QS], "q_ppm long")
+    targets = (
+        # total count comes from the bucket table — the raw data is
+        # scanned once for the sketch and once for the certificate
+        qdf.crossJoin(
+            ranges.agg(F.sum("cnt").cast("long").alias("n"))
+        )
+        .withColumn(
+            "target_rank", F.expr("(q_ppm * n + 999999) div 1000000")
+        )
+    )
+    # smallest bucket whose cumulative count reaches the target rank;
+    # buckets are disjoint ordered ranges, so min(lo) and min(hi) both
+    # come from that same bucket
+    est = (
+        targets.join(cum, F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_ppm", "n", "target_rank")
+        .agg(F.min("lo").alias("est_lo"), F.min("hi").alias("est_hi"))
+    )
+    cert = (
+        base.crossJoin(F.broadcast(est))
+        .groupBy("q_ppm", "n", "target_rank", "est_lo", "est_hi")
+        .agg(
+            F.sum((F.col("cents") < F.col("est_lo")).cast("long")).alias(
+                "n_lt_lo"
+            ),
+            F.sum((F.col("cents") <= F.col("est_hi")).cast("long")).alias(
+                "n_le_hi"
+            ),
+        )
+    )
+    return cert.select(
+        "q_ppm",
+        "n",
+        "target_rank",
+        "est_lo",
+        "est_hi",
+        "n_lt_lo",
+        "n_le_hi",
+        (
+            (F.col("n_le_hi") >= F.col("target_rank"))
+            & (F.col("n_lt_lo") < F.col("target_rank"))
+        )
+        .cast("int")
+        .alias("bracket_ok"),
+    )
+
+
+SKETCH_HDR_SQL = f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+), s1 AS (
+  SELECT cents,
+         greatest(length(bin(cents)) - {1 + _HDR_M}, 0) AS s
+  FROM base
+), buckets AS (
+  SELECT s, cents >> s AS sub, COUNT(*) AS cnt FROM s1 GROUP BY 1, 2
+), ranges AS (
+  SELECT cnt, (sub << s) AS lo, ((sub + 1) << s) - 1 AS hi FROM buckets
+), cum AS (
+  SELECT *, SUM(cnt) OVER (ORDER BY lo ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+  FROM ranges
+), q AS (
+  SELECT CAST(v AS BIGINT) AS q_ppm
+  FROM (VALUES {", ".join(f"({q})" for q in _HDR_QS)}) t(v)
+), n1 AS (SELECT COUNT(*) AS n FROM base),
+t AS (
+  SELECT q_ppm, n, (q_ppm * n + 999999) // 1000000 AS target_rank
+  FROM q, n1
+), est AS (
+  SELECT t.q_ppm, t.n, t.target_rank,
+         MIN(c.lo) AS est_lo, MIN(c.hi) AS est_hi
+  FROM t JOIN cum c ON c.cum >= t.target_rank
+  GROUP BY 1, 2, 3
+), cert AS (
+  SELECT e.q_ppm, e.n, e.target_rank, e.est_lo, e.est_hi,
+         CAST(SUM(CASE WHEN b.cents < e.est_lo THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_lt_lo,
+         CAST(SUM(CASE WHEN b.cents <= e.est_hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_le_hi
+  FROM base b CROSS JOIN est e
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT q_ppm, n, target_rank, est_lo, est_hi, n_lt_lo, n_le_hi,
+       CAST(CASE WHEN n_le_hi >= target_rank AND n_lt_lo < target_rank
+                 THEN 1 ELSE 0 END AS INT) AS bracket_ok
+FROM cert
+"""
+
+
 CATALOG = {
     "embedding_jl_projection": (embedding_jl_projection, EMBEDDING_JL_SQL),
     "dedup_bloom_probe": (dedup_bloom_probe, DEDUP_BLOOM_SQL),
@@ -2316,4 +2617,6 @@ CATALOG = {
         SOURCE_INCREMENTAL_SQL,
     ),
     "source_nested_walk": (source_nested_walk, SOURCE_NESTED_WALK_SQL),
+    "sketch_kmv_overlap": (sketch_kmv_overlap, SKETCH_KMV_SQL),
+    "sketch_hdr_quantiles": (sketch_hdr_quantiles, SKETCH_HDR_SQL),
 }

@@ -28,6 +28,11 @@ COHORT = [
     "dsir_importance_weights",
     "lm_bigram_score",
     "sketch_accuracy",
+    # round-5 sketches: TakeOrdered bottom-k and integer log-bucket
+    # histograms must be invariant to how the scan is partitioned
+    "sketch_kmv_overlap",
+    "sketch_hdr_quantiles",
+    "split_leakage_safe",
 ]
 
 
