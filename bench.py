@@ -106,6 +106,9 @@ HEADLINE = [
     # round-5 additions
     "text_lm_perplexity",
     "dsir_importance_weights",
+    "sketch_kmv_overlap",
+    "sketch_hdr_quantiles",
+    "split_leakage_safe",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,
