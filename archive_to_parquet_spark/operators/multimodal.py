@@ -1578,6 +1578,81 @@ def image_perceptual_hashes(
     return cols.mapInPandas(batches, schema=PHASH_DDL)
 
 
+RESIZE_DDL = "media_id long, in_w int, in_h int, out_w int, out_h int, pixels binary"
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Box-filter resize of decodable images (the `resize` stage of a
+    multimodal training pipeline — thumbnail/patch normalization before
+    feature extraction). Decodes the grayscale plane (PPM/PGM/BMP/PNG/
+    baseline-JPEG/GIF/TIFF — every format ``decode_pixels`` covers),
+    box-averages to exactly ``out_h × out_w`` (area-weighted integer
+    pixel boundaries ``floor(i·dim/out)``, the same kernel the
+    perceptual hashes use), quantizes ``floor(x + 0.5)`` clamped to
+    [0, 255], and emits the resized plane as row-major bytes — a valid
+    payload for a downstream encoder or model input. Codec-requiring
+    formats yield null pixels (and null dims), same degradation
+    contract as ``image_perceptual_hashes``.
+
+    Scale: Arrow-batched ``mapInPandas``, rows processed within their
+    input partition — no shuffle; output rows are a bounded
+    ``out_w·out_h`` bytes regardless of input size, so the stage
+    SHRINKS data (upstream should size-repartition for decode-cost
+    balance, as with the other media kernels).
+    """
+    import numpy as np
+
+    cols = media.select(
+        F.col(id_col).alias("media_id"), F.col(data_col).alias("data")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": pdf["media_id"].values,
+                "in_w": [],
+                "in_h": [],
+                "out_w": [],
+                "out_h": [],
+                "pixels": [],
+            }
+            for data in pdf["data"]:
+                data = bytes(data) if data is not None else b""
+                gray = decode_pixels(data)
+                if gray is None:
+                    out["in_w"].append(None)
+                    out["in_h"].append(None)
+                    out["out_w"].append(None)
+                    out["out_h"].append(None)
+                    out["pixels"].append(None)
+                    continue
+                g = _grid_mean(gray, out_h, out_w)
+                q = np.clip(np.floor(g + 0.5), 0, 255).astype(np.uint8)
+                out["in_w"].append(gray.shape[1])
+                out["in_h"].append(gray.shape[0])
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["pixels"].append(q.tobytes())
+            yield pd.DataFrame(
+                {
+                    k: (
+                        pd.array(v, dtype="Int32")
+                        if k in ("in_w", "in_h", "out_w", "out_h")
+                        else v
+                    )
+                    for k, v in out.items()
+                }
+            )
+
+    return cols.mapInPandas(batches, schema=RESIZE_DDL)
+
+
 # -- real PCM decode + audio fingerprinting ------------------------------------
 
 

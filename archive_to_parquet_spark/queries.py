@@ -3902,13 +3902,14 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     # -- slots 46-51: round-5 additions (never sampled) + near-dup
     # guard (dedup_exact/cluster_kmeans/multimodal_content guards
     # dropped — all were driver-green in r4 or r2 with unchanged code;
-    # the new entries have never had a driver row)
+    # the new entries have never had a driver row; dedup_minhash at 51
+    # is best-effort if the window stretches)
     "sketch_kmv_overlap",
     "sketch_hdr_quantiles",
     "split_leakage_safe",
-    "dedup_minhash",
+    "multimodal_resize",
     "stream_neardup_incremental",
-    "multimodal_content_decode",
+    "dedup_minhash",
 )
 
 

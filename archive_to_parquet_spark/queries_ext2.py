@@ -2278,6 +2278,91 @@ SOURCE_NESTED_WALK_SQL = _nested_walk_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# Multimodal resize: box-filter thumbnailing with closed-form oracles
+# ---------------------------------------------------------------------------
+
+_STEP8_BODY_HEX = (("00" * 4) + ("c8" * 4)) * 8  # 8×8: left half 0, right 200
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL box-filter image resize (`operators.multimodal.
+    resize_images`), driver-checked with closed-form constructions:
+
+    - a constant-gray 8×8 PGM (value doc_id % 251) resized DOWN to 4×4
+      must stay that constant in every output byte;
+    - a step 8×8 PGM (left half 0, right half 200) resized to 3×3
+      exercises non-divisible area-weighted boxes: column boundaries
+      [0,2)/[2,5)/[5,8) give exact means 0, 200/3 → 67, 200 — each
+      output row is bytes 00 43 c8;
+    - the constant 2×2 PGM resized UP to 4×4 exercises the
+      nearest-neighbor upsample leg and must also stay constant.
+
+    Pixels are certified byte-for-byte via their hex image. One Arrow
+    ``mapInPandas`` stage per fixture, no shuffle (see resize_images).
+    """
+    from archive_to_parquet_spark.operators.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 50
+    )
+    v_hex = F.lpad(F.lower(F.hex((F.col("doc_id") % 251).cast("int"))), 2, "0")
+    const8 = F.concat(
+        F.unhex(F.lit("503520382038203235350a")),  # "P5 8 8 255\n"
+        F.unhex(F.repeat(v_hex, 64)),
+    )
+    step8 = F.unhex(F.lit("503520382038203235350a" + _STEP8_BODY_HEX))
+    const2 = F.concat(
+        F.unhex(F.lit("503520322032203235350a")),  # "P5 2 2 255\n"
+        F.unhex(F.repeat(v_hex, 4)),
+    )
+    media = docs.select(
+        "doc_id",
+        const8.alias("const8"),
+        step8.alias("step8"),
+        const2.alias("const2"),
+    )
+
+    def leg(data_col: str, fixture: str, w: int, h: int) -> DataFrame:
+        return resize_images(
+            media, out_w=w, out_h=h, id_col="doc_id", data_col=data_col
+        ).select(
+            F.col("media_id").alias("doc_id"),
+            F.lit(fixture).alias("fixture"),
+            "in_w",
+            "in_h",
+            "out_w",
+            "out_h",
+            F.lower(F.hex("pixels")).alias("pix_hex"),
+        )
+
+    return (
+        leg("const8", "const8_4x4", 4, 4)
+        .unionByName(leg("step8", "step8_3x3", 3, 3))
+        .unionByName(leg("const2", "const2_4x4", 4, 4))
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50)
+SELECT doc_id, 'const8_4x4' AS fixture,
+       CAST(8 AS INT) AS in_w, CAST(8 AS INT) AS in_h,
+       CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+       repeat(lpad(lower(hex(doc_id % 251)), 2, '0'), 16) AS pix_hex
+FROM ids
+UNION ALL
+SELECT doc_id, 'step8_3x3',
+       CAST(8 AS INT), CAST(8 AS INT), CAST(3 AS INT), CAST(3 AS INT),
+       '0043c80043c80043c8'
+FROM ids
+UNION ALL
+SELECT doc_id, 'const2_4x4',
+       CAST(2 AS INT), CAST(2 AS INT), CAST(4 AS INT), CAST(4 AS INT),
+       repeat(lpad(lower(hex(doc_id % 251)), 2, '0'), 16)
+FROM ids
+"""
+
+
+# ---------------------------------------------------------------------------
 # KMV (bottom-k) overlap sketch: snapshot Jaccard without a full join
 # ---------------------------------------------------------------------------
 
@@ -2619,4 +2704,5 @@ CATALOG = {
     "source_nested_walk": (source_nested_walk, SOURCE_NESTED_WALK_SQL),
     "sketch_kmv_overlap": (sketch_kmv_overlap, SKETCH_KMV_SQL),
     "sketch_hdr_quantiles": (sketch_hdr_quantiles, SKETCH_HDR_SQL),
+    "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
 }
