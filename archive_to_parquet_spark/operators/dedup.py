@@ -995,6 +995,133 @@ def crossdoc_span_stats(
     )
 
 
+def remove_duplicated_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 8,
+) -> DataFrame:
+    """UNALIGNED exact-substring dedup (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): a word
+    window of length ``window_words`` starting at ANY position that
+    also occurs anywhere else in the corpus (any doc, any offset —
+    including elsewhere in the same doc) is duplicated; every
+    occurrence except the globally first (min (doc_id, position))
+    has its covered word range marked, overlapping/adjacent marks are
+    merged into maximal spans, and each document is reassembled from
+    the words outside its spans. This is the per-position counterpart
+    of ``dedup_chunk_spans`` (which only sees chunk-ALIGNED repeats):
+    a copied passage is caught at every offset, so the merged span
+    covers the full repeated region, approximating the suffix-array
+    maximal-match spans of the paper with corpus-linear Spark ops.
+
+    Returns (id_col, n_words, removed_words, n_spans, text_clean) —
+    one row per input document.
+
+    Plan: per-row window generation (sequence/slice/array_join, no
+    shuffle; ~|words| windows per doc) → one shuffle keyed on the
+    window string for ``min(struct(id, pos))`` + count (map-side
+    combinable) → join back on the same key to tag loser occurrences
+    → one shuffle keyed on id: running-max-end window functions merge
+    loser intervals into disjoint spans (classic interval union,
+    per-doc sequential) → join spans to the doc row and rebuild with
+    a single O(|words|) ``aggregate`` that concatenates the slices
+    BETWEEN spans — no per-word membership probes, no doc×doc work.
+    A corpus-hot window (boilerplate in millions of docs) skews the
+    join-back; AQE skew-join splits it, and the winner agg is already
+    map-side-combined. At extreme scale swap the window string for
+    ``xxhash64`` pairs to shrink the shuffle payload.
+    """
+    # the window build is O(|words|·k) string work per doc — spread a
+    # narrow scan across slots before it (id partitioning is reused by
+    # the span merge and final join downstream)
+    df = spread_small_scan(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    words = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
+    k = window_words
+    n_words = F.size(words)
+    # docs shorter than one window emit no windows (sequence(0, neg)
+    # would DESCEND, not return empty) and pass through untouched
+    win_array = F.when(
+        n_words >= k,
+        F.transform(
+            F.sequence(F.lit(0), n_words - k),
+            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(win_array).alias("pos", "win"),
+    )
+    winners = wins.groupBy("win").agg(
+        F.min(F.struct("id", "pos")).alias("w"), F.count("*").alias("c")
+    )
+    losers = (
+        wins.join(winners, "win")
+        .filter(
+            (F.col("c") > 1)
+            & ~((F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")))
+        )
+        .select("id", "pos", (F.col("pos") + k).alias("end"))
+    )
+    # interval union: a loser starts a NEW span iff it begins past the
+    # running max end of every earlier loser in the doc; the running
+    # count of new-span flags is the span id
+    ow = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max("end").over(
+        ow.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        losers.withColumn(
+            "ns",
+            F.when(F.col("pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+        )
+        .withColumn("gid", F.sum("ns").over(ow))
+        .groupBy("id", "gid")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).alias("removed_words"),
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"), words.alias("words"))
+    joined = base.join(spans, "id", "left")
+    span_list = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    # rebuild: fold over the disjoint sorted spans, emitting the gap
+    # before each span, then the tail after the last — O(|words|)
+    kept = F.aggregate(
+        span_list,
+        F.struct(
+            F.lit(0).alias("pe"), F.array().cast("array<string>").alias("acc")
+        ),
+        lambda acc, sp: F.struct(
+            sp["e"].alias("pe"),
+            F.concat(
+                acc["acc"],
+                F.slice(F.col("words"), acc["pe"] + 1, sp["s"] - acc["pe"]),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.slice(
+                F.col("words"), acc["pe"] + 1, F.size("words") - acc["pe"]
+            ),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.size("words").cast("int").alias("n_words"),
+        F.coalesce("removed_words", F.lit(0)).cast("int").alias("removed_words"),
+        F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

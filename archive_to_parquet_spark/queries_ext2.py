@@ -2363,6 +2363,88 @@ FROM ids
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. ExactSubstr): unaligned span removal
+# ---------------------------------------------------------------------------
+
+
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unaligned exact-substring dedup over documents (operators/
+    dedup.py remove_duplicated_substrings — the per-position ExactSubstr
+    counterpart of the chunk-aligned `dedup_span_removal`): every 8-word
+    window occurring more than once corpus-wide is removed at all but
+    its globally first (doc_id, position), overlapping windows merged
+    into maximal spans, text rebuilt from the gaps. Corpus-linear: one
+    shuffle on the window string, one on doc_id — no doc×doc stage."""
+    from archive_to_parquet_spark.operators.dedup import (
+        remove_duplicated_substrings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_substrings(
+        docs, "doc_id", "text", window_words=8
+    )
+
+
+DEDUP_SUBSTRING_EXACT_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), p AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(words[i:i+7], ' ') AS win
+  FROM w, LATERAL unnest(generate_series(1, len(words) - 7)) AS t(i)
+  WHERE len(words) >= 8
+), m AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY win) AS c,
+         row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+  FROM p
+), losers AS (
+  SELECT doc_id, pos, pos + 8 AS e FROM m WHERE c > 1 AND rn > 1
+), flagged AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ns
+  FROM losers
+), g AS (
+  SELECT doc_id, pos, e,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM flagged
+), spans AS (
+  SELECT doc_id, gid, min(pos) AS s, max(e) AS e
+  FROM g GROUP BY doc_id, gid
+), st AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS removed
+  FROM spans GROUP BY doc_id
+), rem AS (
+  SELECT doc_id, unnest(generate_series(s, e - 1)) AS idx FROM spans
+), toks AS (
+  SELECT doc_id, unnest(words) AS word,
+         unnest(generate_series(0, len(words) - 1)) AS idx
+  FROM w WHERE len(words) > 0
+), keptw AS (
+  SELECT t.doc_id, t.idx, t.word
+  FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.idx = r.idx
+  WHERE r.doc_id IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text_clean
+  FROM keptw GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.words) AS INT) AS n_words,
+       CAST(coalesce(st.removed, 0) AS INT) AS removed_words,
+       CAST(coalesce(st.n_spans, 0) AS INT) AS n_spans,
+       coalesce(r.text_clean, '') AS text_clean
+FROM w
+LEFT JOIN st ON w.doc_id = st.doc_id
+LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # KMV (bottom-k) overlap sketch: snapshot Jaccard without a full join
 # ---------------------------------------------------------------------------
 
@@ -2705,4 +2787,5 @@ CATALOG = {
     "sketch_kmv_overlap": (sketch_kmv_overlap, SKETCH_KMV_SQL),
     "sketch_hdr_quantiles": (sketch_hdr_quantiles, SKETCH_HDR_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "dedup_substring_exact": (dedup_substring_exact, DEDUP_SUBSTRING_EXACT_SQL),
 }

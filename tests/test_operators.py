@@ -833,6 +833,104 @@ def test_dedup_chunk_spans_is_identity_without_duplicates(spark):
         assert out[doc_id].n_kept == out[doc_id].n_chunks
 
 
+def test_remove_duplicated_substrings_unaligned(spark):
+    """ExactSubstr-style removal catches a copied passage at an
+    UNALIGNED offset (where chunk-aligned dedup would miss it), merges
+    overlapping windows into one maximal span, and keeps the globally
+    first occurrence intact."""
+    from archive_to_parquet_spark.operators.dedup import (
+        remove_duplicated_substrings,
+    )
+
+    shared = "w1 w2 w3 w4 w5"  # 5 words, > one k=4 window → 2 windows
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1 tail2"),
+            # same passage shifted by THREE words — never chunk-aligned
+            (2, f"pre1 pre2 pre3 {shared} post1"),
+            (3, "no repeats in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in remove_duplicated_substrings(df, window_words=4).collect()
+    }
+    # doc 1 holds the first occurrence of both duplicated windows
+    assert out[1] == {
+        "doc_id": 1, "n_words": 7, "removed_words": 0, "n_spans": 0,
+        "text_clean": "w1 w2 w3 w4 w5 tail1 tail2",
+    }
+    # doc 2 loses the full 5-word passage as ONE merged span
+    # (windows at pos 3 and 4 overlap → union [3, 8))
+    assert out[2] == {
+        "doc_id": 2, "n_words": 9, "removed_words": 5, "n_spans": 1,
+        "text_clean": "pre1 pre2 pre3 post1",
+    }
+    assert out[3]["removed_words"] == 0
+    assert out[3]["text_clean"] == "no repeats in this document at all"
+
+
+def test_remove_duplicated_substrings_intra_doc_and_short(spark):
+    """A window repeated INSIDE one doc keeps only its first position;
+    docs shorter than the window and empty docs pass through."""
+    from archive_to_parquet_spark.operators.dedup import (
+        remove_duplicated_substrings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c X a b c Y"),   # "a b c" repeats at pos 0 and 4
+            (2, "too short"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in remove_duplicated_substrings(df, window_words=3).collect()
+    }
+    assert out[1] == {
+        "doc_id": 1, "n_words": 8, "removed_words": 3, "n_spans": 1,
+        "text_clean": "a b c X Y",
+    }
+    assert out[2] == {
+        "doc_id": 2, "n_words": 2, "removed_words": 0, "n_spans": 0,
+        "text_clean": "too short",
+    }
+    assert out[3] == {
+        "doc_id": 3, "n_words": 0, "removed_words": 0, "n_spans": 0,
+        "text_clean": "",
+    }
+
+
+def test_remove_duplicated_substrings_disjoint_spans(spark):
+    """Two separate copied passages in one doc yield two disjoint
+    spans and the rebuild stitches the three surviving gaps."""
+    from archive_to_parquet_spark.operators.dedup import (
+        remove_duplicated_substrings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "p1 p2 p3 q1 q2 q3"),
+            (2, "p1 p2 p3 mid1 mid2 q1 q2 q3 end1"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in remove_duplicated_substrings(df, window_words=3).collect()
+    }
+    assert out[2] == {
+        "doc_id": 2, "n_words": 9, "removed_words": 6, "n_spans": 2,
+        "text_clean": "mid1 mid2 end1",
+    }
+    # the keeper doc is untouched
+    assert out[1]["text_clean"] == "p1 p2 p3 q1 q2 q3"
+    assert out[1]["removed_words"] == 0
+
+
 def test_bloom_filter_roundtrip_and_merge(spark, tmp_path):
     """Bloom tier: persisted bit set answers membership with no false
     negatives; two batches' filters merge by UNION DISTINCT."""
