@@ -109,6 +109,8 @@ HEADLINE = [
     "sketch_kmv_overlap",
     "sketch_hdr_quantiles",
     "split_leakage_safe",
+    "multimodal_resize",
+    "dedup_substring_exact",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,
