@@ -464,3 +464,21 @@ def test_dsir_broadcasts_bucket_model(spark):
         "BroadcastNestedLoopJoin"
     ) >= 2
     assert "Python" not in plan
+
+
+def test_substring_dedup_windows_partitioned_no_python(spark):
+    """dedup_substring_exact: the interval-union window functions run
+    partitioned by doc id (never a global single-partition sort), the
+    winner election keeps partial aggregation (map-side combine on the
+    window string), and the whole plan stays JVM-side."""
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["dedup_substring_exact"](spark, SF_DIR))
+    spec_lines = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l
+    ]
+    assert spec_lines
+    assert all("id#" in l for l in spec_lines), "window lost its doc key"
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
