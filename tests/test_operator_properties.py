@@ -316,3 +316,61 @@ def test_no_new_order_dependent_rounded_aggregates():
         f"new round-over-double-aggregate sites: {offenders} — use "
         "functions/exactnum.py or add a justified exception"
     )
+
+
+# --- exact-substring dedup vs a brute-force reference ---------------------
+
+
+def _ref_remove_duplicated_substrings(docs, k):
+    """Brute-force reference: same contract as
+    operators.dedup.remove_duplicated_substrings, O(total²) Python."""
+    words = {d: t.split() for d, t in docs}
+    occ = {}
+    for d, ws in sorted(words.items()):
+        for p in range(len(ws) - k + 1):
+            occ.setdefault(tuple(ws[p : p + k]), []).append((d, p))
+    marked = {d: set() for d in words}
+    for positions in occ.values():
+        if len(positions) > 1:
+            for d, p in positions[1:]:  # positions already (d, p)-sorted
+                marked[d].update(range(p, p + k))
+    out = {}
+    for d, ws in words.items():
+        rem = sorted(marked[d])
+        spans = 0
+        prev = None
+        for i in rem:
+            if prev is None or i > prev + 1:
+                spans += 1
+            prev = i
+        kept = [w for i, w in enumerate(ws) if i not in marked[d]]
+        out[d] = (len(ws), len(rem), spans, " ".join(kept))
+    return out
+
+
+def test_substring_dedup_matches_bruteforce_reference(spark):
+    """Randomized corpora (fixed seed): the distributed plan agrees
+    with the quadratic reference on every doc — counts, span counts,
+    and rebuilt text. Covers intra-doc repeats, shared passages at
+    arbitrary unaligned offsets, and adjacent-span merging."""
+    import random
+
+    from archive_to_parquet_spark.operators.dedup import (
+        remove_duplicated_substrings,
+    )
+
+    rng = random.Random(0xA2F5)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → frequent repeats
+    for trial in range(4):
+        docs = []
+        for d in range(12):
+            n = rng.randint(0, 18)
+            docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+        k = rng.choice([2, 3])
+        ref = _ref_remove_duplicated_substrings(docs, k)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_words, r.removed_words, r.n_spans, r.text_clean)
+            for r in remove_duplicated_substrings(df, window_words=k).collect()
+        }
+        assert got == ref, f"trial {trial} (k={k}) diverged"
