@@ -1122,6 +1122,110 @@ def remove_duplicated_substrings(
     )
 
 
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    boundary_hex_lt: str = "04",
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup statistics — the
+    storage-dedup classic (LBFS/Venti/backup systems): chunk
+    boundaries are declared by the CONTENT (a position i ends a chunk
+    when the hash of the ``window`` chars ending at i falls under a
+    threshold), so an insertion near the start of a document shifts
+    only the chunk it lands in — every later chunk re-aligns and
+    deduplicates, where fixed-width chunking would shift-corrupt all
+    of them. Chunks are deduplicated corpus-wide by content hash;
+    per doc, reports how many of its chunks (and how many chars) are
+    duplicates of an earlier (min (doc_id, idx)) occurrence.
+
+    The boundary predicate is the engine-portable form: the first two
+    md5 hex chars of the window compared against ``boundary_hex_lt``
+    as STRINGS (``'04'`` → P=4/256, expected chunk ≈ 64 chars), the
+    same hex-prefix-threshold trick the sampling operators use — no
+    integer conversion, byte-identical in any engine. A production
+    100 TB deployment would swap the per-position md5 for a rolling
+    Gear/Rabin hash in an Arrow kernel (same contract, O(1) per
+    position instead of O(window)); the chunking itself is per-row
+    and embarrassingly parallel either way.
+
+    Returns (id_col, n_chunks, dup_chunks, dup_chars) — one row per
+    input document (empty docs: 0 chunks).
+
+    Plan: per-row boundary scan + chunk slicing (filter/transform/
+    zip_with over a char sequence — no shuffle, no Python) →
+    posexplode to (id, idx, chunk) → ONE map-side-combinable shuffle
+    on the chunk's md5 for (winner, count) → join back on the same
+    key → per-doc agg keyed on id. Identical scale shape to
+    ``remove_duplicated_substrings``; a corpus-hot chunk (shared
+    boilerplate) skews the join-back and AQE skew-join splits it.
+    """
+    # one md5 per char position is the hash-heaviest per-row compute in
+    # the dedup family — spread a narrow single-split scan across slots
+    # before it (the per-doc agg downstream reuses the id partitioning)
+    df = spread_small_scan(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    w = window
+    s = F.col(text_col)
+    n = F.length(s)
+    bounds = F.when(
+        n > w,
+        F.filter(
+            F.sequence(F.lit(w), n - 1),
+            lambda i: F.substring(
+                F.md5(s.substr(i - (w - 1), F.lit(w)).cast("binary")), 1, 2
+            )
+            < F.lit(boundary_hex_lt),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(bounds, lambda b: b + 1)
+    )
+    ends = F.concat(bounds, F.array(n))
+    chunks = F.when(
+        n > 0,
+        F.zip_with(starts, ends, lambda st, en: s.substr(st, en - st + 1)),
+    ).otherwise(F.array().cast("array<string>"))
+    chunked = df.select(
+        F.col(id_col).alias("id"), F.posexplode(chunks).alias("idx", "chunk")
+    ).select(
+        "id",
+        "idx",
+        F.length("chunk").alias("clen"),
+        F.md5(F.col("chunk").cast("binary")).alias("h"),
+    )
+    winners = chunked.groupBy("h").agg(
+        F.min(F.struct("id", "idx")).alias("w"), F.count("*").alias("c")
+    )
+    marked = chunked.join(winners, "h").select(
+        "id",
+        "clen",
+        (
+            (F.col("c") > 1)
+            & ~((F.col("id") == F.col("w.id")) & (F.col("idx") == F.col("w.idx")))
+        ).alias("dup"),
+    )
+    per_doc = marked.groupBy("id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("dup").cast("int")).alias("dup_chunks"),
+        F.sum(F.when(F.col("dup"), F.col("clen")).otherwise(0)).alias(
+            "dup_chars"
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_chunks", F.lit(0)).cast("int").alias("n_chunks"),
+            F.coalesce("dup_chunks", F.lit(0)).cast("int").alias("dup_chunks"),
+            F.coalesce("dup_chars", F.lit(0)).cast("int").alias("dup_chars"),
+        )
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

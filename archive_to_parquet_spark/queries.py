@@ -3903,7 +3903,7 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     # -- slots 44-50: round-5 additions (never sampled) + near-dup
     # guard (dedup_exact/cluster_kmeans/multimodal_content guards
     # dropped — all were driver-green in r4 or r2 with unchanged code;
-    # the new entries have never had a driver row; dedup_minhash at 50
+    # the new entries have never had a driver row; dedup_minhash at 51
     # is best-effort if the window stretches)
     "sketch_kmv_overlap",
     "sketch_hdr_quantiles",
@@ -3911,6 +3911,7 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "multimodal_resize",
     "stream_neardup_incremental",
     "dedup_substring_exact",
+    "dedup_cdc_chunks",
     "dedup_minhash",
 )
 

@@ -2445,6 +2445,64 @@ LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking dedup: insertion-robust storage dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup stats over documents (operators/
+    dedup.py cdc_chunk_stats): boundaries declared by the md5 of a
+    16-char sliding window (hex-prefix < '04' → expected ~64-char
+    chunks), chunks deduplicated corpus-wide by content hash. The
+    insertion-robust complement of `dedup_span_removal` (fixed-aligned)
+    and `dedup_substring_exact` (word windows): a byte insertion
+    re-aligns at the next content boundary instead of shifting every
+    later chunk. Per doc: chunk count, duplicate chunks, duplicate
+    chars."""
+    from archive_to_parquet_spark.operators.dedup import cdc_chunk_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunk_stats(
+        docs, "doc_id", "text", window=16, boundary_hex_lt="04"
+    )
+
+
+DEDUP_CDC_CHUNKS_SQL = r"""
+WITH d AS (SELECT doc_id, text AS s, length(text) AS n FROM documents),
+b AS (
+  SELECT doc_id, s, n,
+         CASE WHEN n > 16 THEN [i for i in generate_series(16, n-1)
+              if substring(md5(substring(s, i-15, 16)), 1, 2) < '04']
+              ELSE [] END AS bounds
+  FROM d
+), c AS (
+  SELECT doc_id, s, n,
+         list_prepend(1, [b2 + 1 for b2 in bounds]) AS starts,
+         list_append(bounds, n) AS ends
+  FROM b WHERE n > 0
+), e AS (
+  SELECT doc_id, j - 1 AS idx,
+         substring(s, starts[j], ends[j] - starts[j] + 1) AS chunk
+  FROM c, LATERAL unnest(generate_series(1, len(starts))) AS t(j)
+), m AS (
+  SELECT doc_id, idx, length(chunk) AS clen,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+  FROM e
+), agg AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+         sum(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS dup_chars
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_chunks, 0) AS INT) AS n_chunks,
+       CAST(coalesce(dup_chunks, 0) AS INT) AS dup_chunks,
+       CAST(coalesce(dup_chars, 0) AS INT) AS dup_chars
+FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # KMV (bottom-k) overlap sketch: snapshot Jaccard without a full join
 # ---------------------------------------------------------------------------
 
@@ -2788,4 +2846,5 @@ CATALOG = {
     "sketch_hdr_quantiles": (sketch_hdr_quantiles, SKETCH_HDR_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "dedup_substring_exact": (dedup_substring_exact, DEDUP_SUBSTRING_EXACT_SQL),
+    "dedup_cdc_chunks": (dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL),
 }

@@ -111,6 +111,7 @@ HEADLINE = [
     "split_leakage_safe",
     "multimodal_resize",
     "dedup_substring_exact",
+    "dedup_cdc_chunks",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,

@@ -1004,3 +1004,63 @@ def test_triangle_count_known_graphs(spark):
     bow = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
     row3 = triangle_count(spark.createDataFrame(bow, ["src", "dst"])).collect()[0]
     assert row3.n_triangles == 2
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The CDC property: prepending bytes to a shared payload shifts
+    every byte position, yet chunks re-align at the first content
+    boundary — most of the payload still deduplicates. Fixed-width
+    chunking would dedup nothing here."""
+    import hashlib
+    import random
+
+    from archive_to_parquet_spark.operators.dedup import cdc_chunk_stats
+
+    rng = random.Random(7)
+    payload = "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(600)
+    )
+    df = spark.createDataFrame(
+        [(1, payload), (2, "XY-" + payload)],  # 3-char insertion
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict() for r in cdc_chunk_stats(df).collect()
+    }
+
+    # python reference for doc 1's boundaries (same md5 window rule)
+    def bounds(s, w=16, lt="04"):
+        return [
+            i
+            for i in range(w, len(s))
+            if hashlib.md5(s[i - w : i].encode()).hexdigest()[:2] < lt
+        ]
+
+    b1 = bounds(payload)
+    assert b1, "fixture must produce at least one content boundary"
+    # doc 2 (larger doc_id loses ties): everything from its first
+    # re-aligned boundary onward duplicates doc 1's chunks
+    assert out[2]["dup_chunks"] >= len(b1) - 1
+    assert out[2]["dup_chars"] >= len(payload) - b1[0] - 16
+    assert out[1]["dup_chunks"] == 0  # winner side keeps everything
+    assert out[1]["n_chunks"] == len(b1) + 1
+
+
+def test_cdc_chunks_empty_and_short_docs(spark):
+    from archive_to_parquet_spark.operators.dedup import cdc_chunk_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "tiny"), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in cdc_chunk_stats(df).collect()}
+    assert out[1] == {
+        "doc_id": 1, "n_chunks": 0, "dup_chunks": 0, "dup_chars": 0,
+    }
+    # a sub-window doc is one chunk; the doc_id-2 copy wins the tie
+    assert out[2] == {
+        "doc_id": 2, "n_chunks": 1, "dup_chunks": 0, "dup_chars": 0,
+    }
+    assert out[3] == {
+        "doc_id": 3, "n_chunks": 1, "dup_chunks": 1, "dup_chars": 4,
+    }
