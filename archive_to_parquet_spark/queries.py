@@ -3551,7 +3551,13 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of per-doc gram histograms against the model — histograms, not
     raw grams, cross the shuffle, exactly like text_char_entropy.
     """
+    from archive_to_parquet_spark.operators.dedup import spread_small_scan
+
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    # the trigram explode feeds BOTH aggregations' map-side partials —
+    # on a single-split scan that pins the whole gram stream to one
+    # task; spreading the narrow doc rows first is 3× at sf0.1
+    docs = spread_small_scan(docs.select("doc_id", "text"), "doc_id")
     grams = docs.select(
         "doc_id",
         F.explode(
@@ -3622,7 +3628,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction); only per-doc histograms cross the shuffle. Same
     plan discipline as text_lm_perplexity.
     """
+    from archive_to_parquet_spark.operators.dedup import spread_small_scan
+
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    # same single-split-scan fix as text_lm_perplexity: the bigram
+    # explode feeds three aggregations' map-side partials
+    docs = spread_small_scan(docs.select("doc_id", "text"), "doc_id")
     grams = docs.select(
         "doc_id",
         F.explode(
