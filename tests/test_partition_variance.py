@@ -33,6 +33,11 @@ COHORT = [
     "sketch_kmv_overlap",
     "sketch_hdr_quantiles",
     "split_leakage_safe",
+    # round-5 dedup family: winner election (min struct) and interval
+    # merges must not depend on which partition saw an occurrence first
+    "dedup_substring_exact",
+    "dedup_cdc_chunks",
+    "cluster_kmeans",
 ]
 
 
