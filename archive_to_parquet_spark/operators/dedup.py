@@ -1226,6 +1226,141 @@ def cdc_chunk_stats(
     )
 
 
+def _gear_table() -> list[int]:
+    """256 pseudo-random 64-bit gear constants, derived from md5 so the
+    table is a public, engine-independent construction (no baked-in
+    magic numbers to keep in sync)."""
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(bytes([v])).digest()[:8], "big")
+        for v in range(256)
+    ]
+
+
+def gear_hash_boundaries(data: bytes, mask_bits: int = 6) -> list[int]:
+    """Pure-Python reference Gear-CDC boundary scan: the classic
+    rolling recurrence ``h = (h << 1) + GEAR[byte] (mod 2^64)``, a cut
+    AFTER byte position p (1-based, p < len) whenever
+    ``h & (2^mask_bits - 1) == 0``. The shift decay gives the hash an
+    implicit 64-byte window, so boundaries are a pure function of the
+    local content — the insertion-robustness property. O(n) scalar
+    loop; the Arrow kernel below is the vectorized twin (tested equal
+    byte-for-byte)."""
+    gear = _gear_table()
+    m64 = (1 << 64) - 1
+    mask = (1 << mask_bits) - 1
+    h, cuts = 0, []
+    for p, b in enumerate(data, start=1):
+        h = ((h << 1) + gear[b]) & m64
+        if p < len(data) and (h & mask) == 0:
+            cuts.append(p)
+    return cuts
+
+
+GEAR_CDC_DDL = "id long, idx int, clen int, h string"
+
+
+def gear_cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    mask_bits: int = 6,
+) -> DataFrame:
+    """Content-defined chunking over BINARY payloads with a rolling
+    Gear hash — the throughput tier promised by ``cdc_chunk_stats``'s
+    docstring: O(1) per byte instead of an md5 per position, and the
+    per-row scan runs as a VECTORIZED Arrow kernel (the 64-shift
+    windowed form of the gear recurrence — h_i = Σ_{s<64}
+    GEAR[b_{i-s}]·2^s mod 2^64 — is 64 numpy adds over the whole
+    buffer, no Python byte loop; proven equal to the scalar recurrence
+    in tests). Boundary rule: cut after position p when
+    ``h_p & (2^mask_bits − 1) == 0`` (expected chunk 2^mask_bits
+    bytes). Chunks dedup corpus-wide by content md5; per doc, reports
+    chunk count, duplicate chunks, and duplicate bytes vs the earliest
+    (min (id, idx)) occurrence.
+
+    Plan: one ``mapInPandas`` stage emits (id, idx, clen, chunk-md5) —
+    a bounded ~36-byte row per chunk, so the Python boundary never
+    ships payload bytes anywhere — then the identical JVM flow as the
+    md5-window variant: ONE map-side-combinable shuffle on the chunk
+    hash for (winner, count), join back, per-doc agg. Upstream should
+    size-repartition archives for decode-cost balance exactly as the
+    media kernels do.
+    """
+    import numpy as np
+
+    gear_np = np.array(_gear_table(), dtype=np.uint64)
+    mask = np.uint64((1 << mask_bits) - 1)
+
+    cols = df.select(
+        F.col(id_col).alias("id"), F.col(data_col).alias("data")
+    )
+
+    def batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out_id, out_idx, out_len, out_h = [], [], [], []
+            for rid, data in zip(pdf["id"], pdf["data"]):
+                data = bytes(data) if data is not None else b""
+                n = len(data)
+                if n == 0:
+                    continue
+                g = gear_np[np.frombuffer(data, dtype=np.uint8)]
+                h = np.zeros(n, dtype=np.uint64)
+                for s in range(min(64, n)):
+                    h[s:] += g[: n - s] << np.uint64(s)
+                cuts = (np.nonzero((h[:-1] & mask) == 0)[0] + 1).tolist()
+                starts = [0] + cuts
+                ends = cuts + [n]
+                for idx, (st, en) in enumerate(zip(starts, ends)):
+                    out_id.append(rid)
+                    out_idx.append(idx)
+                    out_len.append(en - st)
+                    out_h.append(hashlib.md5(data[st:en]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(out_id, dtype="int64"),
+                    "idx": pd.array(out_idx, dtype="int32"),
+                    "clen": pd.array(out_len, dtype="int32"),
+                    "h": out_h,
+                }
+            )
+
+    chunked = cols.mapInPandas(batches, schema=GEAR_CDC_DDL)
+    winners = chunked.groupBy("h").agg(
+        F.min(F.struct("id", "idx")).alias("w"), F.count("*").alias("c")
+    )
+    marked = chunked.join(winners, "h").select(
+        "id",
+        "clen",
+        (
+            (F.col("c") > 1)
+            & ~((F.col("id") == F.col("w.id")) & (F.col("idx") == F.col("w.idx")))
+        ).alias("dup"),
+    )
+    per_doc = marked.groupBy("id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("dup").cast("int")).alias("dup_chunks"),
+        F.sum(F.when(F.col("dup"), F.col("clen")).otherwise(0)).alias(
+            "dup_bytes"
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_chunks", F.lit(0)).cast("int").alias("n_chunks"),
+            F.coalesce("dup_chunks", F.lit(0)).cast("int").alias("dup_chunks"),
+            F.coalesce("dup_bytes", F.lit(0)).cast("int").alias("dup_bytes"),
+        )
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3903,15 +3903,14 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "vocab_coverage",
     "pack_sequences",
     "tpch_q12_priority_split",
-    # -- slots 40-44: exact-integer money refactor cohort (the five
-    # VERDICT-named entries + the bench pin; rel_revenue_by_nation /
-    # tpch_q03 guards dropped — green r2-r4 with unchanged code — to
-    # keep every never-sampled round-5 entry inside the ~50 window)
+    # -- slots 40-42: exact-integer money refactor cohort (the
+    # VERDICT-named entries; tpch_q06/tpch_q03/rel_revenue_by_nation
+    # guards dropped — green r2-r4 with unchanged code — to keep every
+    # never-sampled round-5 entry inside the ~50 window)
     "tpch_q01_pricing_summary",
     "rel_pricing_summary",
     "stream_events_hourly",
-    "tpch_q06_forecast_revenue",
-    # -- slots 44-50: round-5 additions (never sampled) + near-dup
+    # -- slots 43-50: round-5 additions (never sampled) + near-dup
     # guard (dedup_exact/cluster_kmeans/multimodal_content guards
     # dropped — all were driver-green in r4 or r2 with unchanged code;
     # the new entries have never had a driver row; dedup_minhash at 51
@@ -3923,6 +3922,7 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "stream_neardup_incremental",
     "dedup_substring_exact",
     "dedup_cdc_chunks",
+    "dedup_cdc_gear",
     "dedup_minhash",
 )
 

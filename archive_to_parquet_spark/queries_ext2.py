@@ -2503,6 +2503,113 @@ FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Gear-hash CDC (Arrow kernel): the binary throughput tier
+# ---------------------------------------------------------------------------
+
+
+def _gear_fixture_payload(d: int) -> bytes:
+    """Deterministic binary fixture for doc_id ``d``: a ``d % 7``-byte
+    filler prefix (shifts every byte position per doc), 256 bytes of
+    doc-unique md5 stream, then a 512-byte SHARED md5 stream. Both
+    engines can rebuild it independently (Spark: unhex/md5
+    expressions; oracle: hashlib at import)."""
+    import hashlib
+
+    pre = b"\xaa" * (d % 7)
+    own = b"".join(
+        hashlib.md5(f"{d}:{j}".encode()).digest() for j in range(16)
+    )
+    shared = b"".join(
+        hashlib.md5(f"shared:{j}".encode()).digest() for j in range(32)
+    )
+    return pre + own + shared
+
+
+def _gear_oracle_sql() -> str:
+    """Expected stats from the PURE-PYTHON scalar gear recurrence
+    (operators/dedup.py gear_hash_boundaries) — independent of the
+    vectorized Arrow kernel under test — baked as VALUES literals."""
+    import hashlib
+
+    from archive_to_parquet_spark.operators.dedup import (
+        gear_hash_boundaries,
+    )
+
+    docs = {d: _gear_fixture_payload(d) for d in range(60)}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    per_doc: dict[int, list[tuple[int, int, str]]] = {}
+    for d in sorted(docs):
+        data = docs[d]
+        cuts = gear_hash_boundaries(data, mask_bits=6)
+        starts, ends = [0] + cuts, cuts + [len(data)]
+        rows = []
+        for idx, (st, en) in enumerate(zip(starts, ends)):
+            h = hashlib.md5(data[st:en]).hexdigest()
+            rows.append((idx, en - st, h))
+            occ.setdefault(h, []).append((d, idx))
+        per_doc[d] = rows
+    values = []
+    for d, rows in per_doc.items():
+        dup = dupb = 0
+        for idx, clen, h in rows:
+            if len(occ[h]) > 1 and min(occ[h]) != (d, idx):
+                dup += 1
+                dupb += clen
+        values.append(f"({d}, {len(rows)}, {dup}, {dupb})")
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS INT) AS n_chunks,\n"
+        "       CAST(c2 AS INT) AS dup_chunks, CAST(c3 AS INT) AS dup_bytes\n"
+        "FROM (VALUES " + ", ".join(values) + ") t(c0, c1, c2, c3)"
+    )
+
+
+def dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Gear-hash CDC over BINARY payloads (operators/dedup.py
+    gear_cdc_chunk_stats) — the vectorized Arrow-kernel throughput tier
+    next to the SQL-expressible md5-window `dedup_cdc_chunks`. The
+    fixture payloads carry a 512-byte shared region behind a per-doc
+    0–6 byte filler, so every doc sees it at a DIFFERENT byte offset;
+    the content-defined boundaries re-align and the region
+    deduplicates anyway. Certified against a pure-Python scalar
+    implementation of the same gear recurrence (VALUES oracle) —
+    never against the numpy kernel under test."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+    own = F.concat(
+        *[
+            F.unhex(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(f":{j}")
+                    ).cast("binary")
+                )
+            )
+            for j in range(16)
+        ]
+    )
+    import hashlib as _hl
+
+    shared_hex = "".join(
+        _hl.md5(f"shared:{j}".encode()).hexdigest() for j in range(32)
+    )
+    payload = F.concat(
+        F.unhex(F.repeat(F.lit("aa"), (F.col("doc_id") % 7).cast("int"))),
+        own,
+        F.unhex(F.lit(shared_hex)),
+    )
+    from archive_to_parquet_spark.operators.dedup import (
+        gear_cdc_chunk_stats,
+    )
+
+    media = docs.select("doc_id", payload.alias("data"))
+    return gear_cdc_chunk_stats(media, "doc_id", "data", mask_bits=6)
+
+
+DEDUP_CDC_GEAR_SQL = _gear_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # KMV (bottom-k) overlap sketch: snapshot Jaccard without a full join
 # ---------------------------------------------------------------------------
 
@@ -2847,4 +2954,5 @@ CATALOG = {
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "dedup_substring_exact": (dedup_substring_exact, DEDUP_SUBSTRING_EXACT_SQL),
     "dedup_cdc_chunks": (dedup_cdc_chunks, DEDUP_CDC_CHUNKS_SQL),
+    "dedup_cdc_gear": (dedup_cdc_gear, DEDUP_CDC_GEAR_SQL),
 }

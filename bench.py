@@ -112,6 +112,7 @@ HEADLINE = [
     "multimodal_resize",
     "dedup_substring_exact",
     "dedup_cdc_chunks",
+    "dedup_cdc_gear",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,
