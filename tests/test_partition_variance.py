@@ -37,6 +37,7 @@ COHORT = [
     # merges must not depend on which partition saw an occurrence first
     "dedup_substring_exact",
     "dedup_cdc_chunks",
+    "dedup_cdc_gear",
     "cluster_kmeans",
 ]
 
