@@ -920,6 +920,9 @@ def _jpeg_unsupported_kind(d: bytes) -> str | None:
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             return None
+        # Spec-legal 0xFF fill bytes may pad before any marker (B.1.1.2).
+        while pos + 2 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1
         marker = d[pos + 1]
         if marker in _JPEG_SOF_UNSUPPORTED:
             return _JPEG_SOF_UNSUPPORTED[marker]
@@ -1070,6 +1073,9 @@ def _jpeg_pixels(d: bytes):
     while pos + 4 <= n:
         if d[pos] != 0xFF:
             return None
+        # Spec-legal 0xFF fill bytes may pad before any marker (B.1.1.2).
+        while pos + 2 < n and d[pos + 1] == 0xFF:
+            pos += 1
         marker = d[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2

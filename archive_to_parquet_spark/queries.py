@@ -4247,6 +4247,7 @@ def stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         cand = (
             spark.read.parquet(os.path.join(root, "pairs"))
+            .drop("batch_id")  # per-batch partition of the pair sink
             .dropDuplicates(["id_a", "id_b"])
             .localCheckpoint(eager=True)  # staging dir is removed below
         )

@@ -23,10 +23,13 @@ catalog entry carries a full SQL oracle (exact Jaccard, same
 recall-by-construction argument as dedup_minhash).
 
 Restart semantics: `foreachBatch` is at-least-once — a replayed batch
-appends its band rows and pairs AGAIN. Both are deterministic
-functions of the batch, so replays create exact duplicates, which the
-downstream `dropDuplicates` on (id_a, id_b) absorbs; duplicate index
-rows only duplicate future candidates, never change the pair set.
+re-runs probe + append. Both writes are therefore keyed by batch_id
+(`.../batch_id=N` subdirectory, mode=overwrite), so a replay
+OVERWRITES its own prior output instead of appending a second copy:
+index state and pair output converge to exactly-once. The cross-batch
+probe additionally guards `a.id != b.id` so a replayed batch that
+already appended its band rows cannot match itself in the stored
+index and emit self-pairs (Jaccard(x,x)=1 would pass any threshold).
 
 No reference twin: the reference's dedup is exact-hash only
 (src/lib.rs:30 `unique`); this is the near-dup extension of its
@@ -46,9 +49,13 @@ from archive_to_parquet_spark.operators.dedup import minhash_band_index
 def _index_exists(index_dir: str) -> bool:
     # Local-FS check is fine for tests/local runs; a deployment stores
     # the index as a (bucketed) table and this becomes a catalog probe.
-    return os.path.isdir(index_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(index_dir)
-    )
+    # Walk: index rows live under batch_id=N partition subdirectories.
+    if not os.path.isdir(index_dir):
+        return False
+    for _root, _dirs, files in os.walk(index_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def probe_and_append(
@@ -61,17 +68,19 @@ def probe_and_append(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    batch_id: int = 0,
 ) -> None:
     """One micro-batch of the continuous-dedup loop: emit this batch's
     collision pairs (cross-batch vs the stored index + intra-batch),
-    then append the batch's band rows to the index."""
+    then write the batch's band rows into the index under its
+    batch_id partition (overwrite — replays are idempotent)."""
     bidx = minhash_band_index(
         batch, id_col, text_col, num_hashes, bands, shingle_n
     ).localCheckpoint()
 
     pairs = None
     if _index_exists(index_dir):
-        stored = spark.read.parquet(index_dir)
+        stored = spark.read.parquet(index_dir).drop("batch_id")
         a = bidx.alias("a")
         b_ = stored.alias("b")
         cross = (
@@ -79,7 +88,11 @@ def probe_and_append(
             .join(
                 b_,
                 (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash")),
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                # A replayed batch already has its own band rows in the
+                # stored index; without this guard it would match itself
+                # and emit (x, x) self-pairs.
+                & (F.col("a.id") != F.col("b.id")),
             )
             .select(
                 F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
@@ -100,10 +113,16 @@ def probe_and_append(
         )
     )
     pairs = intra if pairs is None else pairs.unionByName(intra)
-    pairs.dropDuplicates(["id_a", "id_b"]).write.mode("append").parquet(
-        pairs_dir
+    # Per-batch_id subdirectories + overwrite make both writes
+    # idempotent under foreachBatch's at-least-once replay: a replay
+    # replaces its own prior output, so index and pair state converge
+    # to exactly-once. Readers see batch_id as a partition column.
+    pairs.dropDuplicates(["id_a", "id_b"]).write.mode("overwrite").parquet(
+        os.path.join(pairs_dir, f"batch_id={batch_id}")
     )
-    bidx.write.mode("append").parquet(index_dir)
+    bidx.write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"batch_id={batch_id}")
+    )
 
 
 def neardup_stream(
@@ -123,7 +142,7 @@ def neardup_stream(
     ``processAllAvailable()`` for a bounded input or leave it running
     for continuous ingest."""
 
-    def _each_batch(batch: DataFrame, _batch_id: int) -> None:
+    def _each_batch(batch: DataFrame, batch_id: int) -> None:
         if not batch.isEmpty():
             probe_and_append(
                 spark,
@@ -135,6 +154,7 @@ def neardup_stream(
                 num_hashes,
                 bands,
                 shingle_n,
+                batch_id=batch_id,
             )
 
     return (

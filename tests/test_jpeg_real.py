@@ -389,3 +389,25 @@ def test_jpeg_header_dims_still_parse():
     img = np.full((10, 12), 50, dtype=np.uint8)
     parsed = parse_image_header(make_jpeg_gray(img))
     assert parsed == (12, 10, 1)
+
+
+def test_fill_bytes_before_markers_still_real_decode():
+    """JPEG B.1.1.2 allows runs of 0xFF fill bytes before any marker;
+    the marker walks must skip them instead of silently degrading to
+    the header/fingerprint tier (ADVICE r5)."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    blob = make_jpeg_gray(img)
+    # Pad fill bytes before SOF0 and before SOS (headers precede scan
+    # data, and the quant=1 DQT body contains no 0xFF, so the first
+    # occurrence is the real marker).
+    padded = blob.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1).replace(
+        b"\xff\xda", b"\xff\xff\xff\xff\xda", 1
+    )
+    assert _jpeg_unsupported_kind(padded) is None
+    got = _jpeg_pixels(padded)
+    assert got is not None and got.shape == (16, 16)
+    assert np.array_equal(got, _jpeg_pixels(blob))
+    # The unsupported-process walk must also see through fill padding.
+    prog = make_progressive_stub().replace(b"\xff\xc2", b"\xff\xff\xff\xc2", 1)
+    assert _jpeg_unsupported_kind(prog) == "progressive"

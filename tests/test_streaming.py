@@ -330,3 +330,37 @@ def test_stream_neardup_equals_batch(spark):
     }
     assert streamed == batch
     assert streamed, "corpus should contain at least one near-dup pair"
+
+
+def test_neardup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch (same batch_id)
+    must neither grow the band index nor emit self-pairs from matching
+    its own previously-appended band rows."""
+    from archive_to_parquet_spark.streaming.neardup import probe_and_append
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(40)
+    )
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+
+    probe_and_append(spark, docs, index_dir, pairs_dir, batch_id=0)
+    idx_rows = spark.read.parquet(index_dir).count()
+    pairs1 = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_dir).select("id_a", "id_b").collect()
+    }
+
+    # Replay the SAME batch: index already holds batch 0's band rows,
+    # so the cross-batch probe runs this time — the a.id != b.id guard
+    # must keep Jaccard(x,x)=1 self-pairs out, and the overwrite write
+    # must leave index state unchanged.
+    probe_and_append(spark, docs, index_dir, pairs_dir, batch_id=0)
+    assert spark.read.parquet(index_dir).count() == idx_rows
+    pairs2 = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_dir).select("id_a", "id_b").collect()
+    }
+    assert pairs2 == pairs1
+    assert all(a != b for a, b in pairs2)
