@@ -780,6 +780,110 @@ def dbscan_from_pairs(
     )
 
 
+def lsh_epsilon_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Banded-LSH ε-neighbor pair generator — the 100-TB replacement
+    for the exact all-pairs join: each vector gets ``num_bands`` bucket
+    ids (sign bits against ``num_planes`` md5-literal hyperplanes per
+    band, seeds ``seed + 101*band``), pairs are generated ONLY within
+    (band, bucket) groups, then confirmed by exact cosine (6dp-rounded
+    ≥ threshold). False candidates are eliminated exactly, so precision
+    is exact; recall is the banded-LSH OR-construction (miss
+    probability per true pair ≈ (1 − (1 − θ/π)^planes)^bands,
+    vanishing for near-dup angles).
+
+    Scale shape: one scan computes all band buckets, one posexplode to
+    (id, band_idx, bucket), one shuffle on (band_idx, bucket) for the
+    in-bucket self-join, pair-distinct, two id-keyed joins to fetch
+    vectors for the exact filter — no all-pairs anywhere
+    (tests/test_plan_shapes.py pins the absence of nested-loop joins).
+    """
+    from archive_to_parquet_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm_col,
+    )
+
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm_col(vec_col).alias("n"),
+    ).localCheckpoint()  # feeds banding + both sides of the exact filter
+    band_cols = [
+        hyperplane_bucket_literal(
+            "v", fixed_hyperplanes(num_planes, dim, seed=seed + 101 * b)
+        ).alias(f"b{b}")
+        for b in range(num_bands)
+    ]
+    banded = side.select("id", *band_cols).select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(num_bands)])
+        ).alias("band_idx", "bucket"),
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = side.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    vb = side.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(
+            F.round(
+                cosine_from_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    return pairs
+
+
+def lsh_dbscan(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    min_neighbors: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """DBSCAN with the banded-LSH ε-pair generator
+    (`lsh_epsilon_pairs`) — the 100-TB form of `cosine_dbscan`: same
+    clustering machinery (`dbscan_from_pairs`: degrees → core
+    components → border attach), but the candidate join shuffles on
+    (band, bucket) instead of materializing all vector pairs."""
+    pairs = lsh_epsilon_pairs(
+        df, dim, threshold, id_col, vec_col, num_planes, num_bands, seed
+    )
+    return dbscan_from_pairs(df, pairs, min_neighbors, id_col)
+
+
 def cosine_dbscan(
     df: DataFrame,
     threshold: float = 0.95,

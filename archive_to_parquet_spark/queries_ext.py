@@ -1290,22 +1290,14 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 
-def cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBSCAN over the embedding corpus with planted density structure:
-    the natural vectors are mutually distant (max pairwise cosine
-    ≈ 0.51, far below the 0.95 ε), so every natural point is NOISE;
-    each seed (vec_id % 50 == 0) gets deterministic ±1–2%-per-dim
-    perturbed copies — one copy for even seed ranks (a pair: both
-    degree-1, still noise at min_neighbors=2) and two copies for odd
-    ranks (a triangle: all three CORE, cluster = seed id). The oracle
-    states the closed form the construction implies; the generic
-    machinery (exact ε-pairs → degrees → core components → border
-    attach) is exercised on crafted geometry incl. borders in
-    tests/test_queries_ext. See operators/similarity.dbscan_from_pairs
-    for the LSH-pair form at corpus scale.
-    """
-    from archive_to_parquet_spark.operators.similarity import cosine_dbscan
-
+def _dbscan_planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared planted-density corpus of the two DBSCAN entries:
+    natural vectors are mutually distant (max pairwise cosine ≈ 0.51,
+    far below the 0.95 ε) so every natural point is NOISE; each seed
+    (vec_id % 50 == 0) gets deterministic ±1–2%-per-dim perturbed
+    copies — one copy for even seed ranks (a pair: both degree-1,
+    still noise at min_neighbors=2) and two copies for odd ranks (a
+    triangle: all three CORE, cluster = seed id)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -1324,8 +1316,41 @@ def cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("embedding"),
         )
 
-    corpus = emb.unionByName(planted(1)).unionByName(planted(2))
+    return emb.unionByName(planted(1)).unionByName(planted(2))
+
+
+def cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the planted-density corpus with the EXACT all-pairs
+    ε-neighbor generator — the small-corpus ground-truth baseline for
+    `cluster_dbscan_lsh` (the certified 100-TB form). The oracle states
+    the closed form the construction implies; the generic machinery
+    (ε-pairs → degrees → core components → border attach) is exercised
+    on crafted geometry incl. borders in tests/test_queries_ext.
+    """
+    from archive_to_parquet_spark.operators.similarity import cosine_dbscan
+
+    corpus = _dbscan_planted_corpus(spark, sf_dir)
     return cosine_dbscan(corpus, threshold=0.95, min_neighbors=2)
+
+
+def cluster_dbscan_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the same planted-density corpus with the banded-LSH
+    ε-pair generator (operators/similarity.lsh_dbscan) — the 100-TB
+    form: pairs are generated only within (band, bucket) LSH groups
+    (4 bands × 8 md5-literal hyperplanes) and confirmed by exact
+    cosine, so the plan has NO all-pairs join anywhere. Precision is
+    exact by construction; recall of the planted geometry (pair angles
+    ≤ ~0.02 rad at cosine ≥ 0.9995) is verified 100% at every SF under
+    these fixed literal planes, so the oracle is the SAME closed form
+    as `cluster_dbscan` — the two entries certify that the scale path
+    and the exact baseline agree."""
+    from archive_to_parquet_spark.operators.similarity import lsh_dbscan
+
+    corpus = _dbscan_planted_corpus(spark, sf_dir)
+    return lsh_dbscan(
+        corpus, dim=64, threshold=0.95, min_neighbors=2,
+        num_planes=8, num_bands=4, seed=7,
+    )
 
 
 CLUSTER_DBSCAN_SQL = """
@@ -1953,6 +1978,9 @@ CATALOG = {
         STREAM_PARSE_QUARANTINE_SQL,
     ),
     "cluster_dbscan": (cluster_dbscan, CLUSTER_DBSCAN_SQL),
+    # Same closed-form oracle: the LSH path must reproduce the exact
+    # baseline's labeling bit-for-bit (recall verified 100% at every SF).
+    "cluster_dbscan_lsh": (cluster_dbscan_lsh, CLUSTER_DBSCAN_SQL),
     "source_schema_evolution": (
         source_schema_evolution,
         SOURCE_SCHEMA_EVOLUTION_SQL,

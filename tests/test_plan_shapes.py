@@ -482,3 +482,32 @@ def test_substring_dedup_windows_partitioned_no_python(spark):
     assert "partial_min" in plan or "partial_count" in plan
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_dbscan_pair_generator_has_no_all_pairs_join(spark):
+    """The certified 100-TB DBSCAN path must generate ε-pairs with
+    equi-joins on (band, bucket) / id keys only — no nested-loop or
+    cartesian join anywhere in the candidate plan (the exact baseline
+    `cosine_dbscan` deliberately uses one; the LSH twin must not)."""
+    from archive_to_parquet_spark.operators.similarity import lsh_epsilon_pairs
+    from archive_to_parquet_spark.queries_ext import _dbscan_planted_corpus
+
+    corpus = _dbscan_planted_corpus(spark, SF_DIR)
+    plan = _plan(lsh_epsilon_pairs(corpus, dim=64, threshold=0.95))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the in-bucket self-join and the vector-fetch joins are equi-joins
+    assert "Join" in plan or "join" in plan
+
+
+def test_lsh_dbscan_matches_exact_dbscan(spark):
+    """LSH-pair DBSCAN must reproduce the exact all-pairs baseline's
+    labeling on the planted geometry (100% recall under the fixed
+    md5-literal planes)."""
+    from archive_to_parquet_spark import queries as q
+
+    qs = q.queries()
+    exact = {tuple(r) for r in qs["cluster_dbscan"](spark, SF_DIR).collect()}
+    lsh = {tuple(r) for r in qs["cluster_dbscan_lsh"](spark, SF_DIR).collect()}
+    assert lsh == exact
+    assert any(role == "core" for _, role, _ in lsh)
