@@ -150,14 +150,21 @@ def test_catalog_plan_hygiene(spark):
     node (the catalog is 100% JVM expressions), or a cached scan.
     Single-partition exchanges are allowed only because they are 1-row
     scalar broadcasts / final agg merges — windows over data stay
-    partitioned, which the dedicated window tests pin."""
+    partitioned, which the dedicated window tests pin. The audit ALSO
+    covers checkpoint-hidden subplans (plans/checkpoint.py) — lineage
+    truncation must not hide a cartesian product or Python eval node."""
     from archive_to_parquet_spark import queries as q
+    from archive_to_parquet_spark.plans.checkpoint import (
+        recording_checkpoint_plans,
+    )
 
     offenders = {}
     for name, fn in q.queries().items():
         if name.startswith("stream_"):
             continue  # streaming queries execute on construction
-        plan = _plan(fn(spark, SF_DIR))
+        hidden: list[str] = []
+        with recording_checkpoint_plans(hidden):
+            plans = [_plan(fn(spark, SF_DIR))] + hidden
         flags = [
             flag
             for flag, marker in (
@@ -166,7 +173,7 @@ def test_catalog_plan_hygiene(spark):
                 ("py-arrow", "ArrowEvalPython"),
                 ("cached", "InMemoryTableScan"),
             )
-            if marker in plan
+            if any(marker in p for p in plans)
         ]
         if flags:
             offenders[name] = flags
