@@ -64,6 +64,19 @@ class ConvertOptions:
     row_group_bytes: int = 128 * 1024 * 1024
     deterministic_dedup: bool = False  # min-(source,path) winner instead of
     # the reference's nondeterministic first-arrival winner (SURVEY §2.11.1)
+    # Output projection (column pruning pushed INTO the walker). The
+    # Python DataSource API cannot see the downstream plan (Spark 4.1
+    # passes the full schema to reader() regardless of the query's
+    # projection — verified empirically), so callers that only need
+    # metadata opt in explicitly: columns=("source","path","size",
+    # "hash","format") makes the walker stream-hash without ever
+    # buffering entry payloads (manifest scans, hash-only dedup
+    # pre-passes read a 100 TB corpus without materializing content
+    # in Python, Arrow, or the JVM). None = all six columns.
+    columns: tuple[str, ...] | None = None
+
+    def wants(self, column: str) -> bool:
+        return self.columns is None or column in self.columns
 
     def size_range(self) -> tuple[int, int]:
         """[min, max) with open ends 0 / 2^63-1 (reference src/lib.rs:54-62)."""
@@ -79,3 +92,16 @@ class ConvertOptions:
             raise ValueError("threads must be >= 1")
         if self.max_depth < 1:
             raise ValueError("max_depth must be >= 1")
+        if self.columns is not None:
+            valid = ("source", "path", "size", "hash", "content", "format")
+            bad = [c for c in self.columns if c not in valid]
+            if bad or not self.columns:
+                raise ValueError(
+                    f"columns must be a non-empty subset of {valid}; got "
+                    f"{self.columns!r}"
+                )
+            if "content" not in self.columns and self.include != IncludeType.ALL:
+                raise ValueError(
+                    "include=text/binary filters on content; it cannot be "
+                    "pruned from columns"
+                )

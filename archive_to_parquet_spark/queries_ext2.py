@@ -2277,6 +2277,84 @@ def _nested_walk_oracle_sql() -> str:
 SOURCE_NESTED_WALK_SQL = _nested_walk_oracle_sql()
 
 
+# Column-pruned ingest fixture: one leaf per format-refinement branch,
+# plus a >1 MiB member so the fused stream-hash crosses copy-buffer
+# boundaries. Values are construction literals → closed-form oracle.
+_PRUNE_FILES = {
+    "plain.txt": b"pruned manifest plain text payload\n",
+    "prog.bin": b"\x7fELF" + bytes(range(256)) * 8,  # refined: executable
+    "big.bin": (b"\x00\x01\x02\x03" * 300_000) + b"tail",  # 1.2 MB unknown
+}
+
+
+def source_pruned_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned ingest certification: `read_archives` with
+    ``columns=(source, path, size, hash, format)`` — the projection the
+    Python DataSource API cannot push automatically, threaded into the
+    walker explicitly. Entry payloads are stream-hashed but NEVER
+    buffered (sources/walker._hashed_meta keeps only the 262-byte sniff
+    peek); ``content`` is absent from the scan's output schema
+    entirely, not dropped afterwards. The oracle is the construction
+    literals (size, sha256, refined format — including an executable
+    detected from the peek alone and a >1 MiB member hashed across
+    copy-buffer boundaries), so a pruned 100-TB manifest/dedup-prepass
+    scan is certified to produce exactly the metadata the full scan
+    would. The reference cannot prune — its sink schema is fixed
+    (src/batch.rs:21-34)."""
+    import io
+    import shutil
+    import tarfile
+
+    from archive_to_parquet_spark.options import ConvertOptions
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+    from archive_to_parquet_spark.sources.archive_source import read_archives
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in _PRUNE_FILES.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+    stage = _stage_dir("prunedmanifest", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    path = os.path.join(stage, "fixture.tar")
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+    df = read_archives(
+        spark,
+        [path],
+        ConvertOptions(columns=("source", "path", "size", "hash", "format")),
+    )
+    assert df.columns == ["source", "path", "size", "hash", "format"]
+    return df.select(
+        "path",
+        "size",
+        F.lower(F.hex("hash")).alias("hash_hex"),
+        "format",
+    )
+
+
+def _pruned_manifest_oracle_sql() -> str:
+    def fmt(payload: bytes) -> str:
+        return "executable" if payload[:4] == b"\x7fELF" else "unknown"
+
+    rows = ",\n  ".join(
+        f"('{name}', {len(payload)}, "
+        f"'{hashlib.sha256(payload).hexdigest()}', '{fmt(payload)}')"
+        for name, payload in _PRUNE_FILES.items()
+    )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + rows
+        + "\n) t(path, size, hash_hex, format)"
+    )
+
+
+SOURCE_PRUNED_MANIFEST_SQL = _pruned_manifest_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Multimodal resize: box-filter thumbnailing with closed-form oracles
 # ---------------------------------------------------------------------------
@@ -2949,6 +3027,10 @@ CATALOG = {
         SOURCE_INCREMENTAL_SQL,
     ),
     "source_nested_walk": (source_nested_walk, SOURCE_NESTED_WALK_SQL),
+    "source_pruned_manifest": (
+        source_pruned_manifest,
+        SOURCE_PRUNED_MANIFEST_SQL,
+    ),
     "sketch_kmv_overlap": (sketch_kmv_overlap, SKETCH_KMV_SQL),
     "sketch_hdr_quantiles": (sketch_hdr_quantiles, SKETCH_HDR_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),

@@ -34,29 +34,34 @@ _BATCH_ROWS = 1024  # reference src/batch.rs:78
 
 # mirrors ENTRY_SCHEMA_DDL; the walker hands Arrow batches straight to
 # the JVM (mapInArrow) — no pandas object arrays in the hot path
-_ENTRY_PA_SCHEMA = pa.schema(
-    [
-        ("source", pa.string()),
-        ("path", pa.string()),
-        ("size", pa.int64()),
-        ("hash", pa.binary()),
-        ("content", pa.binary()),
-        ("format", pa.string()),
-    ]
-)
+_PA_TYPES = {
+    "source": pa.string(),
+    "path": pa.string(),
+    "size": pa.int64(),
+    "hash": pa.binary(),
+    "content": pa.binary(),
+    "format": pa.string(),
+}
+_DDL_TYPES = {
+    "source": "string",
+    "path": "string",
+    "size": "long",
+    "hash": "binary",
+    "content": "binary",
+    "format": "string",
+}
+ENTRY_COLUMNS = tuple(_PA_TYPES)
 
 
-def _rows_to_batch(rows: list) -> pa.RecordBatch:
+def _rows_to_batch(
+    rows: list, columns: tuple[str, ...] = ENTRY_COLUMNS
+) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(
         [
-            pa.array([r.source for r in rows], pa.string()),
-            pa.array([r.path for r in rows], pa.string()),
-            pa.array([r.size for r in rows], pa.int64()),
-            pa.array([r.hash for r in rows], pa.binary()),
-            pa.array([r.content for r in rows], pa.binary()),
-            pa.array([r.format for r in rows], pa.string()),
+            pa.array([getattr(r, c) for r in rows], _PA_TYPES[c])
+            for c in columns
         ],
-        schema=_ENTRY_PA_SCHEMA,
+        schema=pa.schema([(c, _PA_TYPES[c]) for c in columns]),
     )
 
 
@@ -71,6 +76,12 @@ def _make_walk_partition(options: ConvertOptions):
     reference's dual cap)."""
 
     batch_bytes = options.batch_size
+    # canonical column order regardless of how the subset was spelled
+    columns = (
+        tuple(c for c in ENTRY_COLUMNS if c in options.columns)
+        if options.columns
+        else ENTRY_COLUMNS
+    )
 
     def walk_partition(
         batches: Iterator[pa.RecordBatch],
@@ -94,27 +105,27 @@ def _make_walk_partition(options: ConvertOptions):
                         row_iter = walk_stream(input_path, stream, size, options)
                         for row in row_iter:
                             pending.append(row)
-                            pending_bytes += len(row.content)
+                            pending_bytes += len(row.content or b"")
                             if (
                                 len(pending) >= _BATCH_ROWS
                                 or pending_bytes >= batch_bytes
                             ):
-                                yield _rows_to_batch(pending)
+                                yield _rows_to_batch(pending, columns)
                                 pending, pending_bytes = [], 0
                     finally:
                         stream.close()
                 else:
                     for row in walk_path(input_path, options):
                         pending.append(row)
-                        pending_bytes += len(row.content)
+                        pending_bytes += len(row.content or b"")
                         if (
                             len(pending) >= _BATCH_ROWS
                             or pending_bytes >= batch_bytes
                         ):
-                            yield _rows_to_batch(pending)
+                            yield _rows_to_batch(pending, columns)
                             pending, pending_bytes = [], 0
         if pending:
-            yield _rows_to_batch(pending)
+            yield _rows_to_batch(pending, columns)
 
     return walk_partition
 
@@ -126,7 +137,15 @@ def read_archives(
     urls: bool = False,
 ) -> DataFrame:
     """Entries DataFrame from local archive paths (or URLs with
-    ``urls=True``). One Spark task per input."""
+    ``urls=True``). One Spark task per input.
+
+    ``options.columns`` prunes the output projection INSIDE the walker:
+    with ``content`` excluded, entry payloads are stream-hashed but
+    never buffered, shipped through Arrow, or materialized as JVM rows
+    — the scan-side column pruning the Python DataSource API cannot do
+    automatically (Spark 4.1 hands the reader the full schema whatever
+    the query projects; verified empirically). The reference cannot do
+    this at all — its sink schema is fixed (src/batch.rs:21-34)."""
     options = options or ConvertOptions()
     options.validate()
     if not paths:
@@ -152,7 +171,15 @@ def read_archives(
     paths_df = spark.createDataFrame(
         rdd, "input_path string, is_url boolean"
     )
-    return paths_df.mapInArrow(_make_walk_partition(options), ENTRY_SCHEMA_DDL)
+    if options.columns is None:
+        ddl = ENTRY_SCHEMA_DDL
+    else:
+        ddl = ", ".join(
+            f"{c} {_DDL_TYPES[c]}"
+            for c in ENTRY_COLUMNS
+            if c in options.columns
+        )
+    return paths_df.mapInArrow(_make_walk_partition(options), ddl)
 
 
 # stat-ing a manifest beyond this on the driver costs more than the

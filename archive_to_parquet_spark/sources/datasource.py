@@ -16,7 +16,10 @@ Usage::
 
 Options: ``paths`` (comma-separated), ``glob`` (shell glob), ``urls``
 ("true" → paths are http(s) URLs), ``extract_strings``, ``max_depth``,
-``batch_rows``.
+``batch_rows``, ``columns`` (comma-separated projection — excluding
+``content`` makes the walker stream-hash without ever buffering entry
+payloads; the Python DataSource API cannot see the query's projection,
+so pruning is an explicit option, not automatic).
 """
 
 from __future__ import annotations
@@ -24,8 +27,17 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
 
 from archive_to_parquet_spark.schema import ENTRY_SCHEMA
+
+
+def _parse_columns(raw: str | None) -> tuple[str, ...] | None:
+    """Comma-separated projection option → canonical-order tuple."""
+    if not raw:
+        return None
+    wanted = {c.strip() for c in raw.split(",") if c.strip()}
+    return tuple(f.name for f in ENTRY_SCHEMA.fields if f.name in wanted)
 
 
 class ArchivePartition(InputPartition):
@@ -42,7 +54,10 @@ class ArchiveDataSource(DataSource):
         return "archive"
 
     def schema(self):
-        return ENTRY_SCHEMA
+        cols = _parse_columns(self.options.get("columns"))
+        if cols is None:
+            return ENTRY_SCHEMA
+        return StructType([f for f in ENTRY_SCHEMA.fields if f.name in cols])
 
     def reader(self, schema) -> "ArchiveReader":
         return ArchiveReader(self.options)
@@ -77,11 +92,14 @@ class ArchiveReader(DataSourceReader):
         from archive_to_parquet_spark.sources.url_source import open_url
         from archive_to_parquet_spark.sources.walker import walk_path, walk_stream
 
+        columns = _parse_columns(self.options.get("columns"))
         options = ConvertOptions(
             extract_strings=str(self.options.get("extract_strings", "false")).lower()
             == "true",
             max_depth=int(self.options.get("max_depth", 16)),
+            columns=columns,
         )
+        options.validate()
         batch_rows = int(self.options.get("batch_rows", 1024))
 
         def batches(rows_iter):
@@ -94,15 +112,21 @@ class ArchiveReader(DataSourceReader):
             if buf:
                 yield _to_arrow(buf)
 
+        _types = {
+            "source": pa.string(),
+            "path": pa.string(),
+            "size": pa.int64(),
+            "hash": pa.binary(),
+            "content": pa.binary(),
+            "format": pa.string(),
+        }
+        out_cols = columns or tuple(_types)
+
         def _to_arrow(rows) -> pa.RecordBatch:
             return pa.RecordBatch.from_pydict(
                 {
-                    "source": [r.source for r in rows],
-                    "path": [r.path for r in rows],
-                    "size": pa.array([r.size for r in rows], type=pa.int64()),
-                    "hash": pa.array([r.hash for r in rows], type=pa.binary()),
-                    "content": pa.array([r.content for r in rows], type=pa.binary()),
-                    "format": [r.format for r in rows],
+                    c: pa.array([getattr(r, c) for r in rows], type=_types[c])
+                    for c in out_cols
                 }
             )
 

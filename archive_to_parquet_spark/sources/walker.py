@@ -81,7 +81,7 @@ class EntryRow:
     path: str
     size: int
     hash: bytes
-    content: bytes
+    content: bytes | None  # None under column pruning (options.columns)
     format: str
 
 
@@ -324,6 +324,30 @@ def _hashed_copy(stream) -> tuple[bytes, bytes, int]:
     except (OSError, EOFError, lzma.LZMAError, zipfile.BadZipFile, tarfile.ReadError):
         pass  # truncated content is emitted as-is
     return b"".join(chunks), hasher.digest(), total
+
+
+def _hashed_meta(stream) -> tuple[bytes, bytes, int]:
+    """Read to EOF with fused SHA-256 WITHOUT buffering the payload —
+    the column-pruned ingest path (``options.columns`` excludes
+    ``content``): only the first PEEK_SIZE bytes are kept for format
+    refinement, so a manifest / hash-only-dedup scan never materializes
+    entry bytes beyond one 1 MiB copy buffer. Same truncation
+    tolerance as `_hashed_copy`."""
+    hasher = hashlib.sha256()
+    peek = b""
+    total = 0
+    try:
+        while True:
+            chunk = stream.read(_COPY_BUF)
+            if not chunk:
+                break
+            hasher.update(chunk)
+            if len(peek) < PEEK_SIZE:
+                peek += chunk[: PEEK_SIZE - len(peek)]
+            total += len(chunk)
+    except (OSError, EOFError, lzma.LZMAError, zipfile.BadZipFile, tarfile.ReadError):
+        pass
+    return peek, hasher.digest(), total
 
 
 # -- WARC record machinery -----------------------------------------------------
@@ -709,12 +733,30 @@ class Walker:
         yield from self._leaf(name, decoded, kind)
 
     def _leaf(self, name: str, decoded, kind: str) -> Iterator[EntryRow]:
-        content, digest, size = _hashed_copy(decoded)
-        fmt = kind if kind != "unknown" else detect_format(content[:PEEK_SIZE], None)
-        if self.options.extract_strings and fmt == "executable":
-            content = joined_ascii_strings(content, self.options.min_string_len)
-            digest = hashlib.sha256(content).digest()
-            size = len(content)
+        want_content = self.options.wants("content")
+        if want_content or self.options.extract_strings:
+            # extract_strings rewrites executable payloads, so hash/size
+            # depend on the full bytes even when content is pruned
+            content, digest, size = _hashed_copy(decoded)
+            fmt = (
+                kind
+                if kind != "unknown"
+                else detect_format(content[:PEEK_SIZE], None)
+            )
+            if self.options.extract_strings and fmt == "executable":
+                content = joined_ascii_strings(
+                    content, self.options.min_string_len
+                )
+                digest = hashlib.sha256(content).digest()
+                size = len(content)
+            if not want_content:
+                content = None
+        else:
+            # pruned path: fused hash over a bounded copy buffer; only
+            # the sniff peek is retained
+            peek, digest, size = _hashed_meta(decoded)
+            fmt = kind if kind != "unknown" else detect_format(peek, None)
+            content = None
         row = EntryRow(
             source=self.source,
             path=self._nested_path(name),

@@ -263,3 +263,55 @@ def test_legacy_whole_file_offset_not_replayed(tmp_path):
     fresh = {"processed": {str(f): 0}}
     replay = list(reader.readBetweenOffsets(fresh, modern_end))
     assert [r[1] for r in replay] == ["x.txt"]
+
+
+def test_format_archive_columns_option_prunes_content(registered, archives):
+    """.option('columns', ...) without content: pruned schema, identical
+    metadata (hash/size/format computed by the stream-hash path), and
+    the walker never buffers payloads."""
+    full = (
+        registered.read.format("archive")
+        .option("paths", ",".join(archives))
+        .load()
+        .collect()
+    )
+    pruned_df = (
+        registered.read.format("archive")
+        .option("paths", ",".join(archives))
+        .option("columns", "source,path,size,hash,format")
+        .load()
+    )
+    assert pruned_df.columns == ["source", "path", "size", "hash", "format"]
+    pruned = pruned_df.collect()
+    key = lambda r: (r.source, r.path)  # noqa: E731
+    assert {
+        (key(r), r.size, bytes(r.hash), r.format) for r in pruned
+    } == {(key(r), r.size, bytes(r.hash), r.format) for r in full}
+
+
+def test_format_archive_columns_preserves_extract_strings_hash(
+    registered, tmp_path
+):
+    """Pruned content + extract_strings: hash/size must reflect the
+    REWRITTEN executable payload (full-copy path), not the raw bytes."""
+    exe = b"\x7fELF" + b"\x00" * 20 + b"this_is_a_long_ascii_run" + b"\x01" * 9
+    t = tmp_path / "e.tar"
+    t.write_bytes(tar_archive({"prog": exe}))
+    full = (
+        registered.read.format("archive")
+        .option("paths", str(t))
+        .option("extract_strings", "true")
+        .load()
+        .collect()
+    )
+    pruned = (
+        registered.read.format("archive")
+        .option("paths", str(t))
+        .option("extract_strings", "true")
+        .option("columns", "path,size,hash,format")
+        .load()
+        .collect()
+    )
+    assert {(r.path, r.size, bytes(r.hash)) for r in pruned} == {
+        (r.path, r.size, bytes(r.hash)) for r in full
+    }

@@ -516,3 +516,68 @@ def test_deb_package_walks_end_to_end():
         ("control.tar.gz/control", b"Package: demo\n"),
         ("data.tar.xz/./usr/bin/demo", b"#!/bin/sh\necho demo\n"),
     ]
+
+
+def test_hashed_meta_streams_without_buffering():
+    """The pruned-path copy keeps only the sniff peek: hash/size equal
+    the full read, retained bytes are capped at PEEK_SIZE."""
+    import hashlib
+    import io
+
+    from archive_to_parquet_spark.functions.sniff import PEEK_SIZE
+    from archive_to_parquet_spark.sources.walker import _hashed_meta
+
+    payload = bytes(range(256)) * 40_000  # ~10 MB
+    peek, digest, size = _hashed_meta(io.BytesIO(payload))
+    assert size == len(payload)
+    assert digest == hashlib.sha256(payload).digest()
+    assert len(peek) == PEEK_SIZE
+    assert peek == payload[:PEEK_SIZE]
+
+
+def test_walker_column_pruning_matches_full_walk(tmp_path):
+    """columns without content: rows carry content=None but identical
+    (path, size, hash, format) — including nested archives and format
+    refinement via the peek."""
+    import io
+
+    from archive_to_parquet_spark.options import ConvertOptions
+    from archive_to_parquet_spark.sources.walker import walk_stream
+    from tests.conftest import gzip_data, tar_archive, zip_archive
+
+    blob = tar_archive(
+        {
+            "a.txt": b"alpha beta gamma",
+            "inner.zip": zip_archive({"deep/b.bin": bytes(range(200))}),
+            "c.gz": gzip_data(b"squeezed"),
+        }
+    )
+    full = list(
+        walk_stream("t.tar", io.BytesIO(blob), len(blob), ConvertOptions())
+    )
+    pruned = list(
+        walk_stream(
+            "t.tar",
+            io.BytesIO(blob),
+            len(blob),
+            ConvertOptions(columns=("source", "path", "size", "hash", "format")),
+        )
+    )
+    assert all(r.content is None for r in pruned)
+    assert [(r.path, r.size, r.hash, r.format) for r in pruned] == [
+        (r.path, r.size, r.hash, r.format) for r in full
+    ]
+
+
+def test_options_columns_validation():
+    import pytest as _pytest
+
+    from archive_to_parquet_spark.options import ConvertOptions, IncludeType
+
+    with _pytest.raises(ValueError, match="subset"):
+        ConvertOptions(columns=("nope",)).validate()
+    with _pytest.raises(ValueError, match="pruned"):
+        ConvertOptions(
+            columns=("path",), include=IncludeType.TEXT
+        ).validate()
+    ConvertOptions(columns=("path", "hash")).validate()  # ok
