@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-count", type=int, default=14)
     p.add_argument("--batch-size", type=_parse_size, default=100 * 1024 * 1024)
     p.add_argument("--extract-executable-strings", action="store_true")
+    p.add_argument("--columns", default=None,
+                   help="comma-separated output projection (subset of "
+                        "source,path,size,hash,content,format); omitting "
+                        "'content' makes the walker stream-hash without "
+                        "buffering payloads — the fast manifest/"
+                        "dedup-prepass scan (engine extension; the "
+                        "reference's sink schema is fixed)")
     p.add_argument("--single-file", action="store_true",
                    help="coalesce output to one file (reference layout parity)")
     p.add_argument("--deterministic-dedup", action="store_true")
@@ -143,6 +150,11 @@ def main(argv: list[str] | None = None) -> int:
         extract_strings=args.extract_executable_strings,
         single_file=args.single_file,
         deterministic_dedup=args.deterministic_dedup,
+        columns=(
+            tuple(c.strip() for c in args.columns.split(",") if c.strip())
+            if args.columns
+            else None
+        ),
     )
     options.validate()
     paths = get_paths(args.paths)

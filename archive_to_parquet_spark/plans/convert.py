@@ -58,7 +58,7 @@ def entries_pipeline(
             else dedup_exact(df, "hash")
         )
     if not options.emit_format_column:
-        df = df.select(*REFERENCE_COLUMNS)
+        df = df.select(*[c for c in REFERENCE_COLUMNS if c in df.columns])
     return df
 
 
@@ -122,7 +122,10 @@ def convert(
     df = df.observe(
         obs,
         F.count(F.lit(1)).alias("output_rows"),
-        F.coalesce(F.sum("size"), F.lit(0)).alias("output_bytes"),
+        # size may be pruned from the projection (options.columns)
+        F.coalesce(
+            F.sum("size") if "size" in df.columns else F.lit(0), F.lit(0)
+        ).alias("output_bytes"),
     )
     write_parquet(df, output, options)
     counters = ConversionCounters(

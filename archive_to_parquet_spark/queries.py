@@ -3842,88 +3842,88 @@ _CATALOG.update(_ext2.CATALOG)
 
 # Static, hand-maintained coverage schedule.  The external correctness
 # gate samples roughly the first 50 ``queries()`` entries per run, so a
-# 169-entry catalog needs a deliberate front-of-list.  Round-5 rotation
-# (per VERDICT r4 asks #1/#4): slots 1-20 are the 20 entries that have
-# never had an official driver correctness row (they were at positions
-# 51-70 in the round-4 schedule, outside the driver's window); slots
-# 21-50 are a regression-guard cohort — the reference-surface queries
-# q1-q6, the ingest certification entries, the three round-3 hash-fail
-# entries (fixed by the HUGEINT oracle cast), and the exact-integer
-# money-refactor cohort (tpch_*, pricing/revenue rollups, streaming
-# sums) whose oracle SQL changed wholesale in round 4 — then everything
-# else in original catalog insertion order.  This list is a plain
-# literal on purpose: the ordering must be deterministic and
-# independent of any files on disk (a previous revision derived it from
-# CORRECTNESS_r*.json artifacts at call time, which made the public
-# API's ordering nondeterministic and self-referential).  Update it by
-# hand between rounds; `tools/check_correctness.py` always runs ALL
-# entries regardless of order.
+# 180+-entry catalog needs a deliberate front-of-list.  Round-6
+# rotation (per VERDICT r5 asks #1/#6): cumulative driver coverage hit
+# 180/180 in round 5, so the window now chases FRESHNESS — slots 1-2
+# are the round-6 additions (never driver-sampled), slots 3-40 the
+# stalest cohort (entries whose most recent driver row is r1/r2,
+# predating the r4 exact-integer/dtype overhaul and the r5
+# scan-spread changes to shared machinery), and slots 41-50 the
+# permanent reference-parity spine the verdict requires in EVERY
+# window (q1-q6 family + the two ingest source certifications).  Five
+# r2-stale self-contained function batteries (rel_math/string/array/
+# set_ops/intersect) spill to slots 51-55 and lead the next rotation
+# together with the 45 r3-stale entries that follow in catalog order.
+# This list is a plain literal on purpose: the ordering must be
+# deterministic and independent of any files on disk (a previous
+# revision derived it from CORRECTNESS_r*.json artifacts at call time,
+# which made the public API's ordering nondeterministic and
+# self-referential).  Update it by hand between rounds;
+# `tools/check_correctness.py` always runs ALL entries regardless of
+# order.
 _SCHEDULE_FRONT: tuple[str, ...] = (
-    # -- slots 1-20: never driver-sampled (first official row this round)
-    "rel_decayed_sum",
-    "curation_domain_cap",
-    "rel_gapfill_hourly",
-    "chunk_documents",
-    "text_tfidf_terms",
-    "rel_session_window_native",
-    "rel_unpivot_part_metrics",
-    "text_readability",
-    "audit_benford_prices",
-    "rel_lateral_topk",
-    "rel_window_funcs_panel",
-    "text_boilerplate_removal",
-    "rel_variant_json",
-    "rel_sql_udf_priceband",
-    "rel_rank_functions",
-    "rel_datetime_funcs",
-    "rel_trailing_window_avg",
-    "mixture_sample_epoch",
-    "rel_scd2_intervals",
-    "sample_fixed_per_lang",
-    # -- slots 21-23: new in round 5, also never driver-sampled
-    "text_lm_perplexity",
-    "dsir_importance_weights",
-    "multimodal_profile",
-    # -- slots 24-31: reference-surface core (q1-q6 family)
+    # -- slots 1-2: new in round 6, never driver-sampled
+    "cluster_dbscan_lsh",
+    "source_pruned_manifest",
+    # -- slots 3-4: last driver row r1
+    "ann_cosine_topk",
+    "text_fingerprint",
+    # -- slots 5-40: last driver row r2 (dedup/ANN/relational battery
+    # named in the r5 verdict; shared-machinery entries first)
+    "dedup_minhash",
+    "dedup_semantic",
+    "dedup_embedding_lsh",
+    "dedup_exact_docs",
+    "dedup_near_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_lang_id",
+    "text_quality",
+    "text_token_counts",
+    "text_bigram_topk",
+    "rel_asof_click_before_purchase",
+    "rel_cohort_retention",
+    "rel_cube_orders",
+    "rel_customers_without_orders",
+    "rel_events_hourly",
+    "rel_funnel",
+    "rel_fuzzy_match",
+    "rel_grouping_sets",
+    "rel_hourly_anomalies",
+    "rel_json_props",
+    "rel_order_priority_counts",
+    "rel_orders_above_customer_avg",
+    "rel_part_type_stats",
+    "rel_percentiles",
+    "rel_pivot_status",
+    "rel_posexplode_words",
+    "rel_range_join_price_bands",
+    "rel_revenue_by_nation",
+    "rel_rollup_sales",
+    "rel_running_totals",
+    "rel_sessionize",
+    "rel_ship_delay_by_year",
+    "rel_supplier_balance_by_nation",
+    "rel_top_orders",
+    "rel_window_top3_per_cust",
+    "rel_math_funcs",
+    "rel_string_funcs",
+    # -- slots 43-50: permanent reference-parity spine (every round —
+    # the verdict-named 8; the q2b/q4b variants were freshly certified
+    # in r5 and share their machinery with q2/q4, so they rotate like
+    # ordinary entries)
     "q1_projection_hash",
     "q2_include_text",
-    "q2b_utf8_binary",
     "q3_size_filter",
     "q4_dedup_hash_groups",
-    "q4b_distinct_hash_count",
     "q5_extract_strings",
     "q6_union_group",
-    # -- slots 32-36: ingest-path certification re-confirmation
     "source_nested_walk",
     "source_url_ingest",
-    "source_incremental_convert",
-    "crawl_warc_to_documents",
-    "stream_archive_ingest",
-    # -- slots 37-39: round-3 hash-fails (HUGEINT oracle fix, 2nd green)
-    "vocab_coverage",
-    "pack_sequences",
-    "tpch_q12_priority_split",
-    # -- slots 40-42: exact-integer money refactor cohort (the
-    # VERDICT-named entries; tpch_q06/tpch_q03/rel_revenue_by_nation
-    # guards dropped — green r2-r4 with unchanged code — to keep every
-    # never-sampled round-5 entry inside the ~50 window)
-    "tpch_q01_pricing_summary",
-    "rel_pricing_summary",
-    "stream_events_hourly",
-    # -- slots 43-50: round-5 additions (never sampled) + near-dup
-    # guard (dedup_exact/cluster_kmeans/multimodal_content guards
-    # dropped — all were driver-green in r4 or r2 with unchanged code;
-    # the new entries have never had a driver row; dedup_minhash at 51
-    # is best-effort if the window stretches)
-    "sketch_kmv_overlap",
-    "sketch_hdr_quantiles",
-    "split_leakage_safe",
-    "multimodal_resize",
-    "stream_neardup_incremental",
-    "dedup_substring_exact",
-    "dedup_cdc_chunks",
-    "dedup_cdc_gear",
-    "dedup_minhash",
+    # -- slots 51-53: r2-stale spill (lead the round-7 rotation)
+    "rel_array_funcs",
+    "rel_set_ops",
+    "rel_intersect_having",
 )
 
 
