@@ -330,15 +330,15 @@ def _fake_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
 
 def _real_decode_image(data: bytes) -> tuple[int, int, int, list[float]]:
     """Codec-free formats (PPM/PGM/uncompressed BMP, non-interlaced
-    8/16-bit PNG via stdlib zlib, baseline-Huffman JPEG via the
-    pure-stdlib entropy decoder, GIF via pure-stdlib LZW, and
-    uncompressed 8-bit TIFF) yield REAL pixel features: a 4×4 grid
-    of box-mean luminances scaled to [-1, 1]. Header-only formats
-    (WEBP, compressed/tiled TIFF, plus PNGs outside the
+    8/16-bit PNG via stdlib zlib, baseline AND progressive Huffman
+    JPEG via the pure-stdlib entropy decoders, GIF via pure-stdlib
+    LZW, and uncompressed 8-bit TIFF) yield REAL pixel features: a
+    4×4 grid of box-mean luminances scaled to [-1, 1]. Header-only
+    formats (WEBP, compressed/tiled TIFF, plus PNGs outside the
     stdlib-decodable subset) yield true dims with a hash-fingerprint
     feature (pixels need a codec lib); JPEG coding processes outside
-    baseline (progressive / arithmetic / lossless) and unknown magic
-    raise NotImplementedError — the loud codec boundary."""
+    Huffman DCT (arithmetic / lossless / differential) and unknown
+    magic raise NotImplementedError — the loud codec boundary."""
     gray = decode_pixels(data)
     if gray is not None:
         parsed = parse_image_header(data)
@@ -893,10 +893,12 @@ _JPEG_ZIGZAG = (
 )
 
 # SOF markers by coding process: baseline/extended-sequential Huffman
-# are decodable here; everything else is the loud codec boundary.
+# and progressive Huffman (SOF2, multi-scan — see
+# _jpeg_pixels_progressive) are decodable here; everything else is the
+# loud codec boundary.
 _JPEG_SOF_BASELINE = {0xC0, 0xC1}
+_JPEG_SOF_PROGRESSIVE = 0xC2
 _JPEG_SOF_UNSUPPORTED = {
-    0xC2: "progressive",
     0xC3: "lossless",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -1049,10 +1051,12 @@ def _jpeg_pixels(d: bytes):
     restart markers, DC prediction) → dequantize → 8×8 IDCT. Chroma
     blocks are entropy-decoded to keep the bitstream in sync but not
     reconstructed: grayscale output == the Y plane, which is the same
-    BT.601 luma the PNG/BMP paths compute from RGB. None for non-JPEG
-    bytes, malformed/truncated streams, and out-of-scope processes
-    (progressive/arithmetic/lossless — `_jpeg_unsupported_kind` names
-    them so decode="real" can raise the loud codec boundary).
+    BT.601 luma the PNG/BMP paths compute from RGB. Progressive
+    Huffman (SOF2) delegates to `_jpeg_pixels_progressive`. None for
+    non-JPEG bytes, malformed/truncated streams, and out-of-scope
+    processes (arithmetic/lossless/differential —
+    `_jpeg_unsupported_kind` names them so decode="real" can raise
+    the loud codec boundary).
 
     Scale note: this is the correctness tier — a pure-Python Huffman
     loop (~1 MB/s/core). At 100 TB the hash-fingerprint tier or a real
@@ -1117,6 +1121,8 @@ def _jpeg_pixels(d: bytes):
                 i += total
         elif marker in _JPEG_SOF_BASELINE:
             sof = body
+        elif marker == _JPEG_SOF_PROGRESSIVE:
+            return _jpeg_pixels_progressive(d)
         elif marker in _JPEG_SOF_UNSUPPORTED:
             return None  # named by _jpeg_unsupported_kind; loud in decode="real"
         elif marker == 0xDD:  # DRI
@@ -1207,6 +1213,333 @@ def _jpeg_pixels(d: bytes):
         # a marker mid-image means a truncated/corrupt stream
         if not (m.marker == 0xD9 and mcu_count >= mcus_x * mcus_y - 1):
             return None
+    return np.clip(y_plane[:h_img, :w_img], 0.0, 255.0)
+
+
+def _jpeg_pixels_progressive(d: bytes):
+    """Grayscale float64 (H, W) luma plane of a PROGRESSIVE Huffman
+    JPEG (SOF2) — REAL pixel decode, pure stdlib + numpy, T.81 §G.2:
+    coefficients accumulate across scans (DC first + successive-
+    approximation refinement; AC spectral-selection bands with EOBRUN
+    and, in refinement scans, correction bits for nonzero history —
+    the decode_mcu_AC_refine semantics every progressive decoder
+    implements), then one dequantize + 8×8 IDCT pass reconstructs the
+    Y plane. Interleaved (multi-component) DC scans walk MCU geometry;
+    AC scans are per-component non-interleaved by spec. Chroma
+    coefficients are entropy-decoded to keep the bitstream in sync but
+    not reconstructed (output == Y plane, as in `_jpeg_pixels`). None
+    for malformed/truncated streams.
+
+    Scale note: same correctness-tier contract as the baseline decoder
+    (~1 MB/s/core pure-Python entropy loop); the fingerprint tier or a
+    codec library is the 100-TB throughput path."""
+    import numpy as np
+
+    if d[:2] != b"\xff\xd8":
+        return None
+    n = len(d)
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    coeffs: dict[int, "np.ndarray"] = {}  # cid -> (bh, bw, 64) int32
+    nblocks: dict[int, tuple[int, int]] = {}  # cid -> actual (cbh, cbw)
+    hmax = vmax = mcus_x = mcus_y = 0
+    w_img = h_img = 0
+    saw_eoi = False
+
+    def parse_sof(body: bytes) -> bool:
+        nonlocal comps, hmax, vmax, mcus_x, mcus_y, w_img, h_img
+        if len(body) < 6:
+            return False
+        precision, h_, w_, ncomp = (
+            body[0],
+            *struct.unpack(">HH", body[1:5]),
+            body[5],
+        )
+        if precision != 8 or w_ == 0 or h_ == 0 or len(body) < 6 + 3 * ncomp:
+            return False
+        w_img, h_img = w_, h_
+        for c in range(ncomp):
+            cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+            comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if hmax == 0 or vmax == 0:
+            return False
+        if comps[0][1] != hmax or comps[0][2] != vmax:
+            return False  # luma must be full-resolution (as in baseline)
+        mcus_x = (w_img + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h_img + 8 * vmax - 1) // (8 * vmax)
+        for cid, hi, vi, _tq in comps:
+            cw = (w_img * hi + hmax - 1) // hmax
+            ch_ = (h_img * vi + vmax - 1) // vmax
+            nblocks[cid] = ((ch_ + 7) // 8, (cw + 7) // 8)
+            # padded to MCU geometry so interleaved DC scans can index
+            coeffs[cid] = np.zeros(
+                (mcus_y * vi, mcus_x * hi, 64), dtype=np.int32
+            )
+        return True
+
+    def scan_entropy(body: bytes, start: int) -> int | None:
+        """Decode one scan's entropy data; returns the byte offset just
+        past it (at the next marker), or None on malformed input."""
+        ns = body[0]
+        if len(body) < 4 + 2 * ns:
+            return None
+        sel = []  # (cid, hi, vi, dc_tbl, ac_tbl)
+        by_id = {c[0]: c for c in comps}
+        for c in range(ns):
+            cs, tt = body[1 + 2 * c : 3 + 2 * c]
+            if cs not in by_id:
+                return None
+            sel.append((cs, by_id[cs][1], by_id[cs][2], tt >> 4, tt & 0x0F))
+        ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+        ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+        if ss > se or se > 63:
+            return None
+        if ss == 0 and se != 0:
+            return None  # DC and AC never share a progressive scan
+        if ss > 0 and ns != 1:
+            return None  # AC scans are non-interleaved by spec
+        br = _JpegBits(d, start)
+        preds = {cid: 0 for cid, *_ in sel}
+        eobrun = 0
+        p1 = 1 << al
+        m1 = -p1
+
+        def dc_first(blk, cid, dc_tbl) -> None:
+            t = br.decode_huffman(dc_tbl)
+            preds[cid] += _jpeg_extend(br.receive(t), t)
+            blk[0] = preds[cid] << al
+
+        def dc_refine(blk) -> None:
+            if br.read_bit():
+                blk[0] |= p1
+
+        def ac_first(blk, ac_tbl) -> None:
+            nonlocal eobrun
+            if eobrun:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = br.decode_huffman(ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.receive(r)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise _JpegMarker(0xD9)  # malformed band overrun
+                blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(br.receive(s), s) << al
+                k += 1
+
+        def _correct(blk, z) -> None:
+            if br.read_bit() and not (int(blk[z]) & p1):
+                blk[z] += p1 if blk[z] >= 0 else m1
+
+        def ac_refine(blk, ac_tbl) -> None:
+            nonlocal eobrun
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = br.decode_huffman(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.receive(r)
+                            break
+                        # ZRL: advance over 16 zero-history coefficients
+                    else:
+                        # s must be 1 in a refinement scan
+                        val = p1 if br.read_bit() else m1
+                    while k <= se:
+                        z = _JPEG_ZIGZAG[k]
+                        if blk[z] != 0:
+                            _correct(blk, z)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[_JPEG_ZIGZAG[k]] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    z = _JPEG_ZIGZAG[k]
+                    if blk[z] != 0:
+                        _correct(blk, z)
+                    k += 1
+                eobrun -= 1
+
+        def do_unit(cid, hi, vi, td, ta, by, bx) -> None:
+            blk = coeffs[cid][by, bx]
+            if ss == 0:
+                tbl = huff.get((0, td))
+                if ah == 0:
+                    if tbl is None:
+                        raise _JpegMarker(0xD9)
+                    dc_first(blk, cid, tbl)
+                else:
+                    dc_refine(blk)
+            else:
+                tbl = huff.get((1, ta))
+                if tbl is None:
+                    raise _JpegMarker(0xD9)
+                if ah == 0:
+                    ac_first(blk, tbl)
+                else:
+                    ac_refine(blk, tbl)
+
+        rst_n = 0
+        unit_count = 0
+
+        def maybe_restart() -> bool:
+            nonlocal rst_n, eobrun, preds
+            if (
+                restart_interval
+                and unit_count
+                and unit_count % restart_interval == 0
+            ):
+                if not br.align_and_expect_rst(rst_n):
+                    return False
+                rst_n = (rst_n + 1) & 7
+                preds = {cid: 0 for cid, *_ in sel}
+                eobrun = 0
+            return True
+
+        try:
+            if ns > 1:
+                # interleaved (DC) scan: MCU geometry
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if not maybe_restart():
+                            return None
+                        for cid, hi, vi, td, ta in sel:
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    do_unit(
+                                        cid, hi, vi, td, ta,
+                                        my * vi + by, mx * hi + bx,
+                                    )
+                        unit_count += 1
+            else:
+                # non-interleaved: the component's ACTUAL block grid
+                cid, hi, vi, td, ta = sel[0]
+                cbh, cbw = nblocks[cid]
+                for by in range(cbh):
+                    for bx in range(cbw):
+                        if not maybe_restart():
+                            return None
+                        do_unit(cid, hi, vi, td, ta, by, bx)
+                        unit_count += 1
+        except _JpegMarker:
+            return None  # truncated / malformed mid-scan
+        # byte-align and walk forward to the next marker (skipping the
+        # pad bits and any stuffed 0xFF00 stragglers)
+        pos_ = br.pos
+        while pos_ + 1 < n and not (
+            d[pos_] == 0xFF and d[pos_ + 1] != 0x00
+        ):
+            pos_ += 1
+        return pos_
+
+    pos = 2
+    while pos + 2 <= n:
+        if d[pos] != 0xFF:
+            return None
+        while pos + 2 < n and d[pos + 1] == 0xFF:
+            pos += 1
+        marker = d[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            saw_eoi = True
+            break
+        if pos + 4 > n:
+            return None  # segment marker with no room for its length
+        seglen = int.from_bytes(d[pos + 2 : pos + 4], "big")
+        body = d[pos + 4 : pos + 2 + seglen]
+        if len(body) < seglen - 2:
+            return None
+        if marker == 0xDB:
+            i = 0
+            while i + 1 <= len(body):
+                pq, tq_ = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                width = 128 if pq else 64
+                if i + width > len(body):
+                    return None
+                if pq == 0:
+                    qt[tq_] = list(body[i : i + 64])
+                else:
+                    qt[tq_] = [
+                        int.from_bytes(body[j : j + 2], "big")
+                        for j in range(i, i + 128, 2)
+                    ]
+                i += width
+        elif marker == 0xC4:
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = body[i + 1 : i + 17]
+                total = sum(counts)
+                i += 17
+                if i + total > len(body):
+                    return None
+                huff[(tc, th)] = _jpeg_build_huffman(
+                    counts, body[i : i + total]
+                )
+                i += total
+        elif marker == _JPEG_SOF_PROGRESSIVE:
+            if comps or not parse_sof(body):
+                return None
+        elif marker in _JPEG_SOF_BASELINE or marker in _JPEG_SOF_UNSUPPORTED:
+            return None  # mixed/foreign frame type
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            if not comps:
+                return None
+            nxt = scan_entropy(body, pos + 2 + seglen)
+            if nxt is None:
+                return None
+            pos = nxt
+            continue
+        pos += 2 + seglen
+    if not comps or not saw_eoi:
+        return None  # no frame, or stream ended before EOI (truncated)
+    cid0, _hi, _vi, tq0 = comps[0]
+    if tq0 not in qt:
+        return None
+    qy = np.zeros(64, dtype=np.float64)
+    for k, lin in enumerate(_JPEG_ZIGZAG):
+        qy[lin] = qt[tq0][k]
+    qy = qy.reshape(8, 8)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    basis = np.cos((2 * x + 1) * u * np.pi / 16.0) * 0.5
+    basis[0, :] *= 1.0 / np.sqrt(2.0)
+    cbh, cbw = nblocks[cid0]
+    y_plane = np.zeros((cbh * 8, cbw * 8), dtype=np.float64)
+    c0 = coeffs[cid0]
+    for by in range(cbh):
+        for bx in range(cbw):
+            block = c0[by, bx].astype(np.float64).reshape(8, 8) * qy
+            y_plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                basis.T @ block @ basis + 128.0
+            )
     return np.clip(y_plane[:h_img, :w_img], 0.0, 255.0)
 
 

@@ -3862,9 +3862,12 @@ _CATALOG.update(_ext2.CATALOG)
 # `tools/check_correctness.py` always runs ALL entries regardless of
 # order.
 _SCHEDULE_FRONT: tuple[str, ...] = (
-    # -- slots 1-2: new in round 6, never driver-sampled
+    # -- slots 1-3: new or extended in round 6 (cluster_dbscan_lsh and
+    # source_pruned_manifest never driver-sampled;
+    # multimodal_content_decode gained the progressive-JPEG leg)
     "cluster_dbscan_lsh",
     "source_pruned_manifest",
+    "multimodal_content_decode",
     # -- slots 3-4: last driver row r1
     "ann_cosine_topk",
     "text_fingerprint",
@@ -3904,7 +3907,6 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "rel_sessionize",
     "rel_ship_delay_by_year",
     "rel_supplier_balance_by_nation",
-    "rel_top_orders",
     "rel_window_top3_per_cust",
     "rel_math_funcs",
     "rel_string_funcs",
@@ -3920,7 +3922,8 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "q6_union_group",
     "source_nested_walk",
     "source_url_ingest",
-    # -- slots 51-53: r2-stale spill (lead the round-7 rotation)
+    # -- slots 51-54: r2-stale spill (lead the round-7 rotation)
+    "rel_top_orders",
     "rel_array_funcs",
     "rel_set_ops",
     "rel_intersect_having",

@@ -767,6 +767,69 @@ def _jpeg_fixture() -> bytes:
 
 _JPEG_BLOB = _jpeg_fixture()
 
+
+def _jpeg_progressive_fixture() -> bytes:
+    """The same 16×8 two-block image (left 64, right 192) as
+    ``_jpeg_fixture`` encoded PROGRESSIVELY (SOF2) by hand, independent
+    of ``_jpeg_pixels_progressive``: a DC-first scan at Al=1
+    (successive approximation, point-transformed diffs −256/+512), one
+    AC scan whose band 1..63 is a single EOBRUN=2 spanning both blocks
+    (EOB1 symbol + one extension bit), and a DC refinement scan (one
+    appended bit per block). Constant blocks decode EXACTLY, so the
+    grid feature has the same closed forms as the baseline twin —
+    certifying successive approximation, EOBRUN spans, and multi-scan
+    coefficient accumulation in the driver gate."""
+    import struct as _s
+
+    def seg(marker: bytes, body: bytes) -> bytes:
+        return marker + _s.pack(">H", len(body) + 2) + body
+
+    def pack_bits(bits: list[int]) -> bytes:
+        bits = bits + [1] * (-len(bits) % 8)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+    def put(bits: list[int], value: int, n: int) -> None:
+        bits.extend((value >> i) & 1 for i in range(n - 1, -1, -1))
+
+    dqt = seg(b"\xff\xdb", bytes([0x00]) + bytes([1] * 64))
+    sof = seg(
+        b"\xff\xc2", bytes([8]) + _s.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    )
+    dht_dc = seg(
+        b"\xff\xc4",
+        bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)),
+    )
+    # AC table: single symbol EOB1 (0x10) at 1 bit (code 0)
+    dht_ac = seg(
+        b"\xff\xc4", bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x10])
+    )
+    # scan 1: DC first, Al=1 — v = dc >> 1: −256 then +256, diffs −256/+512
+    b1: list[int] = []
+    pred = 0
+    for dc in (8 * (64 - 128), 8 * (192 - 128)):
+        v = dc >> 1
+        diff = v - pred
+        pred = v
+        cat = abs(diff).bit_length()
+        put(b1, cat, 4)
+        put(b1, diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    sos1 = seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 0, 0x01])) + pack_bits(b1)
+    # scan 2: AC band 1..63 — EOB1 (code 0) + 1 extension bit 0 → EOBRUN=2
+    sos2 = seg(b"\xff\xda", bytes([1, 1, 0x00, 1, 63, 0x00])) + pack_bits(
+        [0, 0]
+    )
+    # scan 3: DC refinement (Ah=1, Al=0) — bit0 of each DC (both even → 0)
+    sos3 = seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 0, 0x10])) + pack_bits(
+        [0, 0]
+    )
+    return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos1 + sos2 + sos3 + b"\xff\xd9"
+
+
+_JPEG_PROG_BLOB = _jpeg_progressive_fixture()
+
 # 16×8 two-color GIF89a (left half palette (20,20,20), right half
 # (230,230,230)) generated by the FORWARD LZW encoder in
 # tests/test_gif_tiff_real.py (make_gif) and frozen here;
@@ -806,6 +869,11 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       through the REAL pure-stdlib JPEG entropy decoder — grid columns
       must hit the closed forms for 64 and 192, certifying Huffman
       decode, DC prediction, dequantize and IDCT end-to-end;
+    - the PROGRESSIVE (SOF2) twin of that image
+      (``_jpeg_progressive_fixture``: DC-first at Al=1 + EOBRUN=2 AC
+      scan + DC refinement bit, hand-encoded) goes through the REAL
+      multi-scan progressive decoder — same closed forms, certifying
+      successive approximation and cross-block EOBRUN accumulation;
     - a forward-LZW-encoded two-color GIF (``_GIF_BLOB``: left half
       luminance 20, right half 230, EXACT decode) goes through the
       REAL pure-stdlib GIF-LZW decoder — grid columns must hit the
@@ -846,6 +914,7 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp4 = F.unhex(F.lit(_MP4_BLOB.hex()))
     png = F.unhex(F.lit(_PNG_BLOB.hex()))
     jpg = F.unhex(F.lit(_JPEG_BLOB.hex()))
+    jpp = F.unhex(F.lit(_JPEG_PROG_BLOB.hex()))
     gif = F.unhex(F.lit(_GIF_BLOB.hex()))
     media = docs.select(
         "doc_id",
@@ -854,6 +923,7 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp4.alias("mp4"),
         png.alias("png"),
         jpg.alias("jpg"),
+        jpp.alias("jpp"),
         gif.alias("gif"),
     )
 
@@ -892,6 +962,18 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.element_at("feature", 4).cast("double") * 1e6 + F.lit(0.5)
         ).cast("long").alias("jpg_p03_e6"),
+    )
+    jpp_img = extract_image_features(
+        media, data_col="jpp", id_col="doc_id", decode="real"
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").alias("jpp_width"),
+        F.floor(
+            F.element_at("feature", 1).cast("double") * 1e6 + F.lit(0.5)
+        ).cast("long").alias("jpp_p00_e6"),
+        F.floor(
+            F.element_at("feature", 4).cast("double") * 1e6 + F.lit(0.5)
+        ).cast("long").alias("jpp_p03_e6"),
     )
     gif_img = extract_image_features(
         media, data_col="gif", id_col="doc_id", decode="real"
@@ -934,6 +1016,7 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         img.join(png_img, "doc_id")
         .join(jpg_img, "doc_id")
+        .join(jpp_img, "doc_id")
         .join(gif_img, "doc_id")
         .join(aud, "doc_id")
         .join(vid, "doc_id")
@@ -956,6 +1039,11 @@ SELECT doc_id,
             * 1000000 + 0.5) AS BIGINT) AS jpg_p00_e6,
        CAST(floor(CAST(CAST((192.0 / 255.0) * 2.0 - 1.0 AS FLOAT) AS DOUBLE)
             * 1000000 + 0.5) AS BIGINT) AS jpg_p03_e6,
+       16 AS jpp_width,
+       CAST(floor(CAST(CAST((64.0 / 255.0) * 2.0 - 1.0 AS FLOAT) AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) AS jpp_p00_e6,
+       CAST(floor(CAST(CAST((192.0 / 255.0) * 2.0 - 1.0 AS FLOAT) AS DOUBLE)
+            * 1000000 + 0.5) AS BIGINT) AS jpp_p03_e6,
        16 AS gif_width,
        CAST(floor(CAST(CAST((20.0 / 255.0) * 2.0 - 1.0 AS FLOAT) AS DOUBLE)
             * 1000000 + 0.5) AS BIGINT) AS gif_p00_e6,

@@ -264,22 +264,13 @@ def _warc_fixture(
 PIN = "tpch_q06_forecast_revenue"
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
-
-    from archive_to_parquet_spark import queries as catalog
-    from archive_to_parquet_spark.session import get_spark
-
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
+    """One full measurement sweep (ingest sections + query battery +
+    pin series). Returns the `full` result dict; the caller decides
+    whether the host was quiet enough to keep it."""
 
     def run_noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
-
-    # warm-up: JVM, codegen, parquet footer caches
-    run_noop(spark.read.parquet(f"{sf_dir}/nation.parquet"))
-
-    qs = catalog.queries()
 
     # warm the pin (codegen compile, shuffle-file reuse) then start the
     # pin series; every sample is a single execution by design — the pin
@@ -469,7 +460,7 @@ def main() -> int:
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    full = {
+    return {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -491,6 +482,56 @@ def main() -> int:
         "queries_normalized": per_query_norm,
         "tpch_normalized": tpch_norm,
     }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+
+    from archive_to_parquet_spark import queries as catalog
+    from archive_to_parquet_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    # warm-up: JVM, codegen, parquet footer caches
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    qs = catalog.queries()
+
+    # Retry-until-quiet (r5 verdict ask #4): a sweep whose pin series
+    # shows >15% median inflation ran on a measurably loaded host — its
+    # raw numbers understate the engine.  Re-run the whole sweep (up to
+    # SPARK_GRAFT_BENCH_ATTEMPTS, default 3) and keep the QUIETEST
+    # attempt (lowest pin median); stop early the moment an attempt is
+    # clean.  Fixtures are disk-cached, so retries pay only measurement
+    # time.
+    attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+    full = None
+    for attempt in range(1, attempts + 1):
+        cand = _run_sweep(spark, qs, sf_dir, cpus)
+        cand["pin"]["attempt"] = attempt
+        if full is None or cand["pin"]["median"] < full["pin"]["median"]:
+            full = cand
+        if not cand["pin"]["noisy"]:
+            break
+        print(
+            f"[bench] attempt {attempt}/{attempts} noisy "
+            f"(pin median inflation "
+            f"{cand['pin']['inflation_median_pct']}%) — "
+            + ("retrying" if attempt < attempts else "keeping quietest"),
+            file=sys.stderr,
+        )
+    full["pin"]["attempts_run"] = attempt  # chosen attempt is pin.attempt
+
+    per_query = full["queries"]
+    pin_stats = full["pin"]
+    ingest = full["ingest"]
+    ingest_pruned = full["ingest_pruned"]
+    ingest_warc = full["ingest_warc"]
+    total = full["value"]
+
     # the full per-query breakdown (190 entries) is ~3.5 KB — larger
     # than the 2000-char stdout tail the driver records, which left
     # BENCH_r02/r03 with parsed=None. Persist the full result to a
