@@ -474,6 +474,72 @@ def ngram_jaccard_pairs(
     return _exact_jaccard_on_pairs(candidates, sh, threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment C(a→b) = |S(a)∩S(b)| / |S(a)| ≥
+    threshold — the doc-in-doc detector (quoted articles, boilerplate-
+    wrapped copies, prefix extracts) that symmetric Jaccard misses:
+    a 30-word extract of a 500-word article has Jaccard ≈ 0.06 but
+    containment 1.0.
+
+    Exact-preserving prefix filter (the asymmetric half of ppjoin): if
+    C(a→b) ≥ t then the overlap O ≥ ⌈t·|a|⌉, so a's rare-prefix of
+    length |a| − ⌈t·|a|⌉ + 1 (shingles ranked by global document
+    frequency, rarest first) must share a shingle with b — candidates
+    join a-prefix shingles against the FULL inverted index on the b
+    side, never all-pairs. The exact score is computed per candidate
+    with array_intersect; ppm integer math end to end (shared·10⁶ div
+    |S(a)|), so the output hash-matches an independent SQL twin.
+
+    Scale shape: shuffles on shingle (df counts + candidate join) and
+    id (rank window, confirm joins); candidate count scales with rare-
+    prefix collisions, not n². Returns ordered (id_sub, id_sup,
+    containment_ppm) — both directions can appear for mutual near-dups.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(text_col, shingle_n)).alias("sh"),
+    ).localCheckpoint()  # feeds the index build and both confirm sides
+    exploded = sh.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
+    )
+    freq = exploded.groupBy("g").agg(F.count("*").alias("df_g"))
+    w = Window.partitionBy("id").orderBy("df_g", "g")
+    prefix = (
+        exploded.join(freq, "g")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(
+            F.col("rank")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select(F.col("id").alias("id_sub"), "g")
+    )
+    cand = (
+        prefix.join(
+            exploded.select(F.col("id").alias("id_sup"), "g"), "g"
+        )
+        .filter(F.col("id_sub") != F.col("id_sup"))
+        .select("id_sub", "id_sup")
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_sub"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_sup"), F.col("sh").alias("sh_b"))
+    ppm = F.expr(
+        "size(array_intersect(sh_a, sh_b)) * 1000000L div size(sh_a)"
+    )
+    return (
+        cand.join(a, "id_sub")
+        .join(b, "id_sup")
+        .select("id_sub", "id_sup", ppm.alias("containment_ppm"))
+        .filter(F.col("containment_ppm") >= int(threshold * 1_000_000))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

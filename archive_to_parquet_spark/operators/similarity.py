@@ -596,6 +596,155 @@ def pq_top_k_fixed_codebook(
     )
 
 
+def ivf_pq_top_k_fixed(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 10,
+    k_candidates: int = 50,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ — the production big-ANN composition (FAISS IVFPQ shape):
+    a coarse quantizer PRUNES (each corpus vector lives in one inverted
+    list; queries probe ``n_probe`` lists), product quantization
+    COMPRESSES (each pruned vector scans as m one-byte codes via the
+    asymmetric distance table), and an exact re-rank touches full
+    vectors only for the ``k_candidates`` ADC survivors. At 100 TB:
+    the list assignment + codes persist once (bucketBy on the list
+    id), a query batch broadcasts its probe set and distance tables,
+    and the scan cost is |probed lists| × m bytes — neither the full
+    corpus nor any full vectors except k_candidates × |queries| rows.
+
+    Determinism across engines: every squared distance (assignment,
+    ADC table, re-rank) is integerized PER ELEMENT (round(diff²·1e6)
+    summed as integers), so no float accumulation order or .5-rounding
+    hazard exists anywhere — a SQL twin replays assignment → probe →
+    encode → ADC → re-rank bit-for-bit. Returns
+    (query_id, rank, vec_id, d2_e6)."""
+
+    def d2e6(a_col, b_col):
+        return F.aggregate(
+            F.zip_with(
+                a_col,
+                b_col,
+                lambda x, y: F.round(
+                    (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double"))
+                    * 1e6,
+                    0,
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cent = F.broadcast(
+        centroids.select(F.col("cid"), F.col("centroid").alias("cent_v"))
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("cv")
+    )
+    assigned = (
+        c.join(cent)
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    d2e6(F.col("cv"), F.col("cent_v")).alias("d"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.cid").alias("bucket"))
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    q_probes = (
+        q.join(cent)
+        .select(
+            "query_id", "cid", d2e6(F.col("qv"), F.col("cent_v")).alias("d")
+        )
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", F.col("cid").alias("bucket"))
+    )
+    # the query universe: (query, corpus vector) pairs inside probed lists
+    probed = assigned.join(F.broadcast(q_probes), "bucket").select(
+        "query_id", "vec_id"
+    )
+
+    cb = F.broadcast(
+        codebook.select("s", "j", F.col("code_vec").alias("cbv"))
+    )
+
+    def sub_rows(df: DataFrame, id_col: str, vec_col: str, out_id: str):
+        slices = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.slice(F.col(vec_col), s * F.lit(sub_dim) + 1, sub_dim),
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(slices).alias("s", "sub")
+        )
+
+    sub_d2 = d2e6(F.col("sub"), F.col("cbv"))
+    codes = (
+        sub_rows(c, "vec_id", "cv", "vec_id")
+        .join(cb, "s")
+        .select("vec_id", "s", "j", sub_d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "j")).alias("mn"))
+        .select("vec_id", "s", F.col("mn.j").alias("j"))
+    )
+    qtab = (
+        sub_rows(q, "query_id", "qv", "query_id")
+        .join(cb, "s")
+        .select("query_id", "s", "j", sub_d2.alias("qd2"))
+    )
+    # ADC restricted to probed lists: explode candidates to their m
+    # codes, look each up in the query's distance table, sum integers
+    scored = (
+        probed.join(codes, "vec_id")
+        .join(F.broadcast(qtab), ["query_id", "s", "j"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").alias("approx_d2_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2_e6").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= k_candidates)
+        .select("query_id", "vec_id")
+    )
+    qfull = F.broadcast(q)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("d2_e6").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.join(c, "vec_id")
+        .join(qfull, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            d2e6(F.col("cv"), F.col("qv")).alias("d2_e6"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "d2_e6")
+    )
+
+
 def kmeans_fixed_rounds(
     corpus: DataFrame,
     init_centroids: DataFrame,

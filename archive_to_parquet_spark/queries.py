@@ -2272,6 +2272,67 @@ WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric doc-in-doc detection: shingle containment C(a→b) =
+    |S(a)∩S(b)|/|S(a)| ≥ 0.9 via the asymmetric prefix-filtered
+    inverted index (operators/dedup.containment_pairs) — the extract/
+    quote/boilerplate-wrap case symmetric Jaccard misses. Containment
+    pairs are PLANTED deterministically: every 40th document gets a
+    prefix-extract twin (its first 30 normalized words, doc_id +
+    3000000) whose shingle set is contained in the original's by
+    construction, so recall of the planted pairs is structural; the
+    oracle computes the same construction + exact containment brute-
+    force over the inverted index. Integer ppm scores — no float."""
+    from archive_to_parquet_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    planted = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+        F.array_join(F.slice(F.split(norm, " "), 1, 30), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return containment_pairs(
+        corpus, "doc_id", "text", shingle_n=3, threshold=0.9
+    ).orderBy("id_sub", "id_sup")
+
+
+DEDUP_CONTAINMENT_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+), corpus AS (
+  SELECT doc_id, t FROM base
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string((string_split(t, ' '))[1:30], ' ')
+  FROM base WHERE doc_id % 40 = 0
+), w AS (
+  SELECT doc_id, string_split(t, ' ') AS words FROM corpus
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(words) - 2, 1))]) AS grams
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), sizes AS (
+  SELECT doc_id, len(grams) AS n FROM sh
+), shared AS (
+  SELECT a.doc_id AS id_sub, b.doc_id AS id_sup, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_sub, id_sup,
+       CAST(shared * 1000000 // sa.n AS BIGINT) AS containment_ppm
+FROM shared
+JOIN sizes sa ON id_sub = sa.doc_id
+WHERE shared * 1000000 // sa.n >= 900000
+ORDER BY id_sub, id_sup
+"""
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs confirmed by exact Jaccard.
 
@@ -3768,6 +3829,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_bigram_topk": (text_bigram_topk, TEXT_BIGRAM_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
     "dedup_minhash": (dedup_minhash, DEDUP_NGRAM_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMBEDDING_LSH_SQL),
@@ -3862,11 +3924,13 @@ _CATALOG.update(_ext2.CATALOG)
 # `tools/check_correctness.py` always runs ALL entries regardless of
 # order.
 _SCHEDULE_FRONT: tuple[str, ...] = (
-    # -- slots 1-3: new or extended in round 6 (cluster_dbscan_lsh and
-    # source_pruned_manifest never driver-sampled;
+    # -- slots 1-6: new or extended in round 6 (never driver-sampled;
     # multimodal_content_decode gained the progressive-JPEG leg)
     "cluster_dbscan_lsh",
     "source_pruned_manifest",
+    "sketch_theta_setops",
+    "dedup_containment",
+    "ann_ivf_pq_topk",
     "multimodal_content_decode",
     # -- slots 3-4: last driver row r1
     "ann_cosine_topk",
@@ -3903,10 +3967,7 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "rel_range_join_price_bands",
     "rel_revenue_by_nation",
     "rel_rollup_sales",
-    "rel_running_totals",
     "rel_sessionize",
-    "rel_ship_delay_by_year",
-    "rel_supplier_balance_by_nation",
     "rel_window_top3_per_cust",
     "rel_math_funcs",
     "rel_string_funcs",
@@ -3922,7 +3983,10 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "q6_union_group",
     "source_nested_walk",
     "source_url_ingest",
-    # -- slots 51-54: r2-stale spill (lead the round-7 rotation)
+    # -- slots 51-57: r2-stale spill (lead the round-7 rotation)
+    "rel_running_totals",
+    "rel_ship_delay_by_year",
+    "rel_supplier_balance_by_nation",
     "rel_top_orders",
     "rel_array_funcs",
     "rel_set_ops",

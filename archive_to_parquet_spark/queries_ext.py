@@ -736,6 +736,125 @@ SELECT query_id, rank, vec_id, d2_e6 FROM (
 """
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition — the production big-ANN shape (coarse
+    inverted lists prune, PQ codes compress, exact re-rank touches
+    candidates only; operators/similarity.ivf_pq_top_k_fixed). Coarse
+    centroids are every 100th vector, the PQ codebook is the same
+    deterministic donor scheme as ann_pq_topk (vectors 0..127 donate
+    subvectors: 8 subspaces × 16 codes), queries are every 50th
+    vector, n_probe=2. Every distance is integerized per element, so
+    DuckDB replays assignment → probe → encode → ADC → re-rank
+    bit-for-bit."""
+    from archive_to_parquet_spark.operators.similarity import (
+        ivf_pq_top_k_fixed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") / 100).cast("int").alias("cid"),
+        F.col("embedding").alias("centroid"),
+    )
+    cb = emb.filter(F.col("vec_id") < 128).select(
+        (F.col("vec_id") / 16).cast("int").alias("s"),
+        (F.col("vec_id") % 16).cast("int").alias("j"),
+        F.slice(
+            "embedding", (F.col("vec_id") / 16).cast("int") * 8 + 1, 8
+        ).alias("code_vec"),
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_pq_top_k_fixed(
+        emb, cent, cb, q, m=8, sub_dim=8, k=10, k_candidates=50, n_probe=2
+    )
+
+
+# per-element integer micro-unit squared distance over a slice window
+def _d2e6_sql(a: str, b: str, lo: str, n: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {n + 1}), "
+        f"i -> round(({a}[{lo} + i]::DOUBLE - {b}[i]::DOUBLE) "
+        f"* ({a}[{lo} + i]::DOUBLE - {b}[i]::DOUBLE) * 1e6))) AS BIGINT)"
+    )
+
+
+ANN_IVF_PQ_SQL = f"""
+WITH cent AS (
+  SELECT CAST(vec_id // 100 AS INT) AS cid, embedding AS cv
+  FROM embeddings WHERE vec_id % 100 = 0
+), cb AS (
+  SELECT CAST(vec_id // 16 AS INT) AS s, CAST(vec_id % 16 AS INT) AS j,
+         embedding[(vec_id // 16) * 8 + 1 : (vec_id // 16) * 8 + 8] AS cbv
+  FROM embeddings WHERE vec_id < 128
+), adist AS (
+  SELECT e.vec_id, c.cid,
+         {_d2e6_sql('e.embedding', 'c.cv', '0', 64)} AS d2
+  FROM embeddings e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC)
+             AS rn
+    FROM adist
+  ) WHERE rn = 1
+), q_probes AS (
+  SELECT query_id, bucket FROM (
+    SELECT vec_id AS query_id, cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC)
+             AS pr
+    FROM adist WHERE vec_id % 50 = 0
+  ) WHERE pr <= 2
+), probed AS (
+  SELECT q.query_id, a.vec_id
+  FROM assigned a JOIN q_probes q ON a.bucket = q.bucket
+), subs AS (
+  SELECT e.vec_id, t.s, e.embedding AS v
+  FROM embeddings e, (SELECT unnest(range(0, 8)) AS s) t
+), dists AS (
+  SELECT su.vec_id, su.s, cb.j,
+         {_d2e6_sql('su.v', 'cb.cbv', 'su.s * 8', 8)} AS d2
+  FROM subs su JOIN cb ON su.s = cb.s
+), codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, j ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), qtab AS (
+  SELECT d.vec_id AS query_id, d.s, d.j, d.d2 AS qd2
+  FROM dists d WHERE d.vec_id % 50 = 0
+), scored AS (
+  SELECT p.query_id, p.vec_id, CAST(SUM(q.qd2) AS BIGINT) AS approx_d2_e6
+  FROM probed p
+  JOIN codes c ON c.vec_id = p.vec_id
+  JOIN qtab q ON q.query_id = p.query_id AND q.s = c.s AND q.j = c.j
+  GROUP BY p.query_id, p.vec_id
+), cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_d2_e6 ASC, vec_id ASC) AS crank
+    FROM scored
+  ) WHERE crank <= 50
+), reranked AS (
+  SELECT cd.query_id, cd.vec_id,
+         {_d2e6_sql('e.embedding', 'qe.embedding', '0', 64)} AS d2_e6
+  FROM cand cd
+  JOIN embeddings e ON e.vec_id = cd.vec_id
+  JOIN embeddings qe ON qe.vec_id = cd.query_id
+)
+SELECT query_id, rank, vec_id, d2_e6 FROM (
+  SELECT query_id, vec_id, d2_e6,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2_e6 ASC, vec_id ASC) AS INT)
+           AS rank
+  FROM reranked
+) WHERE rank <= 10
+"""
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -1954,6 +2073,7 @@ CATALOG = {
     "tokenize_bpe_encode": (tokenize_bpe_encode, _bpe_encode_oracle_sql()),
     "source_dpp_join": (source_dpp_join, SOURCE_DPP_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
+    "ann_ivf_pq_topk": (ann_ivf_pq_topk, ANN_IVF_PQ_SQL),
     "cluster_kmeans": (cluster_kmeans, _kmeans_oracle_sql()),
     "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
     "text_tfidf_terms": (text_tfidf_terms, TEXT_TFIDF_SQL),

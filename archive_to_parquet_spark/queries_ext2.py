@@ -2776,6 +2776,172 @@ DEDUP_CDC_GEAR_SQL = _gear_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# Theta sketch set-operation cardinalities (union / intersection /
+# difference estimates from k-sized state)
+# ---------------------------------------------------------------------------
+
+_THETA_K = 256
+_THETA_HMAX = 1 << 40  # hv range: 40-bit md5 prefix keeps cnt*HMAX in int64
+
+
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set-operation cardinalities between two document
+    snapshots (A = doc_id %% 3 != 0, B = doc_id %% 2 = 0): estimate
+    |A∪B|, |A∩B| and |A\\B| from two k=256 bottom-k sketches — the
+    "how many NEW documents does this crawl add" question answered
+    from k-sized state instead of a corpus-wide join. Values are
+    40-bit md5 prefixes of the text (identical "random" permutation in
+    both engines; 40 bits keep every product in exact int64 — cnt ×
+    2^40 ≤ 2^49). θ_union = min(θ_A, θ_B); retained = sketch members
+    below θ_union; each estimate = retained_count · 2^40 div θ —
+    integer division, no float anywhere. Certified in-query against
+    the exact hv-set counts with the standard ±3·|A∪B|/√k theta-sketch
+    set-op bound (Dasgupta et al., the DataSketches theta error
+    model), which holds at every SF.
+
+    Scale: per-side sketches are ORDER BY hv LIMIT k →
+    TakeOrderedAndProject (per-partition bottom-k partials merged at
+    the driver = the sketch merge; k-sized state, no global sort); the
+    set-op algebra then runs over two k-row localCheckpoint'ed tables.
+    The groupBy(hv) dedup and the exact certificate are the only
+    full-width shuffles — dropped at 100 TB, kept here to prove the
+    error bound on the same data."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hv = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 10), 16, 10
+    ).cast("long")
+    sets = (
+        docs.select(
+            hv.alias("hv"),
+            (F.col("doc_id") % 3 != 0).cast("int").alias("in_a"),
+            (F.col("doc_id") % 2 == 0).cast("int").alias("in_b"),
+        )
+        .groupBy("hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
+        .localCheckpoint(eager=False)  # feeds ak, bk, and the certificate
+    )
+
+    def bottom_k(side: str) -> DataFrame:
+        return (
+            sets.filter(F.col(side) == 1)
+            .orderBy("hv")
+            .limit(_THETA_K)
+            .select("hv")
+            .localCheckpoint(eager=False)
+        )
+
+    ak, bk = bottom_k("in_a"), bottom_k("in_b")
+
+    def theta_of(sk: DataFrame) -> DataFrame:
+        return sk.agg(
+            F.when(F.count("*") >= _THETA_K, F.max("hv"))
+            .otherwise(F.lit(_THETA_HMAX))
+            .alias("theta")
+        )
+
+    theta_u = (
+        theta_of(ak)
+        .crossJoin(theta_of(bk).withColumnRenamed("theta", "tb"))
+        .select(F.least("theta", "tb").alias("theta"))
+    )
+    members = (
+        ak.select("hv", F.lit(1).alias("a"), F.lit(0).alias("b"))
+        .unionByName(bk.select("hv", F.lit(0).alias("a"), F.lit(1).alias("b")))
+        .crossJoin(F.broadcast(theta_u))
+        .filter(F.col("hv") < F.col("theta"))
+        .groupBy("hv")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+    )
+    est = members.agg(
+        F.count("*").alias("c_u"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+        .cast("long")
+        .alias("c_i"),
+        F.coalesce(F.sum(F.col("in_a") * (1 - F.col("in_b"))), F.lit(0))
+        .cast("long")
+        .alias("c_d"),
+    )
+    exact = sets.agg(
+        F.count("*").alias("n_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_i"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long").alias("n_d"),
+    )
+    out = est.crossJoin(exact).crossJoin(theta_u)
+    for op in ("u", "i", "d"):
+        out = out.withColumn(
+            f"est_{op}", F.expr(f"c_{op} * {_THETA_HMAX}L div theta")
+        )
+    return out.select(
+        F.lit(_THETA_K).alias("k"),
+        "theta",
+        "est_u",
+        "n_u",
+        "est_i",
+        "n_i",
+        "est_d",
+        "n_d",
+        F.expr("3 * n_u div 16").alias("bound_abs"),
+        (
+            (F.abs(F.col("est_u") - F.col("n_u")) <= F.expr("3 * n_u div 16"))
+            & (F.abs(F.col("est_i") - F.col("n_i")) <= F.expr("3 * n_u div 16"))
+            & (F.abs(F.col("est_d") - F.col("n_d")) <= F.expr("3 * n_u div 16"))
+        )
+        .cast("int")
+        .alias("within_bound"),
+    )
+
+
+SKETCH_THETA_SQL = f"""
+WITH sides AS (
+  SELECT ('0x' || substr(md5(text), 1, 10))::BIGINT AS hv,
+         CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_b
+  FROM documents WHERE text IS NOT NULL
+), sets AS (
+  SELECT hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM sides GROUP BY hv
+  HAVING MAX(in_a) = 1 OR MAX(in_b) = 1
+), ak AS (SELECT hv FROM sets WHERE in_a = 1 ORDER BY hv LIMIT {_THETA_K}),
+bk AS (SELECT hv FROM sets WHERE in_b = 1 ORDER BY hv LIMIT {_THETA_K}),
+ta AS (SELECT CASE WHEN COUNT(*) >= {_THETA_K} THEN MAX(hv)
+              ELSE {_THETA_HMAX} END AS theta FROM ak),
+tb AS (SELECT CASE WHEN COUNT(*) >= {_THETA_K} THEN MAX(hv)
+              ELSE {_THETA_HMAX} END AS theta FROM bk),
+tu AS (SELECT LEAST(ta.theta, tb.theta) AS theta FROM ta, tb),
+ret AS (
+  SELECT hv, MAX(a) AS in_a, MAX(b) AS in_b FROM (
+    SELECT hv, 1 AS a, 0 AS b FROM ak
+    UNION ALL SELECT hv, 0, 1 FROM bk)
+  WHERE hv < (SELECT theta FROM tu) GROUP BY hv
+), est AS (
+  SELECT COUNT(*) AS c_u,
+         COALESCE(SUM(in_a * in_b), 0) AS c_i,
+         COALESCE(SUM(in_a * (1 - in_b)), 0) AS c_d
+  FROM ret
+), ex AS (
+  SELECT COUNT(*) AS n_u,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_i,
+         CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_d
+  FROM sets
+)
+SELECT {_THETA_K} AS k,
+       tu.theta AS theta,
+       CAST(c_u * {_THETA_HMAX} // tu.theta AS BIGINT) AS est_u,
+       n_u,
+       CAST(c_i * {_THETA_HMAX} // tu.theta AS BIGINT) AS est_i,
+       n_i,
+       CAST(c_d * {_THETA_HMAX} // tu.theta AS BIGINT) AS est_d,
+       n_d,
+       CAST(3 * n_u // 16 AS BIGINT) AS bound_abs,
+       CASE WHEN abs(c_u * {_THETA_HMAX} // tu.theta - n_u) <= 3 * n_u // 16
+             AND abs(c_i * {_THETA_HMAX} // tu.theta - n_i) <= 3 * n_u // 16
+             AND abs(c_d * {_THETA_HMAX} // tu.theta - n_d) <= 3 * n_u // 16
+            THEN 1 ELSE 0 END AS within_bound
+FROM est, ex, tu
+"""
+
+
+# ---------------------------------------------------------------------------
 # KMV (bottom-k) overlap sketch: snapshot Jaccard without a full join
 # ---------------------------------------------------------------------------
 
@@ -3120,6 +3286,7 @@ CATALOG = {
         SOURCE_PRUNED_MANIFEST_SQL,
     ),
     "sketch_kmv_overlap": (sketch_kmv_overlap, SKETCH_KMV_SQL),
+    "sketch_theta_setops": (sketch_theta_setops, SKETCH_THETA_SQL),
     "sketch_hdr_quantiles": (sketch_hdr_quantiles, SKETCH_HDR_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "dedup_substring_exact": (dedup_substring_exact, DEDUP_SUBSTRING_EXACT_SQL),

@@ -318,3 +318,54 @@ def test_logreg_learns_separable_rule(spark, tmp_path):
     assert r.n_rows == 30
     assert r.n_correct == 30, (r.w0_e6, r.w1_e6, r.w2_e6, r.w3_e6)
     assert r.w3_e6 > 0
+
+
+def test_theta_setops_within_bound(spark):
+    from archive_to_parquet_spark import queries as q
+
+    r = q.queries()["sketch_theta_setops"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.within_bound == 1
+    assert r.est_u > 0 and r.n_u >= r.n_i
+    # set algebra sanity on the exact side: |A∩B| + |A\B| = |A| ≤ |A∪B|
+    assert r.n_i + r.n_d <= r.n_u
+
+
+def test_containment_finds_planted_prefix_extracts(spark):
+    """Every planted prefix-extract twin (doc_id+3000000) must be
+    reported as fully contained (ppm = 1,000,000) in its original —
+    structural recall of the asymmetric prefix-filtered index."""
+    from archive_to_parquet_spark import queries as q
+
+    rows = q.queries()["dedup_containment"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    got = {(r.id_sub, r.id_sup): r.containment_ppm for r in rows}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = [r.doc_id for r in docs.select("doc_id").collect() if r.doc_id % 40 == 0]
+    assert planted
+    for pid in planted:
+        assert got.get((pid + 3000000, pid)) == 1_000_000, pid
+
+
+def test_ivf_pq_self_query_is_rank_one(spark):
+    """Queries are corpus members: each query's own bucket is its #1
+    probe, so rank 1 must be the query itself at exact distance 0, and
+    per-query ranks must be 1..10 with nondecreasing distances."""
+    from collections import defaultdict
+
+    from archive_to_parquet_spark import queries as q
+
+    rows = q.queries()["ann_ivf_pq_topk"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.query_id].append((r.rank, r.vec_id, r.d2_e6))
+    assert per_q
+    for qid, lst in per_q.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        assert lst[0][1] == qid and lst[0][2] == 0
+        assert all(lst[i][2] <= lst[i + 1][2] for i in range(len(lst) - 1))
