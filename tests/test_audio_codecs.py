@@ -203,3 +203,21 @@ def test_audio_features_real_covers_g711(spark):
     assert row.sample_rate == 8000
     assert row.n_samples == 256
     assert len(row.mfcc) == 13
+
+
+def test_g711_exhaustive_against_frozen_reference():
+    """audioop-independent twin of the exhaustive G.711 check: the full
+    256-code decode tables are pinned by sha256 digests computed FROM
+    audioop (CPython's C port of Sun g711.c) on Python 3.11 — so the
+    bit-exactness guarantee survives audioop's removal in 3.13."""
+    import hashlib
+
+    codes = np.arange(256, dtype=np.uint8)
+    u = _g711_ulaw_to_linear(codes).astype("<i8").tobytes()
+    a = _g711_alaw_to_linear(codes).astype("<i8").tobytes()
+    assert hashlib.sha256(u).hexdigest() == (
+        "fd65dfe4126ffa5208bb18dd4dc13649594c827f3a08b2c87a856774bb682b08"
+    )
+    assert hashlib.sha256(a).hexdigest() == (
+        "7eb6677233733a90d7139d6bbcaeddbaeb1ef8a2b8f8e413ebdf834aca4cedd9"
+    )
