@@ -113,6 +113,11 @@ HEADLINE = [
     "dedup_substring_exact",
     "dedup_cdc_chunks",
     "dedup_cdc_gear",
+    # round-6 additions
+    "cluster_dbscan_lsh",
+    "dedup_containment",
+    "sketch_theta_setops",
+    "ann_ivf_pq_topk",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,
