@@ -3924,13 +3924,14 @@ _CATALOG.update(_ext2.CATALOG)
 # `tools/check_correctness.py` always runs ALL entries regardless of
 # order.
 _SCHEDULE_FRONT: tuple[str, ...] = (
-    # -- slots 1-6: new or extended in round 6 (never driver-sampled;
+    # -- slots 1-7: new or extended in round 6 (never driver-sampled;
     # multimodal_content_decode gained the progressive-JPEG leg)
     "cluster_dbscan_lsh",
     "source_pruned_manifest",
     "sketch_theta_setops",
     "dedup_containment",
     "ann_ivf_pq_topk",
+    "source_bucketed_join",
     "multimodal_content_decode",
     # -- slots 3-4: last driver row r1
     "ann_cosine_topk",
@@ -3966,7 +3967,6 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "rel_posexplode_words",
     "rel_range_join_price_bands",
     "rel_revenue_by_nation",
-    "rel_rollup_sales",
     "rel_sessionize",
     "rel_window_top3_per_cust",
     "rel_math_funcs",
@@ -3983,7 +3983,8 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "q6_union_group",
     "source_nested_walk",
     "source_url_ingest",
-    # -- slots 51-57: r2-stale spill (lead the round-7 rotation)
+    # -- slots 51-58: r2-stale spill (lead the round-7 rotation)
+    "rel_rollup_sales",
     "rel_running_totals",
     "rel_ship_delay_by_year",
     "rel_supplier_balance_by_nation",

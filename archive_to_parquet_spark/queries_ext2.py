@@ -2776,6 +2776,76 @@ DEDUP_CDC_GEAR_SQL = _gear_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# Bucketed co-located join: the pay-the-shuffle-once layout, certified
+# ---------------------------------------------------------------------------
+
+
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located big-big join certified end-to-end: lineitem
+    and orders are LAID OUT as same-bucketed external tables (8 buckets
+    on the order key, sorted — plans/bucketing.write_bucketed), and the
+    recurring join then plans with ZERO shuffle Exchanges — asserted
+    in-query (plan_has_exchange, with auto-broadcast disabled so the
+    tiny test scale can't sidestep the question), so the driver row
+    certifies the scale property AND the joined values together. This
+    is the pay-the-shuffle-once layout for the 100-TB recurring join:
+    the exchange is paid at write time, every subsequent join of the
+    two tables is exchange-free. Money in exact integer cents."""
+    import re
+    import shutil
+
+    from archive_to_parquet_spark.functions.exactnum import cents_col
+    from archive_to_parquet_spark.plans.bucketing import (
+        bucketed_join,
+        plan_has_exchange,
+        write_bucketed,
+    )
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+
+    suffix = re.sub(r"\W", "_", sf_dir.rstrip("/").split("sf")[-1])
+    tl, to = f"bj_li_{suffix}", f"bj_ord_{suffix}"
+    stage = _stage_dir("bucketedjoin", sf_dir)
+    shutil.rmtree(stage, ignore_errors=True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    for tbl in (tl, to):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_bucketed(li, tl, "okey", 8, path=os.path.join(stage, "li"))
+    write_bucketed(od, to, "okey", 8, path=os.path.join(stage, "od"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = bucketed_join(spark, tl, to, "okey").select(
+            "okey", "l_extendedprice", "o_orderpriority"
+        )
+        assert not plan_has_exchange(probe), "bucketed join gained a shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return (
+        bucketed_join(spark, tl, to, "okey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(cents_col("l_extendedprice")).alias("revenue_c"),
+        )
+    )
+
+
+SOURCE_BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # Theta sketch set-operation cardinalities (union / intersection /
 # difference estimates from k-sized state)
 # ---------------------------------------------------------------------------
@@ -3287,6 +3357,7 @@ CATALOG = {
     ),
     "sketch_kmv_overlap": (sketch_kmv_overlap, SKETCH_KMV_SQL),
     "sketch_theta_setops": (sketch_theta_setops, SKETCH_THETA_SQL),
+    "source_bucketed_join": (source_bucketed_join, SOURCE_BUCKETED_JOIN_SQL),
     "sketch_hdr_quantiles": (sketch_hdr_quantiles, SKETCH_HDR_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "dedup_substring_exact": (dedup_substring_exact, DEDUP_SUBSTRING_EXACT_SQL),
