@@ -517,7 +517,15 @@ def main() -> int:
     for attempt in range(1, attempts + 1):
         cand = _run_sweep(spark, qs, sf_dir, cpus)
         cand["pin"]["attempt"] = attempt
-        if full is None or cand["pin"]["median"] < full["pin"]["median"]:
+        # quietest = lowest RELATIVE pin inflation: each attempt's pins
+        # are normalized to its own best, so absolute medians are not
+        # comparable across attempts (a run whose best pin landed high
+        # can show a lower absolute median while being more inflated)
+        if (
+            full is None
+            or cand["pin"]["inflation_median_pct"]
+            < full["pin"]["inflation_median_pct"]
+        ):
             full = cand
         if not cand["pin"]["noisy"]:
             break
