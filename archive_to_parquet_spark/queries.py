@@ -3932,6 +3932,7 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "dedup_containment",
     "ann_ivf_pq_topk",
     "source_bucketed_join",
+    "sample_weighted_priority",
     "multimodal_content_decode",
     # -- slots 3-4: last driver row r1
     "ann_cosine_topk",
@@ -3968,7 +3969,6 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "rel_range_join_price_bands",
     "rel_revenue_by_nation",
     "rel_sessionize",
-    "rel_window_top3_per_cust",
     "rel_math_funcs",
     "rel_string_funcs",
     # -- slots 43-50: permanent reference-parity spine (every round —
@@ -3983,7 +3983,8 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "q6_union_group",
     "source_nested_walk",
     "source_url_ingest",
-    # -- slots 51-58: r2-stale spill (lead the round-7 rotation)
+    # -- slots 51-59: r2-stale spill (lead the round-7 rotation)
+    "rel_window_top3_per_cust",
     "rel_rollup_sales",
     "rel_running_totals",
     "rel_ship_delay_by_year",

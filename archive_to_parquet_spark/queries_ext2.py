@@ -2776,6 +2776,67 @@ DEDUP_CDC_GEAR_SQL = _gear_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# Weighted priority sampling (sequential Poisson / Ohlsson 1998)
+# ---------------------------------------------------------------------------
+
+_WPS_K = 200
+
+
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data selection via sequential Poisson sampling (Ohlsson
+    1998; a.k.a. priority sampling): each document draws a deterministic
+    uniform u (40-bit md5 of 'wps'+doc_id) and is ranked by key = u/w
+    with w = max(n_chars, 1) — the k smallest keys form a
+    probability-proportional-to-size sample WITHOUT replacement (long/
+    heavy documents proportionally more likely), the quality- or
+    length-weighted corpus subsetting step of a training-data mix.
+
+    Cross-engine exactness without integer gymnastics: u and w are
+    exact integers and u/w is ONE IEEE-754 double division — correctly
+    rounded in every engine, so keys are bit-identical and the ranking
+    (ties broken by doc_id) is deterministic; the oracle replays it
+    verbatim.
+
+    Scale: ORDER BY key LIMIT k plans as TakeOrderedAndProject —
+    per-partition k-row heaps merged at the driver, no global sort;
+    the key is a narrow per-row expression over the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wps"), F.col("doc_id").cast("string"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        w.alias("w"),
+        (u.cast("double") / w.cast("double")).alias("priority"),
+    )
+    return keyed.orderBy(F.col("priority").asc(), F.col("doc_id").asc()).limit(
+        _WPS_K
+    )
+
+
+SAMPLE_WEIGHTED_PRIORITY_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(GREATEST(n_chars, 1) AS BIGINT) AS w,
+         ('0x' || substr(md5('wps' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT
+           AS u
+  FROM documents
+)
+SELECT doc_id, w, CAST(u AS DOUBLE) / CAST(w AS DOUBLE) AS priority
+FROM keyed
+ORDER BY priority ASC, doc_id ASC
+LIMIT {_WPS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bucketed co-located join: the pay-the-shuffle-once layout, certified
 # ---------------------------------------------------------------------------
 
@@ -3358,6 +3419,10 @@ CATALOG = {
     "sketch_kmv_overlap": (sketch_kmv_overlap, SKETCH_KMV_SQL),
     "sketch_theta_setops": (sketch_theta_setops, SKETCH_THETA_SQL),
     "source_bucketed_join": (source_bucketed_join, SOURCE_BUCKETED_JOIN_SQL),
+    "sample_weighted_priority": (
+        sample_weighted_priority,
+        SAMPLE_WEIGHTED_PRIORITY_SQL,
+    ),
     "sketch_hdr_quantiles": (sketch_hdr_quantiles, SKETCH_HDR_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "dedup_substring_exact": (dedup_substring_exact, DEDUP_SUBSTRING_EXACT_SQL),

@@ -518,3 +518,13 @@ def test_lsh_dbscan_matches_exact_dbscan(spark):
     lsh = {tuple(r) for r in qs["cluster_dbscan_lsh"](spark, SF_DIR).collect()}
     assert lsh == exact
     assert any(role == "core" for _, role, _ in lsh)
+
+
+def test_weighted_priority_sample_is_take_ordered(spark):
+    """ORDER BY priority LIMIT k must plan as TakeOrderedAndProject —
+    per-partition k-row heaps, no global sort."""
+    from archive_to_parquet_spark import queries as q
+
+    plan = _plan(q.queries()["sample_weighted_priority"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort node
