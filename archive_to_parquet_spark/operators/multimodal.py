@@ -1151,6 +1151,8 @@ def _jpeg_pixels(d: bytes):
         return None
     # SOS: component → entropy table ids, in scan order. Baseline single
     # scan must cover all frame components (interleaved when ncomp > 1).
+    if not scan:
+        return None  # empty SOS segment: malformed, degrade quietly
     ns = scan[0]
     if ns != ncomp or len(scan) < 1 + 2 * ns:
         return None
@@ -1284,8 +1286,10 @@ def _jpeg_pixels_progressive(d: bytes):
     def scan_entropy(body: bytes, start: int) -> int | None:
         """Decode one scan's entropy data; returns the byte offset just
         past it (at the next marker), or None on malformed input."""
+        if not body:
+            return None  # empty SOS segment: malformed, degrade quietly
         ns = body[0]
-        if len(body) < 4 + 2 * ns:
+        if ns == 0 or len(body) < 4 + 2 * ns:
             return None
         sel = []  # (cid, hi, vi, dc_tbl, ac_tbl)
         by_id = {c[0]: c for c in comps}

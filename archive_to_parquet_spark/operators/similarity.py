@@ -463,6 +463,21 @@ def hard_negatives(
     )
 
 
+def _pq_sub_rows(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, m: int, sub_dim: int
+) -> DataFrame:
+    """Explode a dim-(m·sub_dim) vector column into its m subvectors:
+    one row per (id, subspace s, sub) — the shared slicing convention
+    every PQ oracle replays (1-based F.slice windows of sub_dim)."""
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(F.col(vec_col), s * F.lit(sub_dim) + 1, sub_dim),
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.posexplode(slices).alias("s", "sub")
+    )
+
+
 def pq_top_k_fixed_codebook(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -511,13 +526,7 @@ def pq_top_k_fixed_codebook(
     )
 
     def sub_rows(df: DataFrame, id_col: str, vec_col: str, out_id: str):
-        slices = F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.slice(F.col(vec_col), s * F.lit(sub_dim) + 1, sub_dim),
-        )
-        return df.select(
-            F.col(id_col).alias(out_id), F.posexplode(slices).alias("s", "sub")
-        )
+        return _pq_sub_rows(df, id_col, vec_col, out_id, m, sub_dim)
 
     d2_e6 = F.round(
         F.aggregate(
@@ -689,13 +698,7 @@ def ivf_pq_top_k_fixed(
     )
 
     def sub_rows(df: DataFrame, id_col: str, vec_col: str, out_id: str):
-        slices = F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: F.slice(F.col(vec_col), s * F.lit(sub_dim) + 1, sub_dim),
-        )
-        return df.select(
-            F.col(id_col).alias(out_id), F.posexplode(slices).alias("s", "sub")
-        )
+        return _pq_sub_rows(df, id_col, vec_col, out_id, m, sub_dim)
 
     sub_d2 = d2e6(F.col("sub"), F.col("cbv"))
     codes = (

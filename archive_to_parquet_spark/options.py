@@ -105,3 +105,14 @@ class ConvertOptions:
                     "include=text/binary filters on content; it cannot be "
                     "pruned from columns"
                 )
+            if "hash" not in self.columns and self.unique:
+                raise ValueError(
+                    "unique dedups on hash; it cannot be pruned from columns"
+                )
+            if "size" not in self.columns and (
+                self.min_size is not None or self.max_size is not None
+            ):
+                raise ValueError(
+                    "min/max_size filter on size; it cannot be pruned "
+                    "from columns"
+                )

@@ -49,11 +49,14 @@ def recording_checkpoint_plans(sink: list[str]):
     originals = {c: vars(c)["localCheckpoint"] for c in targets}
 
     def make_recording(orig):
-        def recording(self, eager: bool = True):
+        # forward the FULL signature (Spark 4 adds storageLevel): a call
+        # site using a kwarg we didn't anticipate must not break only
+        # while instrumented
+        def recording(self, *args, **kwargs):
             sink.append(
                 self._jdf.queryExecution().executedPlan().toString()
             )
-            return orig(self, eager)
+            return orig(self, *args, **kwargs)
 
         return recording
 

@@ -3924,7 +3924,7 @@ _CATALOG.update(_ext2.CATALOG)
 # `tools/check_correctness.py` always runs ALL entries regardless of
 # order.
 _SCHEDULE_FRONT: tuple[str, ...] = (
-    # -- slots 1-7: new or extended in round 6 (never driver-sampled;
+    # -- slots 1-8: new or extended in round 6 (never driver-sampled;
     # multimodal_content_decode gained the progressive-JPEG leg)
     "cluster_dbscan_lsh",
     "source_pruned_manifest",
@@ -3934,10 +3934,10 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "source_bucketed_join",
     "sample_weighted_priority",
     "multimodal_content_decode",
-    # -- slots 3-4: last driver row r1
+    # -- slots 9-10: last driver row r1
     "ann_cosine_topk",
     "text_fingerprint",
-    # -- slots 5-40: last driver row r2 (dedup/ANN/relational battery
+    # -- slots 11-42: last driver row r2 (dedup/ANN/relational battery
     # named in the r5 verdict; shared-machinery entries first)
     "dedup_minhash",
     "dedup_semantic",

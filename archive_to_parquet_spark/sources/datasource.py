@@ -33,10 +33,18 @@ from archive_to_parquet_spark.schema import ENTRY_SCHEMA
 
 
 def _parse_columns(raw: str | None) -> tuple[str, ...] | None:
-    """Comma-separated projection option → canonical-order tuple."""
+    """Comma-separated projection option → canonical-order tuple.
+    Unknown names raise (matching the CLI/ConvertOptions front door) —
+    silently dropping a typo'd column would be silent data loss."""
     if not raw:
         return None
     wanted = {c.strip() for c in raw.split(",") if c.strip()}
+    valid = {f.name for f in ENTRY_SCHEMA.fields}
+    bad = sorted(wanted - valid)
+    if bad or not wanted:
+        raise ValueError(
+            f"unknown columns {bad}; valid: {sorted(valid)}"
+        )
     return tuple(f.name for f in ENTRY_SCHEMA.fields if f.name in wanted)
 
 
