@@ -1249,6 +1249,7 @@ def _jpeg_pixels_progressive(d: bytes):
     hmax = vmax = mcus_x = mcus_y = 0
     w_img = h_img = 0
     saw_eoi = False
+    saw_scan = False  # at least one SOS scan decoded successfully
 
     def parse_sof(body: bytes) -> bool:
         nonlocal comps, hmax, vmax, mcus_x, mcus_y, w_img, h_img
@@ -1519,11 +1520,16 @@ def _jpeg_pixels_progressive(d: bytes):
             nxt = scan_entropy(body, pos + 2 + seglen)
             if nxt is None:
                 return None
+            saw_scan = True
             pos = nxt
             continue
         pos += 2 + seglen
-    if not comps or not saw_eoi:
-        return None  # no frame, or stream ended before EOI (truncated)
+    if not comps or not saw_eoi or not saw_scan:
+        # No frame, stream ended before EOI (truncated), or a scanless
+        # SOF2+EOI shell: the baseline decoder returns None for a
+        # zero-scan stream, and fabricating an all-128 plane here would
+        # hand malformed files real-tier features (false dedup merges).
+        return None
     cid0, _hi, _vi, tq0 = comps[0]
     if tq0 not in qt:
         return None

@@ -666,10 +666,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cb = emb.filter(F.col("vec_id") < 128).select(
-        (F.col("vec_id") / 16).cast("int").alias("s"),
+        F.expr("vec_id div 16").cast("int").alias("s"),
         (F.col("vec_id") % 16).cast("int").alias("j"),
         F.slice(
-            "embedding", (F.col("vec_id") / 16).cast("int") * 8 + 1, 8
+            "embedding", F.expr("vec_id div 16").cast("int") * 8 + 1, 8
         ).alias("code_vec"),
     )
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -752,14 +752,14 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") % 100 == 0).select(
-        (F.col("vec_id") / 100).cast("int").alias("cid"),
+        F.expr("vec_id div 100").cast("int").alias("cid"),
         F.col("embedding").alias("centroid"),
     )
     cb = emb.filter(F.col("vec_id") < 128).select(
-        (F.col("vec_id") / 16).cast("int").alias("s"),
+        F.expr("vec_id div 16").cast("int").alias("s"),
         (F.col("vec_id") % 16).cast("int").alias("j"),
         F.slice(
-            "embedding", (F.col("vec_id") / 16).cast("int") * 8 + 1, 8
+            "embedding", F.expr("vec_id div 16").cast("int") * 8 + 1, 8
         ).alias("code_vec"),
     )
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -876,7 +876,7 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     init = emb.filter(F.col("vec_id") % 100 == 0).select(
-        (F.col("vec_id") / 100).cast("int").alias("cid"),
+        F.expr("vec_id div 100").cast("int").alias("cid"),
         F.col("embedding").alias("centroid"),
     )
     assigned = kmeans_fixed_rounds(emb, init, n_rounds=2)
@@ -1424,7 +1424,7 @@ def _dbscan_planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def planted(k: int):
         src = seeds if k == 1 else seeds.filter(
-            (F.col("vec_id") / 50).cast("long") % 2 == 1
+            F.expr("vec_id div 50").cast("long") % 2 == 1
         )
         return src.select(
             (F.col("vec_id") + k * 1000000).alias("vec_id"),

@@ -52,8 +52,17 @@ def _index_exists(index_dir: str) -> bool:
     # Walk: index rows live under batch_id=N partition subdirectories.
     if not os.path.isdir(index_dir):
         return False
-    for _root, _dirs, files in os.walk(index_dir):
-        if any(f.endswith(".parquet") for f in files):
+    for _root, dirs, files in os.walk(index_dir):
+        # Prune hidden dirs (_temporary/, _spark_metadata/, .staging):
+        # spark.read.parquet ignores underscore/dot-prefixed paths, so a
+        # part file left by a crashed in-flight write must not count as
+        # an "existing" index the reader can't actually infer a schema
+        # from.
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in files
+        ):
             return True
     return False
 

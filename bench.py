@@ -14,6 +14,11 @@ pair of measured entries; the pin series makes host-load inflation
 explicit (pin.best/median/max), and every entry is also reported
 normalized to the min of its two surrounding pin samples so cross-round
 comparisons survive a loaded host.  All wall times are best-of-5.
+Host load is bursty, so entries additionally RETRY their own
+measurement window when the bracketing pins show it was loaded
+(per-query retry dodges bursts a whole-sweep rerun cannot); `noisy`
+reports whether ≥95% of entries landed in quiet windows, and
+`host_loaded` keeps reporting raw host inflation over the full run.
 """
 
 from __future__ import annotations
@@ -398,18 +403,42 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     pin_after: dict[str, float] = {}
     prev_pin = pin_after_warc  # the sample taken after the ingest section
 
+    # Per-query quiet-window retry (r6 verdict ask #3): host load is
+    # BURSTY — a whole-sweep retry re-rolls every entry's window at
+    # once and tends to land in another burst, which is why two rounds
+    # of sweep-level retries never produced a quiet run.  Instead, each
+    # entry checks the pins bracketing ITS OWN measurement: if both are
+    # >15% over the best pin seen so far, the window was loaded — take
+    # another best-of-5 in the next window (the after-pin becomes the
+    # new before-pin).  A global budget bounds worst-case sweep time
+    # under SUSTAINED load, where retrying cannot help anyway.
+    quiet_factor = 1.15
+    retry_budget = int(
+        os.environ.get("SPARK_GRAFT_BENCH_QUERY_RETRIES", "60")
+    )
+
     def timed_entries(names: list[str], out: dict[str, float]) -> None:
-        nonlocal prev_pin
+        nonlocal prev_pin, retry_budget
         for name in names:
-            pin_before[name] = prev_pin
+            before = prev_pin
             best = float("inf")
-            for _ in range(5):
-                t0 = time.time()
-                run_noop(qs[name](spark, sf_dir))
-                best = min(best, time.time() - t0)
+            while True:
+                for _ in range(5):
+                    t0 = time.time()
+                    run_noop(qs[name](spark, sf_dir))
+                    best = min(best, time.time() - t0)
+                after = pin_sample()
+                window = min(before, after)
+                if window <= min(pin_samples) * quiet_factor:
+                    break
+                if retry_budget <= 0:
+                    break
+                retry_budget -= 1
+                before = after  # retry in the next window
+            pin_before[name] = before
+            pin_after[name] = after
             out[name] = round(best, 3)
-            prev_pin = pin_sample()
-            pin_after[name] = prev_pin
+            prev_pin = after
 
     timed_entries(HEADLINE, per_query)
     tpch: dict[str, float] = {}
@@ -444,10 +473,30 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
         ),
     }
 
-    pin_stats["noisy"] = pin_stats["inflation_median_pct"] > 15.0
-
     def _adj(name: str) -> float:
         return min(pin_before[name], pin_after[name])
+
+    # Measurement quality is per-entry now: an entry is CLEAN if its
+    # final (post-retry) bracketing window is within quiet_factor of
+    # the run's best pin.  `noisy` flags the RESULT quality (did the
+    # measurements land in quiet windows?), while
+    # inflation_median_pct/host_loaded keep reporting the HOST's load
+    # over the whole run — under bursty load the host can be loaded
+    # while every entry still measured clean, and that distinction is
+    # exactly what the per-query retry buys.
+    all_names = list(per_query) + list(tpch)
+    n_quiet = sum(
+        1 for n in all_names if _adj(n) <= pin_best * quiet_factor
+    )
+    pin_stats["entries_quiet_pct"] = round(
+        100.0 * n_quiet / max(1, len(all_names)), 1
+    )
+    pin_stats["query_retries_used"] = (
+        int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RETRIES", "60"))
+        - retry_budget
+    )
+    pin_stats["host_loaded"] = pin_stats["inflation_median_pct"] > 15.0
+    pin_stats["noisy"] = pin_stats["entries_quiet_pct"] < 95.0
 
     per_query_norm = {
         n: round(per_query[n] * pin_best / _adj(n), 3) for n in per_query
@@ -573,6 +622,8 @@ def main() -> int:
         "ingest_warc_mb_per_s": ingest_warc["mb_per_s"],
         "pin_best": pin_stats["best"],
         "noisy": pin_stats["noisy"],
+        "host_loaded": pin_stats["host_loaded"],
+        "entries_quiet_pct": pin_stats["entries_quiet_pct"],
         "pin_median": pin_stats["median"],
         "pin_inflation_median_pct": pin_stats["inflation_median_pct"],
         "value_normalized": full["value_normalized"],

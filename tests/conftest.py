@@ -16,6 +16,42 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+# -- per-test hard watchdog (VERDICT r6 defect #1) --------------------------
+# pytest.ini's faulthandler_timeout=600 dumps all thread stacks when a
+# test stalls, but it does not END the run — and the r6 stall was the
+# python main thread blocked in a py4j socket read (JVM idle), which
+# nothing short of process death unblocks.  This hook arms a daemon
+# timer around every test: at 1200 s it dumps tracebacks once more and
+# hard-exits the process with a distinctive status, so a wedged suite
+# fails loudly in ~20 minutes instead of silently eating a round.  The
+# slowest legitimate test in the suite is <2 min, so 1200 s cannot
+# misfire on real work.
+_WATCHDOG_SECS = 1200
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    import faulthandler
+    import threading
+
+    def _abort() -> None:
+        sys.stderr.write(
+            f"\n[watchdog] test {item.nodeid} exceeded {_WATCHDOG_SECS}s; "
+            "dumping all thread stacks and aborting the run\n"
+        )
+        faulthandler.dump_traceback(file=sys.stderr, all_threads=True)
+        sys.stderr.flush()
+        os._exit(84)
+
+    timer = threading.Timer(_WATCHDOG_SECS, _abort)
+    timer.daemon = True
+    timer.start()
+    try:
+        yield
+    finally:
+        timer.cancel()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from archive_to_parquet_spark.session import get_spark

@@ -570,6 +570,21 @@ def test_progressive_supported_arithmetic_still_loud():
         _real_decode_image(arith)
 
 
+def test_progressive_scanless_with_dqt_is_none():
+    """ADVICE r6: a SOF2 stream carrying a DQT and a clean EOI but ZERO
+    SOS scans must decode to None (like the baseline decoder), not a
+    fabricated all-128 gray plane — otherwise every such malformed file
+    gets identical real-tier features and distinct corrupt files would
+    falsely cluster in dedup."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0]) + bytes(
+        [1] * 64
+    )
+    stub = make_progressive_stub()
+    blob = stub[:2] + dqt + stub[2:]  # SOI, DQT, SOF2, EOI — no SOS
+    assert _jpeg_pixels(blob) is None
+    assert decode_pixels(blob) is None
+
+
 def test_progressive_roundtrip_matches_baseline_decode():
     """Full-script progressive decode (DC first/refine + per-band AC
     first/refine with EOBRUN and correction bits) must reproduce the

@@ -3,13 +3,36 @@ single-scan ops must plan with zero shuffle exchanges, joins must
 broadcast the intended side, windows must be partitioned. These pin the
 scale properties SCALING.md claims — a regression that adds a shuffle
 or de-broadcasts a join fails here long before it shows up at 100 TB.
+
+Since round 7 the WHOLE catalog is additionally pinned: PLAN_PINS.json
+(written by tools/scale_audit.py) records every batch entry's
+{shuffles, bnlj, py, cartesian}, and
+``test_catalog_plan_shapes_match_pin`` fails on ANY drift — an entry
+silently growing a shuffle no longer merely changes a generated doc.
 """
 
+import json
+import os
+
+import pytest
+
 SF_DIR = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="session")
+def catalog_audit(spark):
+    """One whole-catalog audit shared by the hygiene and pin tests —
+    building 180+ plans (and executing the iterative operators'
+    checkpoints) is the expensive part; pay it once per session."""
+    from archive_to_parquet_spark.plans.audit import collect_audit
+
+    rows, streaming, errors = collect_audit(spark, SF_DIR)
+    return rows, streaming, errors
 
 
 def test_scan_only_queries_have_no_exchange(spark):
@@ -144,7 +167,7 @@ def test_tpch_q21_single_shuffle_conditional_agg(spark):
     assert plan.count("Scan parquet") == 2  # orders + customer, once each
 
 
-def test_catalog_plan_hygiene(spark):
+def test_catalog_plan_hygiene(catalog_audit):
     """Whole-catalog physical-plan audit: no non-streaming catalog query
     may plan a cartesian product, a row-at-a-time or Arrow Python eval
     node (the catalog is 100% JVM expressions), or a cached scan.
@@ -153,31 +176,61 @@ def test_catalog_plan_hygiene(spark):
     partitioned, which the dedicated window tests pin. The audit ALSO
     covers checkpoint-hidden subplans (plans/checkpoint.py) — lineage
     truncation must not hide a cartesian product or Python eval node."""
-    from archive_to_parquet_spark import queries as q
-    from archive_to_parquet_spark.plans.checkpoint import (
-        recording_checkpoint_plans,
-    )
-
+    rows, _streaming, errors = catalog_audit
+    assert not errors, errors
     offenders = {}
-    for name, fn in q.queries().items():
-        if name.startswith("stream_"):
-            continue  # streaming queries execute on construction
-        hidden: list[str] = []
-        with recording_checkpoint_plans(hidden):
-            plans = [_plan(fn(spark, SF_DIR))] + hidden
+    for rec in rows:
         flags = [
             flag
-            for flag, marker in (
-                ("cartesian", "CartesianProduct"),
-                ("py-row", "BatchEvalPython"),
-                ("py-arrow", "ArrowEvalPython"),
-                ("cached", "InMemoryTableScan"),
+            for flag, bad in (
+                ("cartesian", rec["cartesian"]),
+                ("py-row", "BatchEvalPython" in rec["py"]),
+                ("py-arrow", "ArrowEvalPython" in rec["py"]),
+                ("cached", rec["cached"]),
             )
-            if any(marker in p for p in plans)
+            if bad
         ]
         if flags:
-            offenders[name] = flags
+            offenders[rec["name"]] = flags
     assert not offenders, offenders
+
+
+# Intentional plan-shape changes land here with the round that made
+# them, keyed by entry name — the pin test skips listed entries so a
+# deliberate rework doesn't force an immediate PLAN_PINS.json
+# regeneration mid-review.  MUST be drained (empty) by the time the
+# pin is regenerated.
+_PIN_DRIFT_ALLOWLIST: dict[str, str] = {}
+
+
+def test_catalog_plan_shapes_match_pin(catalog_audit):
+    """Every batch entry's {shuffles, bnlj, py, cartesian} must equal
+    the committed PLAN_PINS.json (r6 verdict ask #5): SCALE_AUDIT.md is
+    regenerated evidence, but nothing used to FAIL when an entry's
+    shuffle count silently grew.  Now it does.  Intentional changes:
+    rerun `python tools/scale_audit.py > SCALE_AUDIT.md` and review the
+    PLAN_PINS.json diff."""
+    from archive_to_parquet_spark.plans.audit import pin_of
+
+    rows, _streaming, _errors = catalog_audit
+    with open(os.path.join(REPO, "PLAN_PINS.json")) as fh:
+        pinned = json.load(fh)["entries"]
+
+    live = {r["name"]: pin_of(r) for r in rows}
+    drift = {}
+    for name, got in live.items():
+        if name in _PIN_DRIFT_ALLOWLIST:
+            continue
+        want = pinned.get(name)
+        if want is None:
+            drift[name] = {"live": got, "pinned": "MISSING — regenerate pin"}
+        elif got != want:
+            drift[name] = {"live": got, "pinned": want}
+    stale = sorted(set(pinned) - set(live))
+    assert not drift and not stale, {
+        "drift": drift,
+        "pinned_but_gone": stale,
+    }
 
 
 def test_tpch_q01_scan_rollup_shape(spark):

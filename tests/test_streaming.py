@@ -364,3 +364,33 @@ def test_neardup_replay_is_idempotent(spark, tmp_path):
     }
     assert pairs2 == pairs1
     assert all(a != b for a, b in pairs2)
+
+
+def test_neardup_index_probe_ignores_crash_debris(spark, tmp_path):
+    """ADVICE r6: a crashed in-flight write leaves part files under
+    _temporary/ that spark.read.parquet ignores — the existence probe
+    must ignore them too, or the first real batch after a crash tries
+    to read an index with no committable footprint and fails on schema
+    inference."""
+    from archive_to_parquet_spark.streaming.neardup import (
+        _index_exists,
+        probe_and_append,
+    )
+
+    index_dir = tmp_path / "index"
+    debris = index_dir / "batch_id=0" / "_temporary" / "0" / "task_000"
+    debris.mkdir(parents=True)
+    (debris / "part-00000.parquet").write_bytes(b"not a real footer")
+    (index_dir / ".hidden.parquet").write_bytes(b"")
+    assert not _index_exists(str(index_dir))
+
+    # a first batch over the debris still works end-to-end
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(20)
+    )
+    probe_and_append(
+        spark, docs, str(index_dir), str(tmp_path / "pairs"), batch_id=1
+    )
+    assert _index_exists(str(index_dir))
+    assert spark.read.parquet(str(index_dir)).count() > 0
