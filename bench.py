@@ -123,6 +123,8 @@ HEADLINE = [
     "dedup_containment",
     "sketch_theta_setops",
     "ann_ivf_pq_topk",
+    # round-7 addition
+    "dedup_incremental_bucketed",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,
@@ -291,11 +293,33 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     pin_samples: list[float] = []
 
     def pin_sample() -> float:
-        t0 = time.time()
-        run_noop(pin_fn(spark, sf_dir))
-        s = time.time() - t0
-        pin_samples.append(s)
-        return s
+        # best-of-2: a single-shot pin taken right after a heavy entry
+        # measures the JVM's digestion of that entry (GC, async shuffle
+        # cleanup) rather than the MACHINE — and since entry N's
+        # after-pin is entry N+1's before-pin, one hot pin used to
+        # poison two windows and the per-query retry just re-heated the
+        # JVM (r7: 25% median "inflation" on a host with load 0.2).
+        # The second execution lands after digestion; min() is the
+        # machine's floor for this window, which is what normalization
+        # and the quiet-window test both want.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run_noop(pin_fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        pin_samples.append(best)
+        return best
+
+    # Establish the quiet FLOOR before anything is measured: the
+    # per-query retry compares each entry's window to min(pin_samples)
+    # SO FAR, so without these the first sweep section is judged
+    # against a floor that may itself be inflated — entries measured
+    # early never retried even when the final pin best later proved
+    # their window loaded (r7: 11/60 retries used, 81% quiet).  Five
+    # samples ≈ pin_best × 5 ≈ 0.7 s at sf0.1 — noise insurance, not
+    # measurement.
+    for _ in range(5):
+        pin_sample()
 
     # ingest throughput FIRST, from a comparable-to-baseline session
     # state: the reference's 682 MB/s is a standalone ingest run, and
