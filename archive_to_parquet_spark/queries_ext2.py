@@ -3019,10 +3019,13 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-side sketches are ORDER BY hv LIMIT k →
     TakeOrderedAndProject (per-partition bottom-k partials merged at
     the driver = the sketch merge; k-sized state, no global sort); the
-    set-op algebra then runs over two k-row localCheckpoint'ed tables.
-    The groupBy(hv) dedup and the exact certificate are the only
-    full-width shuffles — dropped at 100 TB, kept here to prove the
-    error bound on the same data."""
+    deduped side table is localCheckpoint'ed ONCE and the k-row
+    sketches recompute from it per consumer (deliberately NOT
+    checkpointed themselves — see bottom_k; nesting a lazy checkpoint
+    on a pending parent checkpoint is the construct the r6 suite-stall
+    audit removed). The groupBy(hv) dedup and the exact certificate
+    are the only full-width shuffles — dropped at 100 TB, kept here to
+    prove the error bound on the same data."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     hv = F.conv(
         F.substring(F.md5(F.col("text").cast("binary")), 1, 10), 16, 10

@@ -285,8 +285,9 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
         df.write.format("noop").mode("overwrite").save()
 
     # warm the pin (codegen compile, shuffle-file reuse) then start the
-    # pin series; every sample is a single execution by design — the pin
-    # measures the machine, not the query
+    # pin series; each sample is a best-of-2 (see pin_sample) — the pin
+    # measures the machine, not the query and not the JVM's digestion
+    # of the previous entry
     pin_fn = qs[PIN]
     for _ in range(2):
         run_noop(pin_fn(spark, sf_dir))
@@ -437,9 +438,10 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     # new before-pin).  A global budget bounds worst-case sweep time
     # under SUSTAINED load, where retrying cannot help anyway.
     quiet_factor = 1.15
-    retry_budget = int(
+    initial_retry_budget = int(
         os.environ.get("SPARK_GRAFT_BENCH_QUERY_RETRIES", "60")
     )
+    retry_budget = initial_retry_budget
 
     def timed_entries(names: list[str], out: dict[str, float]) -> None:
         nonlocal prev_pin, retry_budget
@@ -515,10 +517,7 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     pin_stats["entries_quiet_pct"] = round(
         100.0 * n_quiet / max(1, len(all_names)), 1
     )
-    pin_stats["query_retries_used"] = (
-        int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RETRIES", "60"))
-        - retry_budget
-    )
+    pin_stats["query_retries_used"] = initial_retry_budget - retry_budget
     pin_stats["host_loaded"] = pin_stats["inflation_median_pct"] > 15.0
     pin_stats["noisy"] = pin_stats["entries_quiet_pct"] < 95.0
 
@@ -590,21 +589,26 @@ def main() -> int:
     for attempt in range(1, attempts + 1):
         cand = _run_sweep(spark, qs, sf_dir, cpus)
         cand["pin"]["attempt"] = attempt
-        # quietest = lowest RELATIVE pin inflation: each attempt's pins
-        # are normalized to its own best, so absolute medians are not
-        # comparable across attempts (a run whose best pin landed high
-        # can show a lower absolute median while being more inflated)
-        if (
-            full is None
-            or cand["pin"]["inflation_median_pct"]
-            < full["pin"]["inflation_median_pct"]
+        # keep the attempt with the BEST measurement quality — the same
+        # axis `noisy` gates on (share of entries that landed a quiet
+        # window), tie-broken by relative pin inflation.  Selecting on
+        # inflation alone could keep an attempt whose host looked
+        # calmer at the pin median while far fewer of its entries
+        # actually measured clean.
+        if full is None or (
+            cand["pin"]["entries_quiet_pct"],
+            -cand["pin"]["inflation_median_pct"],
+        ) > (
+            full["pin"]["entries_quiet_pct"],
+            -full["pin"]["inflation_median_pct"],
         ):
             full = cand
         if not cand["pin"]["noisy"]:
             break
         print(
             f"[bench] attempt {attempt}/{attempts} noisy "
-            f"(pin median inflation "
+            f"(entries_quiet_pct {cand['pin']['entries_quiet_pct']}%, "
+            f"pin median inflation "
             f"{cand['pin']['inflation_median_pct']}%) — "
             + ("retrying" if attempt < attempts else "keeping quietest"),
             file=sys.stderr,

@@ -21,23 +21,28 @@ if REPO not in sys.path:
 # test stalls, but it does not END the run — and the r6 stall was the
 # python main thread blocked in a py4j socket read (JVM idle), which
 # nothing short of process death unblocks.  This hook arms a daemon
-# timer around every test: at 1200 s it dumps tracebacks once more and
-# hard-exits the process with a distinctive status, so a wedged suite
-# fails loudly in ~20 minutes instead of silently eating a round.  The
-# slowest legitimate test in the suite is <2 min, so 1200 s cannot
-# misfire on real work.
+# timer around every test's WHOLE protocol — fixture setup included,
+# because the heaviest Spark work in the suite (the session-scoped
+# whole-catalog audit fixture) executes during setup, exactly where a
+# py4j wedge would otherwise escape a call-phase-only timer.  At
+# 1200 s it dumps tracebacks once more and hard-exits the process with
+# a distinctive status, so a wedged suite fails loudly in ~20 minutes
+# instead of silently eating a round.  The slowest legitimate
+# test+setup in the suite is <3 min, so 1200 s cannot misfire on real
+# work.
 _WATCHDOG_SECS = 1200
 
 
 @pytest.hookimpl(hookwrapper=True)
-def pytest_runtest_call(item):
+def pytest_runtest_protocol(item, nextitem):
     import faulthandler
     import threading
 
     def _abort() -> None:
         sys.stderr.write(
-            f"\n[watchdog] test {item.nodeid} exceeded {_WATCHDOG_SECS}s; "
-            "dumping all thread stacks and aborting the run\n"
+            f"\n[watchdog] test {item.nodeid} exceeded {_WATCHDOG_SECS}s "
+            "(incl. fixture setup/teardown); dumping all thread stacks "
+            "and aborting the run\n"
         )
         faulthandler.dump_traceback(file=sys.stderr, all_threads=True)
         sys.stderr.flush()

@@ -214,7 +214,15 @@ def test_catalog_plan_shapes_match_pin(catalog_audit):
 
     rows, _streaming, _errors = catalog_audit
     with open(os.path.join(REPO, "PLAN_PINS.json")) as fh:
-        pinned = json.load(fh)["entries"]
+        pin_doc = json.load(fh)
+    # the committed pin must have been generated at the scale this
+    # test audits at — a pin from an exploratory run at another sf
+    # would make every comparison meaningless
+    assert pin_doc["sf_dir"] == SF_DIR, (
+        f"PLAN_PINS.json generated at {pin_doc['sf_dir']}, test audits "
+        f"at {SF_DIR} — regenerate with `python tools/scale_audit.py`"
+    )
+    pinned = pin_doc["entries"]
 
     live = {r["name"]: pin_of(r) for r in rows}
     drift = {}
