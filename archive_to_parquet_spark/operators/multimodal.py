@@ -22,12 +22,17 @@ Decode tiers (no image/audio libs exist in this container):
   byte orders), (grid-mean features, perceptual hashes), WAV samples in
   linear PCM, G.711 μ-law/A-law, and mono IMA ADPCM (log-RMS features,
   energy fingerprints — G.711 and the ADPCM nibble core are bit-exact
-  against the stdlib audioop reference), and MP4 keyframe bitstream
-  samples sliced out of mdat via the stss/stsc/stco/stsz box walk.
-  Formats whose *feature* needs an actual codec (progressive/
-  arithmetic JPEG, MP3 PCM, H.264 frame decode) keep hash-derived
-  fingerprints or raise ``NotImplementedError`` — that is the codec
-  boundary.
+  against the stdlib audioop reference), native FLAC streams (lossless
+  PCM decode, RFC 9639: CONSTANT/VERBATIM/FIXED/LPC subframes, Rice +
+  escape residuals, all four channel assignments, CRC-8/16 enforced —
+  bit-exact roundtrip against the test-side encoder), and MP4 keyframe
+  bitstream samples sliced out of mdat via the stss/stsc/stco/stsz box
+  walk. Formats whose *feature* needs an actual codec (progressive →
+  decoded since r6; arithmetic JPEG, MP3 PCM, H.264 frame decode) keep
+  hash-derived fingerprints or raise ``NotImplementedError`` — that is
+  the codec boundary (MP3 stays outside deliberately: its fixed spec
+  Huffman tables cannot be verified here — no reference decoder in
+  the container — whereas FLAC's parameters all arrive in-stream).
 - ``decode="fake"`` — fully deterministic stand-in decode from the byte
   hash; keeps schema/batch shape real for plumbing tests.
 """
@@ -419,11 +424,13 @@ def _fake_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
 
 
 def _real_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
-    """WAV in linear PCM, G.711 μ-law/A-law, or mono IMA ADPCM yields
-    REAL sample features: log-RMS energy over 13 equal time blocks
-    (MFCC-shaped, codec-free). Compressed formats with parseable
-    headers (FLAC/MP3) yield true rate/length with a hash-fingerprint
-    feature; unknown magic raises NotImplementedError."""
+    """WAV in linear PCM, G.711 μ-law/A-law, mono IMA ADPCM, or a
+    native FLAC stream (lossless decode, RFC 9639) yields REAL sample
+    features: log-RMS energy over 13 equal time blocks (MFCC-shaped,
+    codec-free). Compressed formats with parseable headers (MP3, or a
+    FLAC whose frames fail to decode) yield true rate/length with a
+    hash-fingerprint feature; unknown magic raises
+    NotImplementedError."""
     decoded = decode_pcm(data)
     if decoded is not None:
         import math
@@ -2076,14 +2083,360 @@ def _ima_adpcm_decode(raw: bytes, block_align: int):
     return np.array(out, dtype=np.float64)
 
 
-def decode_pcm(data: bytes):
-    """(sample_rate, mono float64 sample array) for RIFF/WAVE bytes in
-    linear PCM (format tag 1, 8/16-bit), G.711 A-law (6) / μ-law (7),
-    or mono IMA ADPCM (0x11); None otherwise. Multi-channel linear/
-    G.711 audio is averaged to mono. numpy + stdlib only — no codec."""
+# --------------------------------------------------------------------------
+# FLAC (RFC 9639) native-stream decode — stdlib + numpy, correctness tier.
+# Unlike MP3 (whose fixed spec Huffman tables cannot be verified in this
+# container — no reference decoder exists), FLAC carries no fixed code
+# tables: Rice parameters, predictor orders and LPC coefficients all
+# arrive IN-STREAM, so a decoder is verifiable the same way the JPEG
+# decoders are — bit-exact PCM roundtrip against a test-side encoder
+# (tests/test_flac_real.py) plus CRC-8/CRC-16 enforcement from the spec.
+
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BLOCK = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_FIXED_COEFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — FLAC frame-header
+    CRC (RFC 9639 §9.1.8)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — FLAC
+    whole-frame CRC (RFC 9639 §9.3)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                (crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1
+            ) & 0xFFFF
+    return crc
+
+
+class _Bits:
+    """MSB-first bit reader. Raises EOFError past the end — callers
+    convert that to a None (malformed/truncated) result."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, d: bytes, bitpos: int = 0):
+        self.d = d
+        self.pos = bitpos
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.d) * 8:
+            raise EOFError
+        v = 0
+        pos = self.pos
+        while n > 0:
+            byte = self.d[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            v = (v << take) | (
+                (byte >> (avail - take)) & ((1 << take) - 1)
+            )
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+    def sread(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:  # corrupt-stream guard
+                raise EOFError
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _flac_residual(br: _Bits, blocksize: int, order: int) -> list[int]:
+    """One coded-residual section (RFC 9639 §9.2.7): Rice/Rice2
+    partitions with the raw-bits escape."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved residual method")
+    pbits = 4 if method == 0 else 5
+    part_order = br.read(4)
+    nparts = 1 << part_order
+    if blocksize % nparts or blocksize >> part_order <= (
+        order if nparts == 1 else 0
+    ):
+        raise ValueError("bad partition order")
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> part_order) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("bad partition geometry")
+        param = br.read(pbits)
+        if param == (1 << pbits) - 1:  # escape: raw fixed-width values
+            raw_bits = br.read(5)
+            for _ in range(n):
+                out.append(br.sread(raw_bits) if raw_bits else 0)
+        else:
+            for _ in range(n):
+                q = br.unary()
+                v = (q << param) | (br.read(param) if param else 0)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
+    """One subframe (RFC 9639 §9.2): CONSTANT / VERBATIM / FIXED 0-4 /
+    LPC 1-32, with the wasted-bits shift."""
+    if br.read(1) != 0:
+        raise ValueError("subframe pad bit set")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("wasted bits exhaust sample size")
+    if ftype == 0:  # CONSTANT
+        samples = [br.sread(eff)] * blocksize
+    elif ftype == 1:  # VERBATIM
+        samples = [br.sread(eff) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED, order 0-4
+        order = ftype - 8
+        if order > blocksize:
+            raise ValueError("order exceeds block")
+        samples = [br.sread(eff) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        coefs = _FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(r + pred)
+    elif ftype >= 32:  # LPC, order 1-32
+        order = (ftype & 0x1F) + 1
+        if order > blocksize:
+            raise ValueError("order exceeds block")
+        samples = [br.sread(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise ValueError("invalid LPC precision")
+        prec += 1
+        shift = br.sread(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = [br.sread(prec) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        for r in res:
+            acc = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(r + (acc >> shift))
+    else:
+        raise ValueError("reserved subframe type")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def _flac_pcm(data: bytes):
+    """(sample_rate, int32 ndarray of shape (n_samples, n_channels))
+    for a native FLAC stream, or None for malformed/truncated input or
+    any CRC mismatch. Sequential by construction (predictors feed on
+    their own output) — correctness tier, like the JPEG entropy loop;
+    the fast path for already-decoded audio is the WAV/PCM branch."""
     import numpy as np
 
     d = data or b""
+    if d[:4] != b"fLaC" or len(d) < 42:
+        return None
+    try:
+        # ---- metadata blocks; first MUST be STREAMINFO (type 0)
+        pos = 4
+        if d[pos] & 0x7F != 0:
+            return None
+        si_len = int.from_bytes(d[pos + 1 : pos + 4], "big")
+        if si_len < 34:
+            return None
+        si = d[pos + 4 : pos + 4 + si_len]
+        bits = int.from_bytes(si[10:18], "big")
+        rate = bits >> 44
+        n_channels = ((bits >> 41) & 0x7) + 1
+        bps_si = ((bits >> 36) & 0x1F) + 1
+        total = bits & ((1 << 36) - 1)
+        if rate == 0:
+            return None
+        last = bool(d[pos] & 0x80)
+        pos += 4 + si_len
+        while not last:
+            if pos + 4 > len(d):
+                return None
+            last = bool(d[pos] & 0x80)
+            if d[pos] & 0x7F == 0x7F:
+                return None  # invalid block type
+            blen = int.from_bytes(d[pos + 1 : pos + 4], "big")
+            pos += 4 + blen
+        if pos > len(d):
+            return None
+
+        # ---- frames
+        chans: list[list[int]] = [[] for _ in range(n_channels)]
+        while pos + 5 <= len(d) and (total == 0 or len(chans[0]) < total):
+            hdr_start = pos
+            if d[pos] != 0xFF or (d[pos + 1] & 0xFC) != 0xF8:
+                return None  # lost sync
+            if d[pos + 1] & 0x02:
+                return None  # reserved bit
+            bs_code = d[pos + 2] >> 4
+            sr_code = d[pos + 2] & 0x0F
+            ch_code = d[pos + 3] >> 4
+            ss_code = (d[pos + 3] >> 1) & 0x7
+            if d[pos + 3] & 1:
+                return None  # reserved bit
+            pos += 4
+            # coded (UTF-8-style) frame/sample number: skip by length
+            first = d[pos]
+            if first < 0x80:
+                nlen = 1
+            elif first >= 0xFE:
+                nlen = 7
+            else:
+                nlen = 0
+                b = first
+                while b & 0x80:
+                    nlen += 1
+                    b = (b << 1) & 0xFF
+                if nlen < 2:
+                    return None
+            pos += nlen
+            if bs_code == 0:
+                return None  # reserved
+            if bs_code == 6:
+                blocksize = d[pos] + 1
+                pos += 1
+            elif bs_code == 7:
+                blocksize = int.from_bytes(d[pos : pos + 2], "big") + 1
+                pos += 2
+            elif bs_code in _FLAC_BLOCK:
+                blocksize = _FLAC_BLOCK[bs_code]
+            else:
+                blocksize = 256 << (bs_code - 8)
+            if sr_code == 0:
+                f_rate = rate
+            elif sr_code in _FLAC_RATES:
+                f_rate = _FLAC_RATES[sr_code]
+            elif sr_code == 12:
+                f_rate = d[pos] * 1000
+                pos += 1
+            elif sr_code == 13:
+                f_rate = int.from_bytes(d[pos : pos + 2], "big")
+                pos += 2
+            elif sr_code == 14:
+                f_rate = int.from_bytes(d[pos : pos + 2], "big") * 10
+                pos += 2
+            else:
+                return None
+            if f_rate != rate:
+                return None  # variable-rate streams: out of scope
+            if ch_code < 8:
+                if ch_code + 1 != n_channels:
+                    return None
+            elif ch_code <= 10:
+                if n_channels != 2:
+                    return None
+            else:
+                return None  # reserved
+            if ss_code == 0:
+                bps = bps_si
+            elif ss_code in _FLAC_BPS:
+                bps = _FLAC_BPS[ss_code]
+            else:
+                return None
+            if _crc8(d[hdr_start:pos]) != d[pos]:
+                return None
+            pos += 1
+
+            br = _Bits(d, pos * 8)
+            sub: list[list[int]] = []
+            for ch in range(n_channels if ch_code < 8 else 2):
+                ch_bps = bps
+                # the SIDE channel carries one extra bit
+                if (
+                    (ch_code == 8 and ch == 1)
+                    or (ch_code == 9 and ch == 0)
+                    or (ch_code == 10 and ch == 1)
+                ):
+                    ch_bps += 1
+                sub.append(_flac_subframe(br, blocksize, ch_bps))
+            br.align()
+            frame_end = br.pos // 8
+            if frame_end + 2 > len(d):
+                return None
+            if _crc16(d[hdr_start:frame_end]) != int.from_bytes(
+                d[frame_end : frame_end + 2], "big"
+            ):
+                return None
+            pos = frame_end + 2
+
+            # ---- stereo decorrelation (RFC 9639 §4.2)
+            if ch_code == 8:  # left/side
+                left, side = sub
+                sub = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side (side stored first)
+                side, right = sub
+                sub = [[r + s for r, s in zip(right, side)], right]
+            elif ch_code == 10:  # mid/side
+                mid, side = sub
+                left, right = [], []
+                for m, s in zip(mid, side):
+                    m = (m << 1) | (s & 1)
+                    left.append((m + s) >> 1)
+                    right.append((m - s) >> 1)
+                sub = [left, right]
+            for ch in range(n_channels):
+                chans[ch].extend(sub[ch])
+        if not chans[0]:
+            return None
+        n = len(chans[0])
+        if total and n > total:  # final partial block padding
+            chans = [c[:total] for c in chans]
+            n = total
+        arr = np.array(chans, dtype=np.int64).T
+        if np.any(arr > (1 << 31) - 1) or np.any(arr < -(1 << 31)):
+            return None
+        return rate, arr.astype(np.int32), bps_si
+    except (EOFError, ValueError, IndexError):
+        return None
+
+
+def decode_pcm(data: bytes):
+    """(sample_rate, mono float64 sample array) for RIFF/WAVE bytes in
+    linear PCM (format tag 1, 8/16-bit), G.711 A-law (6) / μ-law (7),
+    mono IMA ADPCM (0x11), or a native FLAC stream (lossless decode,
+    RFC 9639 — see _flac_pcm); None otherwise. Multi-channel audio is
+    averaged to mono. numpy + stdlib only — no codec library."""
+    import numpy as np
+
+    d = data or b""
+    if d[:4] == b"fLaC":
+        flac = _flac_pcm(d)
+        if flac is None:
+            return None
+        rate, arr, bps = flac
+        return rate, arr.astype(np.float64).mean(axis=1) / float(
+            1 << (bps - 1)
+        )
     if len(d) < 36 or d[:4] != b"RIFF" or d[8:12] != b"WAVE":
         return None
     i = 12

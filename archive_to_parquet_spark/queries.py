@@ -3909,13 +3909,16 @@ _CATALOG.update(_ext2.CATALOG)
 # committed local sf0.1 sweep, so the window keeps chasing driver-row
 # FRESHNESS.  Slot 1 is the round-7 addition (never driver-sampled),
 # slots 2-10 the last nine r2-stale entries (the r6 verdict's spill
-# list), slots 11-42 the OLDEST 32 of the 45 r3-stale entries (the
+# list), slots 11-41 the OLDEST 31 of the 45 r3-stale entries (the
 # TPC-H q02-q22 cohort, both remaining ANN entries, and the text
-# battery, as named by the verdict), and slots 43-50 the permanent
-# reference-parity spine required in EVERY window.  The 13 r3 entries
-# that do not fit (50 − 8 spine − 1 new − 9 r2 = 32 < 45) are queued
-# at slots 51-63 and lead the round-8 rotation; after r7 the catalog
-# minimum driver row is r3 with exactly those 13 remaining, and r8
+# battery, as named by the verdict), slot 42 the changed-this-round
+# multimodal_content_decode (gained the FLAC real-decode leg — a
+# changed certified entry re-fronts the same round, r6 precedent),
+# and slots 43-50 the permanent reference-parity spine required in
+# EVERY window.  The 14 r3 entries that do not fit
+# (50 − 8 spine − 1 new − 1 changed − 9 r2 = 31 < 45) are queued at
+# slots 51-64 and lead the round-8 rotation; after r7 the catalog
+# minimum driver row is r3 with exactly those 14 remaining, and r8
 # clears them.  This list is a plain literal on purpose: the ordering
 # must be deterministic and independent of any files on disk (a
 # previous revision derived it from CORRECTNESS_r*.json artifacts at
@@ -3969,7 +3972,11 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "dedup_span_removal",
     "sample_split",
     "search_bm25",
-    "sketch_accuracy",
+    # slot 42: multimodal_content_decode CHANGED this round (gained the
+    # FLAC real-decode leg, like the r6 progressive-JPEG leg) — a
+    # changed certified entry re-fronts in the same round, displacing
+    # one r3-stale entry (sketch_accuracy) to the r8 spill
+    "multimodal_content_decode",
     # -- slots 43-50: permanent reference-parity spine (every round)
     "q1_projection_hash",
     "q2_include_text",
@@ -3979,8 +3986,9 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "q6_union_group",
     "source_nested_walk",
     "source_url_ingest",
-    # -- slots 51-63: the 13 r3-stale entries that did not fit this
+    # -- slots 51-64: the r3-stale entries that did not fit this
     # window; they lead the round-8 rotation
+    "sketch_accuracy",
     "curation_pipeline",
     "decontaminate_ngrams",
     "embedding_quantize",

@@ -842,6 +842,42 @@ _GIF_BLOB = bytes.fromhex(
 )
 
 
+def _flac_fixture() -> bytes:
+    """Native FLAC stream of the SAME 128-sample signal as the WAV leg
+    (64 silent samples then 64 at +16384), mono 16-bit 8 kHz, one
+    VERBATIM subframe — so the REAL lossless decode
+    (operators/multimodal._flac_pcm, RFC 9639) must reproduce the WAV
+    leg's closed forms exactly: rate 8000, 128 samples, energy
+    fingerprint = the high-32-bits pattern −2^32.  CRC-8/CRC-16 are
+    computed with the decoder-shared helpers, which
+    tests/test_flac_real.py pins to the published check values."""
+    from archive_to_parquet_spark.operators.multimodal import _crc8, _crc16
+
+    pcm = [0] * 64 + [16384] * 64
+    si = bytearray()
+    si += (16).to_bytes(2, "big") * 2 + (0).to_bytes(3, "big") * 2
+    si += ((8000 << 44) | (0 << 41) | (15 << 36) | 128).to_bytes(8, "big")
+    si += b"\x00" * 16  # md5 unknown
+    head = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    hdr = bytearray(b"\xff\xf8")
+    hdr.append((7 << 4) | 0)  # blocksize: 16-bit-1 follows; rate: streaminfo
+    hdr.append((0 << 4) | (0 << 1))  # mono; sample size from streaminfo
+    hdr.append(0)  # frame number 0 (1-byte coded form)
+    hdr += (127).to_bytes(2, "big")  # blocksize-1
+    hdr.append(_crc8(bytes(hdr)))
+    body = bytearray(hdr)
+    # VERBATIM subframe: 1 pad bit + type 000001 + no-wasted bit = 0x02,
+    # then 128 × 16-bit big-endian two's-complement samples (the 8
+    # header bits keep everything byte-aligned)
+    body.append(0x02)
+    for s in pcm:
+        body += (s & 0xFFFF).to_bytes(2, "big")
+    return head + bytes(body) + _crc16(bytes(body)).to_bytes(2, "big")
+
+
+_FLAC_BLOB = _flac_fixture()
+
+
 def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTENT-level codec-free decode, driver-checked (the round-3
     step past ``multimodal_header_decode``'s header parsing): per doc,
@@ -855,6 +891,11 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       the 64-block energy envelope is 32 zero blocks then 32 hot
       blocks, so the median-thresholded fingerprint is exactly the
       high-32-bits pattern: −2^32 as signed int64;
+    - the NATIVE FLAC encoding of the same signal (``_flac_fixture``:
+      STREAMINFO + one VERBATIM-subframe frame, CRC-8/16) goes through
+      the REAL lossless frame decode (RFC 9639, round 7) — bit-for-bit
+      the same PCM, so flac_rate/flac_n/flac_fp must equal the WAV
+      leg's closed forms;
     - a minimal MP4 goes through ``sample_video_frames(decode="real")``
       — the stss/stsc/stco/stsz walk must slice exactly the three
       construction-time keyframe payloads out of mdat (sha256 literals
@@ -916,6 +957,7 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpg = F.unhex(F.lit(_JPEG_BLOB.hex()))
     jpp = F.unhex(F.lit(_JPEG_PROG_BLOB.hex()))
     gif = F.unhex(F.lit(_GIF_BLOB.hex()))
+    flac = F.unhex(F.lit(_FLAC_BLOB.hex()))
     media = docs.select(
         "doc_id",
         pgm.alias("pgm"),
@@ -925,6 +967,7 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         jpg.alias("jpg"),
         jpp.alias("jpp"),
         gif.alias("gif"),
+        flac.alias("flac"),
     )
 
     img = extract_image_features(
@@ -993,6 +1036,16 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.col("fingerprint").alias("audio_fp"),
     )
+    # the FLAC twin of the WAV leg: the REAL lossless frame decode
+    # (RFC 9639) must land on the identical closed forms
+    aud_flac = audio_fingerprints(
+        media, id_col="doc_id", data_col="flac"
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("sample_rate").alias("flac_rate"),
+        F.col("n_samples").alias("flac_n"),
+        F.col("fingerprint").alias("flac_fp"),
+    )
     vid = (
         sample_video_frames(
             media, data_col="mp4", id_col="doc_id", every_n=1, decode="real"
@@ -1019,6 +1072,7 @@ def multimodal_content_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(jpp_img, "doc_id")
         .join(gif_img, "doc_id")
         .join(aud, "doc_id")
+        .join(aud_flac, "doc_id")
         .join(vid, "doc_id")
     )
 
@@ -1052,6 +1106,9 @@ SELECT doc_id,
        8000 AS sample_rate,
        CAST(128 AS BIGINT) AS n_samples,
        CAST(-4294967296 AS BIGINT) AS audio_fp,
+       8000 AS flac_rate,
+       CAST(128 AS BIGINT) AS flac_n,
+       CAST(-4294967296 AS BIGINT) AS flac_fp,
        CAST(3 AS BIGINT) AS n_keyframes,
        '{_MP4_KF_DIGEST}' AS kf_digest
 FROM documents

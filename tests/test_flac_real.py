@@ -1,0 +1,337 @@
+"""Native FLAC stream decode (RFC 9639 subset in operators/multimodal).
+
+Validation model is the same as the JPEG decoders': a test-side FORWARD
+encoder (below) writes real FLAC streams — STREAMINFO, frame headers
+with CRC-8, CONSTANT / VERBATIM / FIXED / LPC subframes, Rice + escape
+residuals, wasted bits, independent and mid/side stereo, frame CRC-16 —
+and the decoder must reproduce the encoder's input PCM BIT-FOR-BIT.
+Unlike MP3, FLAC carries no fixed spec code tables (Rice parameters,
+predictor orders and LPC coefficients all arrive in-stream), so
+encoder/decoder agreement plus the spec-pinned CRC polynomials is an
+honest end-to-end check, not a circular one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from archive_to_parquet_spark.operators.multimodal import (
+    _crc8,
+    _crc16,
+    _flac_pcm,
+    audio_fingerprint64,
+    decode_pcm,
+    parse_flac_header,
+)
+
+
+# ------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        assert 0 <= value < (1 << n) or n == 0
+        self.acc = (self.acc << n) | value
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def swrite(self, value: int, n: int) -> None:
+        self.write(value & ((1 << n) - 1), n)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+def _rice_write(w: _BitWriter, residuals: list[int], param: int) -> None:
+    for r in residuals:
+        v = (abs(r) << 1) - (1 if r < 0 else 0)  # zigzag
+        q, rem = v >> param, v & ((1 << param) - 1)
+        w.write(0, q)  # q zero bits
+        w.write(1, 1)
+        if param:
+            w.write(rem, param)
+
+
+def _residual_section(
+    w: _BitWriter, residuals: list[int], param: int, escape_bits: int | None
+) -> None:
+    """Partition order 0; Rice 4-bit method, or the raw escape when
+    escape_bits is given."""
+    w.write(0, 2)  # method: 4-bit Rice
+    w.write(0, 4)  # partition order 0
+    if escape_bits is not None:
+        w.write(0xF, 4)  # escape marker
+        w.write(escape_bits, 5)
+        for r in residuals:
+            w.swrite(r, escape_bits)
+    else:
+        w.write(param, 4)
+        _rice_write(w, residuals, param)
+
+
+def _subframe_constant(w: _BitWriter, value: int, bps: int) -> None:
+    w.write(0, 1)
+    w.write(0, 6)
+    w.write(0, 1)  # no wasted bits
+    w.swrite(value, bps)
+
+
+def _subframe_verbatim(w: _BitWriter, samples: list[int], bps: int) -> None:
+    w.write(0, 1)
+    w.write(1, 6)
+    w.write(0, 1)
+    for s in samples:
+        w.swrite(s, bps)
+
+
+def _subframe_fixed(
+    w: _BitWriter,
+    samples: list[int],
+    order: int,
+    bps: int,
+    param: int = 6,
+    escape_bits: int | None = None,
+    wasted: int = 0,
+) -> None:
+    """FIXED subframe of the given order; with `wasted`, the samples
+    must all be divisible by 2**wasted (the encoder shifts them out)."""
+    if wasted:
+        assert all(s % (1 << wasted) == 0 for s in samples)
+        samples = [s >> wasted for s in samples]
+    w.write(0, 1)
+    w.write(8 + order, 6)
+    if wasted:
+        w.write(1, 1)
+        w.write(0, wasted - 1)  # unary: (wasted-1) zeros then a one
+        w.write(1, 1)
+    else:
+        w.write(0, 1)
+    eff = bps - wasted
+    for s in samples[:order]:
+        w.swrite(s, eff)
+    coefs = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))[order]
+    residuals = [
+        samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        for i in range(order, len(samples))
+    ]
+    _residual_section(w, residuals, param, escape_bits)
+
+
+def _subframe_lpc(
+    w: _BitWriter,
+    samples: list[int],
+    coefs: list[int],
+    shift: int,
+    precision: int,
+    bps: int,
+    param: int = 6,
+) -> None:
+    order = len(coefs)
+    w.write(0, 1)
+    w.write(32 + (order - 1), 6)
+    w.write(0, 1)
+    for s in samples[:order]:
+        w.swrite(s, bps)
+    w.write(precision - 1, 4)
+    w.swrite(shift, 5)
+    for c in coefs:
+        w.swrite(c, precision)
+    residuals = [
+        samples[i]
+        - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+        for i in range(order, len(samples))
+    ]
+    _residual_section(w, residuals, param, escape_bits=None)
+
+
+def _streaminfo(rate: int, channels: int, bps: int, total: int) -> bytes:
+    body = bytearray()
+    body += (16).to_bytes(2, "big") * 2  # min/max block size (dummy 16)
+    body += (0).to_bytes(3, "big") * 2  # min/max frame size unknown
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+    body += packed.to_bytes(8, "big")
+    body += b"\x00" * 16  # md5 unknown
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + bytes(body)
+
+
+def _frame(
+    subframes_fn,
+    blocksize: int,
+    rate_streaminfo: bool,
+    channel_code: int,
+    frame_no: int = 0,
+) -> bytes:
+    """Frame header (8-bit-minus-1 block size escape, rate from
+    STREAMINFO, sample size from STREAMINFO) + subframes + CRCs."""
+    hdr = bytearray()
+    hdr += b"\xff\xf8"  # sync + fixed blocking
+    hdr.append((6 << 4) | 0)  # blocksize: 8-bit-1 follows; rate: streaminfo
+    hdr.append((channel_code << 4) | (0 << 1))  # sample size: streaminfo
+    assert frame_no < 0x80
+    hdr.append(frame_no)  # coded number, 1-byte form
+    hdr.append(blocksize - 1)
+    hdr.append(_crc8(bytes(hdr)))
+    w = _BitWriter()
+    subframes_fn(w)
+    w.align()
+    frame = bytes(hdr) + w.bytes()
+    return frame + _crc16(frame).to_bytes(2, "big")
+
+
+# --------------------------------------------------------------- tests
+
+
+def test_crc_polynomials_match_published_check_values():
+    """The CRC code is shared by the decoder and the fixture encoder,
+    so a symmetric bug would pass every roundtrip — pin both against
+    the published check values for the '123456789' test message
+    (CRC-8/SMBUS for poly 0x07 init 0; CRC-16/UMTS for poly 0x8005
+    init 0, no reflection — the FLAC pair, RFC 9639 §9.1.8/§9.3)."""
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+
+def test_fixed_orders_roundtrip_mono():
+    rng = np.random.default_rng(5)
+    pcm = rng.integers(-3000, 3000, size=64).tolist()
+    for order in (0, 1, 2, 3, 4):
+        blob = _streaminfo(8000, 1, 16, 64) + _frame(
+            lambda w: _subframe_fixed(w, pcm, order, 16, param=12),
+            64, True, 0,
+        )
+        got = _flac_pcm(blob)
+        assert got is not None, f"order {order}"
+        rate, arr, bps = got
+        assert rate == 8000 and bps == 16 and arr.shape == (64, 1)
+        assert arr[:, 0].tolist() == pcm, f"order {order}"
+
+
+def test_constant_verbatim_escape_and_wasted_bits():
+    pcm = [(-1) ** i * 4 * (i % 17) for i in range(48)]  # all ÷4
+    parts = []
+
+    def subs(w):
+        _subframe_fixed(w, pcm, 2, 16, escape_bits=16)  # raw escape
+
+    blob = _streaminfo(44100, 1, 16, 48 * 3) + _frame(subs, 48, True, 0, 0)
+    parts.append(blob)
+
+    def subs2(w):
+        _subframe_fixed(w, pcm, 1, 16, wasted=2)  # wasted-bits shift
+
+    blob2 = _frame(subs2, 48, True, 0, 1)
+
+    def subs3(w):
+        _subframe_verbatim(w, pcm, 16)
+
+    blob3 = _frame(subs3, 48, True, 0, 2)
+    full = parts[0] + blob2 + blob3
+    got = _flac_pcm(full)
+    assert got is not None
+    _rate, arr, _bps = got
+    assert arr[:, 0].tolist() == pcm * 3
+
+    const = _streaminfo(8000, 1, 16, 32) + _frame(
+        lambda w: _subframe_constant(w, -12345, 16), 32, True, 0
+    )
+    got = _flac_pcm(const)
+    assert got is not None
+    assert got[1][:, 0].tolist() == [-12345] * 32
+
+
+def test_lpc_roundtrip():
+    rng = np.random.default_rng(9)
+    pcm = np.cumsum(rng.integers(-100, 100, size=96)).astype(int).tolist()
+    coefs, shift, precision = [3, -3, 1, 1], 2, 12
+    blob = _streaminfo(16000, 1, 16, 96) + _frame(
+        lambda w: _subframe_lpc(w, pcm, coefs, shift, precision, 16, param=9),
+        96, True, 0,
+    )
+    got = _flac_pcm(blob)
+    assert got is not None
+    assert got[1][:, 0].tolist() == pcm
+
+
+def test_stereo_independent_and_mid_side():
+    rng = np.random.default_rng(11)
+    left = rng.integers(-2000, 2000, size=32).tolist()
+    right = rng.integers(-2000, 2000, size=32).tolist()
+
+    def indep(w):
+        _subframe_fixed(w, left, 2, 16, param=12)
+        _subframe_fixed(w, right, 2, 16, param=12)
+
+    blob = _streaminfo(48000, 2, 16, 32) + _frame(indep, 32, True, 1)
+    got = _flac_pcm(blob)
+    assert got is not None
+    assert got[1][:, 0].tolist() == left
+    assert got[1][:, 1].tolist() == right
+
+    # mid/side: mid = (l+r)>>1, side = l-r; side carries 17 bits
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    side = [l - r for l, r in zip(left, right)]
+
+    def ms(w):
+        _subframe_fixed(w, mid, 1, 16, param=12)
+        _subframe_fixed(w, side, 1, 17, param=12)
+
+    blob = _streaminfo(48000, 2, 16, 32) + _frame(ms, 32, True, 10)
+    got = _flac_pcm(blob)
+    assert got is not None
+    assert got[1][:, 0].tolist() == left
+    assert got[1][:, 1].tolist() == right
+
+
+def test_crc_and_truncation_reject():
+    pcm = list(range(-16, 16))
+    blob = _streaminfo(8000, 1, 16, 32) + _frame(
+        lambda w: _subframe_fixed(w, pcm, 1, 16, param=8), 32, True, 0
+    )
+    assert _flac_pcm(blob) is not None
+    # flip one bit in the subframe payload: frame CRC-16 must reject
+    bad = bytearray(blob)
+    bad[-10] ^= 0x01
+    assert _flac_pcm(bytes(bad)) is None
+    # corrupt the header CRC byte: CRC-8 must reject
+    bad2 = bytearray(blob)
+    hdr_crc_at = len(_streaminfo(8000, 1, 16, 32)) + 6
+    bad2[hdr_crc_at] ^= 0xFF
+    assert _flac_pcm(bytes(bad2)) is None
+    # truncated mid-frame: None, not garbage
+    assert _flac_pcm(blob[: len(blob) - 6]) is None
+    # header-only stream (the old phash fixture shape): None
+    assert _flac_pcm(b"fLaC" + b"\x00" * 40) is None
+
+
+def test_decode_pcm_and_fingerprint_integration():
+    """decode_pcm routes fLaC magic through the real decoder: a FLAC
+    stream of a known ramp yields the same normalized mono as the
+    equivalent 16-bit WAV, and the energy fingerprint becomes REAL
+    (non-null) for FLAC input."""
+    t = np.arange(128)
+    pcm = (np.where(t < 64, 0, 16384)).astype(int).tolist()  # silence→hot
+    blob = _streaminfo(8000, 1, 16, 128) + _frame(
+        lambda w: _subframe_verbatim(w, pcm, 16), 128, True, 0
+    )
+    decoded = decode_pcm(blob)
+    assert decoded is not None
+    rate, mono = decoded
+    assert rate == 8000
+    assert np.array_equal(mono, np.array(pcm, dtype=np.float64) / 32768.0)
+    # 32 silent blocks then 32 hot blocks → the high-32-bits pattern,
+    # same closed form the WAV leg of multimodal_content_decode pins
+    assert audio_fingerprint64(blob) == -(1 << 32)
+    # the STREAMINFO header parse (header tier) agrees on rate/length
+    assert parse_flac_header(blob)[:2] == (8000, 128)
