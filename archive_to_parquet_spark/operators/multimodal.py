@@ -2212,6 +2212,13 @@ def _flac_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
     eff = bps - wasted
     if eff <= 0:
         raise ValueError("wasted bits exhaust sample size")
+    # Reconstructed samples must fit the subframe bit depth (RFC 9639
+    # §9.2.4: predictors may not overflow the sample range).  The cap
+    # is enforced IN the prediction loop: a crafted CRC-valid stream
+    # (e.g. LPC coef 4, shift 0, zero residuals) would otherwise grow
+    # Python bigints geometrically — unbounded memory/CPU, then an
+    # OverflowError at the numpy conversion — before any range check.
+    cap = 1 << (bps + 2)
     if ftype == 0:  # CONSTANT
         samples = [br.sread(eff)] * blocksize
     elif ftype == 1:  # VERBATIM
@@ -2225,7 +2232,10 @@ def _flac_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
         coefs = _FIXED_COEFS[order]
         for r in res:
             pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
-            samples.append(r + pred)
+            s = r + pred
+            if not -cap <= s < cap:
+                raise ValueError("predictor overflow")
+            samples.append(s)
     elif ftype >= 32:  # LPC, order 1-32
         order = (ftype & 0x1F) + 1
         if order > blocksize:
@@ -2242,7 +2252,10 @@ def _flac_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
         res = _flac_residual(br, blocksize, order)
         for r in res:
             acc = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
-            samples.append(r + (acc >> shift))
+            s = r + (acc >> shift)
+            if not -cap <= s < cap:
+                raise ValueError("predictor overflow")
+            samples.append(s)
     else:
         raise ValueError("reserved subframe type")
     if wasted:
@@ -2251,11 +2264,12 @@ def _flac_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
 
 
 def _flac_pcm(data: bytes):
-    """(sample_rate, int32 ndarray of shape (n_samples, n_channels))
-    for a native FLAC stream, or None for malformed/truncated input or
-    any CRC mismatch. Sequential by construction (predictors feed on
-    their own output) — correctness tier, like the JPEG entropy loop;
-    the fast path for already-decoded audio is the WAV/PCM branch."""
+    """(sample_rate, int32 ndarray of shape (n_samples, n_channels),
+    streaminfo_bits_per_sample) for a native FLAC stream, or None for
+    malformed/truncated input or any CRC mismatch. Sequential by
+    construction (predictors feed on their own output) — correctness
+    tier, like the JPEG entropy loop; the fast path for
+    already-decoded audio is the WAV/PCM branch."""
     import numpy as np
 
     d = data or b""
@@ -2363,6 +2377,11 @@ def _flac_pcm(data: bytes):
                 bps = _FLAC_BPS[ss_code]
             else:
                 return None
+            if bps != bps_si:
+                # RFC 9639: frame bit depth must match STREAMINFO —
+                # and decode_pcm normalizes by the STREAMINFO depth,
+                # so a mismatching frame would come out ~wrong-by-2^k
+                return None
             if _crc8(d[hdr_start:pos]) != d[pos]:
                 return None
             pos += 1
@@ -2409,6 +2428,8 @@ def _flac_pcm(data: bytes):
         if not chans[0]:
             return None
         n = len(chans[0])
+        if total and n < total:
+            return None  # truncated at a frame boundary: samples missing
         if total and n > total:  # final partial block padding
             chans = [c[:total] for c in chans]
             n = total
@@ -2416,7 +2437,7 @@ def _flac_pcm(data: bytes):
         if np.any(arr > (1 << 31) - 1) or np.any(arr < -(1 << 31)):
             return None
         return rate, arr.astype(np.int32), bps_si
-    except (EOFError, ValueError, IndexError):
+    except (EOFError, ValueError, IndexError, OverflowError):
         return None
 
 
@@ -2483,18 +2504,12 @@ def decode_pcm(data: bytes):
     return rate, samples[: frames * channels].reshape(frames, channels).mean(axis=1)
 
 
-def audio_fingerprint64(data: bytes) -> int | None:
-    """64-bit energy-envelope fingerprint of PCM WAV bytes: RMS energy
-    over 64 equal time blocks, each bit = block energy above the median
-    — robust to gain changes (median threshold) and codec-free. None
-    for non-PCM input. Compose with dedup.hamming_near_duplicates for
-    bucketed audio near-dup."""
+def _fingerprint_from_mono(mono) -> int:
+    """64-bit energy-envelope fingerprint from already-decoded mono
+    samples: RMS energy over 64 equal time blocks, each bit = block
+    energy above the median."""
     import numpy as np
 
-    decoded = decode_pcm(data)
-    if decoded is None:
-        return None
-    _rate, mono = decoded
     n = mono.size
     if n < 64:
         mono = np.repeat(mono, -(-64 // n))
@@ -2504,6 +2519,18 @@ def audio_fingerprint64(data: bytes) -> int | None:
     sq[1:] = np.cumsum(mono * mono)
     energy = (sq[bounds[1:]] - sq[bounds[:-1]]) / (bounds[1:] - bounds[:-1])
     return _bits_to_int64(energy > np.median(energy))
+
+
+def audio_fingerprint64(data: bytes) -> int | None:
+    """64-bit energy-envelope fingerprint of decodable audio bytes
+    (PCM/G.711/ADPCM WAV, native FLAC) — robust to gain changes
+    (median threshold) and codec-free. None for undecodable input.
+    Compose with dedup.hamming_near_duplicates for bucketed audio
+    near-dup."""
+    decoded = decode_pcm(data)
+    if decoded is None:
+        return None
+    return _fingerprint_from_mono(decoded[1])
 
 
 AUDIO_FP_DDL = "media_id long, sample_rate int, n_samples long, fingerprint long"
@@ -2537,7 +2564,10 @@ def audio_fingerprints(
                     rate, mono = decoded
                     out["sample_rate"].append(rate)
                     out["n_samples"].append(int(mono.size))
-                    out["fingerprint"].append(audio_fingerprint64(data))
+                    # fingerprint from the decode already in hand — a
+                    # second decode_pcm(data) would re-run the whole
+                    # (sequential, per-bit for FLAC) frame decode
+                    out["fingerprint"].append(_fingerprint_from_mono(mono))
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(batches, AUDIO_FP_DDL)

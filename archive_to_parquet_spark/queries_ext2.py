@@ -855,7 +855,8 @@ def _flac_fixture() -> bytes:
 
     pcm = [0] * 64 + [16384] * 64
     si = bytearray()
-    si += (16).to_bytes(2, "big") * 2 + (0).to_bytes(3, "big") * 2
+    # min/max block size = the actual frame block size (128), per spec
+    si += (128).to_bytes(2, "big") * 2 + (0).to_bytes(3, "big") * 2
     si += ((8000 << 44) | (0 << 41) | (15 << 36) | 128).to_bytes(8, "big")
     si += b"\x00" * 16  # md5 unknown
     head = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)

@@ -156,9 +156,12 @@ def _subframe_lpc(
     _residual_section(w, residuals, param, escape_bits=None)
 
 
-def _streaminfo(rate: int, channels: int, bps: int, total: int) -> bytes:
+def _streaminfo(
+    rate: int, channels: int, bps: int, total: int, blocksize: int
+) -> bytes:
     body = bytearray()
-    body += (16).to_bytes(2, "big") * 2  # min/max block size (dummy 16)
+    # min/max block size = the actual frame block size, per spec
+    body += blocksize.to_bytes(2, "big") * 2
     body += (0).to_bytes(3, "big") * 2  # min/max frame size unknown
     packed = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
     body += packed.to_bytes(8, "big")
@@ -172,13 +175,15 @@ def _frame(
     rate_streaminfo: bool,
     channel_code: int,
     frame_no: int = 0,
+    ss_code: int = 0,
 ) -> bytes:
     """Frame header (8-bit-minus-1 block size escape, rate from
-    STREAMINFO, sample size from STREAMINFO) + subframes + CRCs."""
+    STREAMINFO, sample size from STREAMINFO unless overridden) +
+    subframes + CRCs."""
     hdr = bytearray()
     hdr += b"\xff\xf8"  # sync + fixed blocking
     hdr.append((6 << 4) | 0)  # blocksize: 8-bit-1 follows; rate: streaminfo
-    hdr.append((channel_code << 4) | (0 << 1))  # sample size: streaminfo
+    hdr.append((channel_code << 4) | (ss_code << 1))
     assert frame_no < 0x80
     hdr.append(frame_no)  # coded number, 1-byte form
     hdr.append(blocksize - 1)
@@ -207,7 +212,7 @@ def test_fixed_orders_roundtrip_mono():
     rng = np.random.default_rng(5)
     pcm = rng.integers(-3000, 3000, size=64).tolist()
     for order in (0, 1, 2, 3, 4):
-        blob = _streaminfo(8000, 1, 16, 64) + _frame(
+        blob = _streaminfo(8000, 1, 16, 64, 64) + _frame(
             lambda w: _subframe_fixed(w, pcm, order, 16, param=12),
             64, True, 0,
         )
@@ -225,7 +230,7 @@ def test_constant_verbatim_escape_and_wasted_bits():
     def subs(w):
         _subframe_fixed(w, pcm, 2, 16, escape_bits=16)  # raw escape
 
-    blob = _streaminfo(44100, 1, 16, 48 * 3) + _frame(subs, 48, True, 0, 0)
+    blob = _streaminfo(44100, 1, 16, 48 * 3, 48) + _frame(subs, 48, True, 0, 0)
     parts.append(blob)
 
     def subs2(w):
@@ -243,7 +248,7 @@ def test_constant_verbatim_escape_and_wasted_bits():
     _rate, arr, _bps = got
     assert arr[:, 0].tolist() == pcm * 3
 
-    const = _streaminfo(8000, 1, 16, 32) + _frame(
+    const = _streaminfo(8000, 1, 16, 32, 32) + _frame(
         lambda w: _subframe_constant(w, -12345, 16), 32, True, 0
     )
     got = _flac_pcm(const)
@@ -255,7 +260,7 @@ def test_lpc_roundtrip():
     rng = np.random.default_rng(9)
     pcm = np.cumsum(rng.integers(-100, 100, size=96)).astype(int).tolist()
     coefs, shift, precision = [3, -3, 1, 1], 2, 12
-    blob = _streaminfo(16000, 1, 16, 96) + _frame(
+    blob = _streaminfo(16000, 1, 16, 96, 96) + _frame(
         lambda w: _subframe_lpc(w, pcm, coefs, shift, precision, 16, param=9),
         96, True, 0,
     )
@@ -273,7 +278,7 @@ def test_stereo_independent_and_mid_side():
         _subframe_fixed(w, left, 2, 16, param=12)
         _subframe_fixed(w, right, 2, 16, param=12)
 
-    blob = _streaminfo(48000, 2, 16, 32) + _frame(indep, 32, True, 1)
+    blob = _streaminfo(48000, 2, 16, 32, 32) + _frame(indep, 32, True, 1)
     got = _flac_pcm(blob)
     assert got is not None
     assert got[1][:, 0].tolist() == left
@@ -287,7 +292,7 @@ def test_stereo_independent_and_mid_side():
         _subframe_fixed(w, mid, 1, 16, param=12)
         _subframe_fixed(w, side, 1, 17, param=12)
 
-    blob = _streaminfo(48000, 2, 16, 32) + _frame(ms, 32, True, 10)
+    blob = _streaminfo(48000, 2, 16, 32, 32) + _frame(ms, 32, True, 10)
     got = _flac_pcm(blob)
     assert got is not None
     assert got[1][:, 0].tolist() == left
@@ -296,7 +301,7 @@ def test_stereo_independent_and_mid_side():
 
 def test_crc_and_truncation_reject():
     pcm = list(range(-16, 16))
-    blob = _streaminfo(8000, 1, 16, 32) + _frame(
+    blob = _streaminfo(8000, 1, 16, 32, 32) + _frame(
         lambda w: _subframe_fixed(w, pcm, 1, 16, param=8), 32, True, 0
     )
     assert _flac_pcm(blob) is not None
@@ -306,13 +311,44 @@ def test_crc_and_truncation_reject():
     assert _flac_pcm(bytes(bad)) is None
     # corrupt the header CRC byte: CRC-8 must reject
     bad2 = bytearray(blob)
-    hdr_crc_at = len(_streaminfo(8000, 1, 16, 32)) + 6
+    hdr_crc_at = len(_streaminfo(8000, 1, 16, 32, 32)) + 6
     bad2[hdr_crc_at] ^= 0xFF
     assert _flac_pcm(bytes(bad2)) is None
     # truncated mid-frame: None, not garbage
     assert _flac_pcm(blob[: len(blob) - 6]) is None
     # header-only stream (the old phash fixture shape): None
     assert _flac_pcm(b"fLaC" + b"\x00" * 40) is None
+
+
+def test_hostile_streams_reject_quickly():
+    """The three review-found holes stay closed: (1) an in-spec-looking
+    LPC bomb (coef 4, shift 0, zero residuals → samples grow 4^n) must
+    return None via the in-loop predictor-overflow cap, not blow up
+    Python bigints; (2) truncation at an exact FRAME boundary (fewer
+    samples than STREAMINFO's total) is rejected, not silently
+    accepted; (3) a frame whose bit depth contradicts STREAMINFO is
+    rejected (decode_pcm normalizes by the STREAMINFO depth)."""
+    bomb_samples = [4**i for i in range(24)]  # follows s[i] = 4·s[i-1]
+
+    def bomb(w):
+        _subframe_lpc(w, bomb_samples, [4], 0, 12, 16)
+
+    blob = _streaminfo(8000, 1, 16, 24, 24) + _frame(bomb, 24, True, 0)
+    assert _flac_pcm(blob) is None
+
+    pcm = list(range(32))
+    two = _streaminfo(8000, 1, 16, 64, 32) + _frame(
+        lambda w: _subframe_verbatim(w, pcm, 16), 32, True, 0, 0
+    )
+    frame2 = _frame(lambda w: _subframe_verbatim(w, pcm, 16), 32, True, 0, 1)
+    assert _flac_pcm(two + frame2) is not None  # complete: decodes
+    assert _flac_pcm(two) is None  # cut at the frame boundary: rejected
+
+    eight_bit = _streaminfo(8000, 1, 16, 32, 32) + _frame(
+        lambda w: _subframe_verbatim(w, [1] * 32, 8), 32, True, 0, 0,
+        ss_code=1,  # 8-bit frame inside a 16-bit stream
+    )
+    assert _flac_pcm(eight_bit) is None
 
 
 def test_decode_pcm_and_fingerprint_integration():
@@ -322,7 +358,7 @@ def test_decode_pcm_and_fingerprint_integration():
     (non-null) for FLAC input."""
     t = np.arange(128)
     pcm = (np.where(t < 64, 0, 16384)).astype(int).tolist()  # silence→hot
-    blob = _streaminfo(8000, 1, 16, 128) + _frame(
+    blob = _streaminfo(8000, 1, 16, 128, 128) + _frame(
         lambda w: _subframe_verbatim(w, pcm, 16), 128, True, 0
     )
     decoded = decode_pcm(blob)
