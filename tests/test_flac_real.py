@@ -65,20 +65,40 @@ def _rice_write(w: _BitWriter, residuals: list[int], param: int) -> None:
 
 
 def _residual_section(
-    w: _BitWriter, residuals: list[int], param: int, escape_bits: int | None
+    w: _BitWriter,
+    residuals: list[int],
+    param: int,
+    escape_bits: int | None,
+    blocksize: int | None = None,
+    order: int = 0,
+    part_order: int = 0,
 ) -> None:
-    """Partition order 0; Rice 4-bit method, or the raw escape when
-    escape_bits is given."""
+    """Rice 4-bit method (or the raw escape when escape_bits is
+    given).  With part_order > 0 the residuals are split across
+    2^part_order partitions (the first is short by the predictor
+    order), each with its own parameter field — exercises the
+    decoder's multi-partition walk."""
     w.write(0, 2)  # method: 4-bit Rice
-    w.write(0, 4)  # partition order 0
-    if escape_bits is not None:
-        w.write(0xF, 4)  # escape marker
-        w.write(escape_bits, 5)
-        for r in residuals:
-            w.swrite(r, escape_bits)
+    w.write(part_order, 4)
+    if part_order == 0:
+        parts = [residuals]
     else:
-        w.write(param, 4)
-        _rice_write(w, residuals, param)
+        per = blocksize >> part_order
+        parts, i = [], 0
+        for p in range(1 << part_order):
+            n = per - (order if p == 0 else 0)
+            parts.append(residuals[i : i + n])
+            i += n
+        assert i == len(residuals)
+    for chunk in parts:
+        if escape_bits is not None:
+            w.write(0xF, 4)  # escape marker
+            w.write(escape_bits, 5)
+            for r in chunk:
+                w.swrite(r, escape_bits)
+        else:
+            w.write(param, 4)
+            _rice_write(w, chunk, param)
 
 
 def _subframe_constant(w: _BitWriter, value: int, bps: int) -> None:
@@ -104,6 +124,7 @@ def _subframe_fixed(
     param: int = 6,
     escape_bits: int | None = None,
     wasted: int = 0,
+    part_order: int = 0,
 ) -> None:
     """FIXED subframe of the given order; with `wasted`, the samples
     must all be divisible by 2**wasted (the encoder shifts them out)."""
@@ -126,7 +147,10 @@ def _subframe_fixed(
         samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
         for i in range(order, len(samples))
     ]
-    _residual_section(w, residuals, param, escape_bits)
+    _residual_section(
+        w, residuals, param, escape_bits,
+        blocksize=len(samples), order=order, part_order=part_order,
+    )
 
 
 def _subframe_lpc(
@@ -318,6 +342,65 @@ def test_crc_and_truncation_reject():
     assert _flac_pcm(blob[: len(blob) - 6]) is None
     # header-only stream (the old phash fixture shape): None
     assert _flac_pcm(b"fLaC" + b"\x00" * 40) is None
+
+
+def test_multi_partition_residuals_roundtrip():
+    """Partition orders 1-3: the first partition is short by the
+    predictor order, each partition carries its own Rice parameter —
+    the multi-partition walk in _flac_residual must reassemble the
+    exact residual stream."""
+    rng = np.random.default_rng(21)
+    pcm = np.cumsum(rng.integers(-50, 50, size=64)).astype(int).tolist()
+    for po in (1, 2, 3):
+        blob = _streaminfo(8000, 1, 16, 64, 64) + _frame(
+            lambda w: _subframe_fixed(w, pcm, 2, 16, param=8, part_order=po),
+            64, True, 0,
+        )
+        got = _flac_pcm(blob)
+        assert got is not None, f"partition order {po}"
+        assert got[1][:, 0].tolist() == pcm, f"partition order {po}"
+
+
+def test_property_roundtrip_random_pcm():
+    """Hypothesis property: ANY int16 PCM roundtrips bit-exactly
+    through every fixed predictor order and a random Rice parameter.
+    This is the randomized generalization of the hand-picked
+    roundtrips — it would catch an asymmetric zigzag, a bit-packing
+    off-by-one, or a warm-up/ordering bug on inputs no hand-written
+    case covers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        pcm=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=8,
+            max_size=32,
+        ),
+        order=st.integers(min_value=0, max_value=4),
+        # 4-bit Rice method: legal parameters are 0-14 (15 = escape) —
+        # the first hypothesis run caught the strategy drawing 18,
+        # which the ENCODER's own width assert rejected
+        param=st.integers(min_value=0, max_value=14),
+    )
+    def check(pcm, order, param):
+        if param <= 2:
+            # a tiny parameter against order-4 residuals of random
+            # int16 data means ~2^20-bit unary runs per value — legal,
+            # decoded correctly, but O(minutes) in pure Python; keep
+            # the tiny-param coverage on few samples
+            pcm = pcm[:10]
+        blocksize = len(pcm)
+        blob = _streaminfo(8000, 1, 16, blocksize, blocksize) + _frame(
+            lambda w: _subframe_fixed(w, pcm, order, 16, param=param),
+            blocksize, True, 0,
+        )
+        got = _flac_pcm(blob)
+        assert got is not None
+        assert got[1][:, 0].tolist() == pcm
+
+    check()
 
 
 def test_hostile_streams_reject_quickly():
