@@ -2158,10 +2158,18 @@ class _Bits:
         return v - (1 << n) if v >> (n - 1) else v
 
     def unary(self) -> int:
+        # The 2^20 run cap is a deliberate DoS boundary, not a spec
+        # limit: a spec-LEGAL stream (Rice param 0 carrying ~2^20+
+        # residual magnitudes at 24/32-bit depth) can encode arbitrarily
+        # long unary runs, each costing one pure-Python read(1) per bit.
+        # Hitting the cap raises EOFError, which the frame loop converts
+        # to TIER DEGRADATION — the entry falls back to the
+        # hash-fingerprint tier (decoded=None) instead of real PCM; no
+        # wrong samples are ever produced, the stream just isn't decoded.
         q = 0
         while self.read(1) == 0:
             q += 1
-            if q > 1 << 20:  # corrupt-stream guard
+            if q > 1 << 20:  # pathological-stream guard (see above)
                 raise EOFError
         return q
 
@@ -2178,8 +2186,13 @@ def _flac_residual(br: _Bits, blocksize: int, order: int) -> list[int]:
     pbits = 4 if method == 0 else 5
     part_order = br.read(4)
     nparts = 1 << part_order
-    if blocksize % nparts or blocksize >> part_order <= (
-        order if nparts == 1 else 0
+    # nparts == 1 allows blocksize == order (a subframe whose predictor
+    # warm-up covers the whole block has ZERO coded residuals — spec-
+    # legal, if unseen from mainstream encoders); only blocksize < order
+    # is geometric nonsense.  Multi-partition layouts still require a
+    # non-empty per-partition sample count.
+    if blocksize % nparts or (
+        blocksize < order if nparts == 1 else blocksize >> part_order == 0
     ):
         raise ValueError("bad partition order")
     out: list[int] = []

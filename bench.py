@@ -442,11 +442,31 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
         os.environ.get("SPARK_GRAFT_BENCH_QUERY_RETRIES", "60")
     )
     retry_budget = initial_retry_budget
+    # Adaptive top-up (r7 verdict ask #2): on a SUSTAINED-load host the
+    # fixed budget ran out silently (BENCH_r07: 60 retries gone, 76.7%
+    # quiet, nothing in the artifact saying WHY).  When the pin series
+    # itself shows the host loaded (median inflation > 15% so far), the
+    # budget scales ×3 — more windows genuinely help under bursty load,
+    # and under unretryable sustained load the exhaustion TELEMETRY
+    # below makes the noisy verdict attributable to budget, not
+    # mechanism.
+    budget_topup = 2 * initial_retry_budget  # drawn only while loaded
+    retries_exhausted = 0  # entries that gave up in a loaded window
+
+    def _host_looks_loaded() -> bool:
+        s = sorted(pin_samples)
+        return s[len(s) // 2] > s[0] * 1.15
 
     def timed_entries(names: list[str], out: dict[str, float]) -> None:
-        nonlocal prev_pin, retry_budget
+        nonlocal prev_pin, retry_budget, budget_topup, retries_exhausted
         for name in names:
             before = prev_pin
+            # `best` is INTENTIONALLY the min over ALL retry windows,
+            # not just the final (quiet) one: load only ever inflates a
+            # measurement, so min() is a monotone improvement, and the
+            # final window's best-of-5 is always included — the reported
+            # value is never worse than the quiet window's own best
+            # (ADVICE r7: noted as by-design).
             best = float("inf")
             while True:
                 for _ in range(5):
@@ -458,7 +478,12 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
                 if window <= min(pin_samples) * quiet_factor:
                     break
                 if retry_budget <= 0:
-                    break
+                    if budget_topup > 0 and _host_looks_loaded():
+                        retry_budget += budget_topup
+                        budget_topup = 0
+                    else:
+                        retries_exhausted += 1
+                        break
                 retry_budget -= 1
                 before = after  # retry in the next window
             pin_before[name] = before
@@ -517,7 +542,20 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     pin_stats["entries_quiet_pct"] = round(
         100.0 * n_quiet / max(1, len(all_names)), 1
     )
-    pin_stats["query_retries_used"] = initial_retry_budget - retry_budget
+    # Retry telemetry (r7 verdict ask #2): `retries_spent` of the
+    # effective budget (the base ×3 when the pin series showed the host
+    # loaded mid-sweep), and `retries_exhausted` = entries that were
+    # STILL in a loaded window when the budget ran dry.  A noisy
+    # artifact with retries_exhausted > 0 is provably budget-bound
+    # (sustained unretryable load); with retries_exhausted == 0 the
+    # mechanism itself failed and that is a bug worth chasing.
+    budget_granted = initial_retry_budget + (
+        2 * initial_retry_budget if budget_topup == 0 else 0
+    )
+    pin_stats["query_retries_used"] = budget_granted - retry_budget
+    pin_stats["retries_spent"] = pin_stats["query_retries_used"]
+    pin_stats["retry_budget_effective"] = budget_granted
+    pin_stats["retries_exhausted"] = retries_exhausted
     pin_stats["host_loaded"] = pin_stats["inflation_median_pct"] > 15.0
     pin_stats["noisy"] = pin_stats["entries_quiet_pct"] < 95.0
 
@@ -652,6 +690,9 @@ def main() -> int:
         "noisy": pin_stats["noisy"],
         "host_loaded": pin_stats["host_loaded"],
         "entries_quiet_pct": pin_stats["entries_quiet_pct"],
+        "retries_spent": pin_stats["retries_spent"],
+        "retry_budget_effective": pin_stats["retry_budget_effective"],
+        "retries_exhausted": pin_stats["retries_exhausted"],
         "pin_median": pin_stats["median"],
         "pin_inflation_median_pct": pin_stats["inflation_median_pct"],
         "value_normalized": full["value_normalized"],

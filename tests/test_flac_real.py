@@ -361,6 +361,23 @@ def test_multi_partition_residuals_roundtrip():
         assert got[1][:, 0].tolist() == pcm, f"partition order {po}"
 
 
+def test_zero_residual_subframe_order_equals_blocksize():
+    """Spec-legal edge (RFC 9639 §9.2.7): a FIXED subframe whose
+    predictor order equals the block size carries ZERO coded residuals
+    — the whole block is warm-up samples, and the single residual
+    partition is empty (its parameter field is still present).  The
+    r7 decoder rejected this geometry (`blocksize <= order` for
+    nparts == 1); only blocksize < order is malformed (ADVICE r7)."""
+    pcm = [100, -200, 300, -400]
+    blob = _streaminfo(8000, 1, 16, 4, 4) + _frame(
+        lambda w: _subframe_fixed(w, pcm, 4, 16, param=6),
+        4, True, 0,
+    )
+    got = _flac_pcm(blob)
+    assert got is not None
+    assert got[1][:, 0].tolist() == pcm
+
+
 def test_property_roundtrip_random_pcm():
     """Hypothesis property: ANY int16 PCM roundtrips bit-exactly
     through every fixed predictor order and a random Rice parameter.
