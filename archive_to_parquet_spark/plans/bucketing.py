@@ -10,6 +10,11 @@ query. Verified by asserting no Exchange operator in the joined plan
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -34,6 +39,86 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def _input_fingerprint(*paths: str) -> list[list]:
+    """Cheap content signature for staging invalidation: every file
+    under each path as (relpath, size, mtime_ns). If the driver
+    regenerates testdata in place, the staged layout rebuilds instead
+    of serving stale buckets."""
+    sig: list[list] = []
+    for root_path in paths:
+        for dirpath, _dirs, files in sorted(os.walk(root_path)):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                sig.append(
+                    [os.path.relpath(p, root_path), st.st_size, st.st_mtime_ns]
+                )
+    return sig
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    bucket_col: str,
+    num_buckets: int,
+    build: Callable[[], DataFrame],
+    fingerprint: object,
+) -> None:
+    """Idempotent pay-the-shuffle-ONCE staging (VERDICT r7 ask #4).
+
+    The point of a bucketed layout is that its write shuffle is paid at
+    layout time, not per probe — but a query that drops and rewrites
+    its bucketed tables on every execution re-pays it every run (the
+    r7 `dedup_incremental_bucketed` spent 9.35 s/run on two table
+    writes wrapping a 0.5 s probe). This helper writes the table once
+    per (path, fingerprint): a marker file records the input
+    fingerprint + bucket spec + schema DDL, and subsequent executions —
+    including in a FRESH SparkSession, whose in-memory catalog lost the
+    table — just re-register the existing parquet bucket files as an
+    external bucketed table (a catalog-only operation; Spark derives
+    each file's bucket id from the writer's file-name convention, so
+    the exchange-free plan is identical to the freshly-written one).
+
+    ``fingerprint`` must capture everything the staged contents depend
+    on: the input files (`_input_fingerprint`) plus a recipe version
+    string bumped on any change to ``build``'s logic.
+    """
+    marker = os.path.join(path, "_A2PS_BUCKETED_OK")
+    want = json.dumps(
+        {
+            "fingerprint": fingerprint,
+            "bucket_col": bucket_col,
+            "num_buckets": num_buckets,
+        },
+        sort_keys=True,
+    )
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            saved = json.load(fh)
+        if json.dumps(saved.get("spec"), sort_keys=True) == json.dumps(
+            json.loads(want), sort_keys=True
+        ):
+            if not spark.catalog.tableExists(table):
+                cols = ", ".join(saved["ddl"])
+                spark.sql(
+                    f"CREATE TABLE {table} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({bucket_col}) "
+                    f"SORTED BY ({bucket_col}) "
+                    f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+                )
+            return
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bucketed(build(), table, bucket_col, num_buckets, path=path)
+    ddl = [
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in spark.table(table).schema.fields
+    ]
+    with open(marker, "w") as fh:
+        json.dump({"spec": json.loads(want), "ddl": ddl}, fh)
 
 
 def bucketed_join(

@@ -2981,33 +2981,43 @@ def dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     write instead of re-shuffling the index per probe; the probe plan
     is a per-bucket stream (SMJ LeftAnti over co-located sorted
     buckets + partial-free hash agg on the bucket key) that touches no
-    wire. Emits (hash_hex, new_id, n_copies) per new unique document."""
+    wire. Emits (hash_hex, new_id, n_copies) per new unique document.
+
+    Staging is idempotent (r7 verdict ask #4): the bucketed tables are
+    written once per sf_dir and re-registered (catalog-only) on every
+    later execution — in-session or in a fresh one — so repeated runs
+    measure the PROBE, the actual daily workload, not the layout write
+    the design exists to amortize."""
     import re
-    import shutil
 
     from archive_to_parquet_spark.plans.bucketing import (
+        _input_fingerprint,
+        ensure_bucketed_table,
         plan_has_exchange,
-        write_bucketed,
     )
     from archive_to_parquet_spark.queries_ext import _stage_dir
 
     suffix = re.sub(r"\W", "_", sf_dir.rstrip("/").split("sf")[-1])
     ti, tb = f"incbk_idx_{suffix}", f"incbk_batch_{suffix}"
     stage = _stage_dir("incbucketed", sf_dir)
-    shutil.rmtree(stage, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents")
-    index = (
-        docs.filter(F.col("doc_id") % 2 == 0)
-        .select(F.sha2("text", 256).alias("hash_hex"))
-        .distinct()  # the index stores unique hashes; shuffle paid ONCE
+    fp = ["incbk-v2", _input_fingerprint(f"{sf_dir}/documents.parquet")]
+    ensure_bucketed_table(
+        spark, ti, os.path.join(stage, "idx"), "hash_hex", 8,
+        lambda: (
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select(F.sha2("text", 256).alias("hash_hex"))
+            .distinct()  # the index stores unique hashes; shuffle paid ONCE
+        ),
+        fp,
     )
-    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", F.sha2("text", 256).alias("hash_hex")
+    ensure_bucketed_table(
+        spark, tb, os.path.join(stage, "new"), "hash_hex", 8,
+        lambda: docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", F.sha2("text", 256).alias("hash_hex")
+        ),
+        fp,
     )
-    for tbl in (ti, tb):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    write_bucketed(index, ti, "hash_hex", 8, path=os.path.join(stage, "idx"))
-    write_bucketed(batch, tb, "hash_hex", 8, path=os.path.join(stage, "new"))
 
     def probe() -> DataFrame:
         return (
