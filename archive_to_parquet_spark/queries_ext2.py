@@ -3060,6 +3060,196 @@ GROUP BY b.hash_hex
 """
 
 
+_MHBK_HASHES = 8  # md5-derived minhashes per doc
+_MHBK_BANDS = 4  # LSH bands (2 rows each)
+
+
+def _mhbk_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band rows from md5-based
+    minhash signatures — md5 (not xxhash64) so a DuckDB oracle
+    reproduces every bucket key bit-for-bit: mh_i = min over distinct
+    word-3-shingles of the 60-bit prefix of md5(shingle '|' i);
+    band_hash = md5(band '|' mh_{2b} '|' mh_{2b+1})."""
+    from archive_to_parquet_spark.operators.dedup import (
+        shingles_col,
+        spread_small_scan,
+    )
+
+    exploded = spread_small_scan(
+        docs.select(F.col("doc_id").alias("id"), "text"), "id"
+    ).select(
+        "id", F.explode(F.array_distinct(shingles_col("text", 3))).alias("g")
+    )
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("g"), F.lit(str(i)))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"mh_{i}")
+            for i in range(_MHBK_HASHES)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        F.col(f"mh_{2 * b}").cast("string"),
+                        F.col(f"mh_{2 * b + 1}").cast("string"),
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(_MHBK_BANDS)
+        ]
+    )
+    return sig.select("id", F.explode(bands).alias("s")).select(
+        F.col("id").alias("doc_id"), "s.band_idx", "s.band_hash"
+    )
+
+
+def dedup_minhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup (MinHash/LSH) index MAINTENANCE with a co-bucketed
+    layout — `dedup_incremental_bucketed`'s zero-Exchange contract
+    carried from exact to NEAR-dup dedup (r7 verdict ask #3; reference
+    contract D1 generalized, src/sink.rs:75-103): the banded LSH index
+    (distinct band buckets of the even-doc_id corpus) and the daily
+    batch's band rows (odd doc_ids) are both bucketed 8-way on the
+    band hash, so the daily index DELTA — which band buckets are new
+    today, with their first member and membership count — plans with
+    ZERO shuffle Exchanges, asserted in-query with auto-broadcast
+    disabled.
+
+    This is the daily workload of a 100-TB near-dup index: candidate
+    lookup and delta-append both key on (band, bucket); bucketing the
+    persisted index on the band hash means neither ever re-shuffles
+    the index — the batch's groupBy AND the anti-join ride the bucket
+    spec (the per-doc near-dup verdict over candidates is downstream
+    and priced on candidates only — `dedup_minhash`,
+    `stream_neardup_incremental`).
+
+    Unlike `dedup_minhash` (xxhash64 signatures, oracle = exact-Jaccard
+    twin + a recall argument), the md5-based signatures here are
+    engine-reproducible, so the DuckDB oracle checks every band bucket
+    key EXACTLY — banding quality never enters the equation.
+
+    Staging is idempotent: both bucketed tables are written once per
+    sf_dir and re-registered on later executions, so repeated runs
+    measure the probe (see ensure_bucketed_table)."""
+    import re
+
+    from archive_to_parquet_spark.plans.bucketing import (
+        _input_fingerprint,
+        ensure_bucketed_table,
+        plan_has_exchange,
+    )
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+
+    suffix = re.sub(r"\W", "_", sf_dir.rstrip("/").split("sf")[-1])
+    ti, tb = f"mhbk_idx_{suffix}", f"mhbk_batch_{suffix}"
+    stage = _stage_dir("mhbucketed", sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    fp = ["mhbk-v1", _input_fingerprint(f"{sf_dir}/documents.parquet")]
+    ensure_bucketed_table(
+        spark, ti, os.path.join(stage, "idx"), "band_hash", 8,
+        lambda: (
+            _mhbk_banded(docs.filter(F.col("doc_id") % 2 == 0))
+            .select("band_idx", "band_hash")
+            .distinct()  # one row per band bucket; shuffle paid ONCE
+        ),
+        fp,
+    )
+    ensure_bucketed_table(
+        spark, tb, os.path.join(stage, "new"), "band_hash", 8,
+        lambda: _mhbk_banded(docs.filter(F.col("doc_id") % 2 == 1)),
+        fp,
+    )
+
+    def probe() -> DataFrame:
+        # band_hash embeds band_idx in its md5 input, so the single
+        # bucket column is the full join key; grouping by (band_idx,
+        # band_hash) still rides the bucket spec (grouping keys ⊇
+        # partitioning key).
+        return (
+            spark.table(tb)
+            .join(spark.table(ti).select("band_hash"), "band_hash", "left_anti")
+            .groupBy("band_idx", "band_hash")
+            .agg(
+                F.min("doc_id").alias("first_doc"),
+                F.count("*").alias("n_docs"),
+            )
+            .select("band_idx", "band_hash", "first_doc", "n_docs")
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert not plan_has_exchange(probe()), (
+            "bucketed near-dup index delta gained a shuffle"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return probe()
+
+
+def _mhbk_oracle_sql() -> str:
+    """DuckDB twin of the md5 minhash banding — generated so the
+    minhash/band count stays in one place."""
+    mins = ",\n         ".join(
+        f"MIN(('0x' || substr(md5(g || '|{i}'), 1, 15))::BIGINT) AS mh_{i}"
+        for i in range(_MHBK_HASHES)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, CAST({b} AS INTEGER) AS band_idx,\n"
+        f"         md5('{b}|' || mh_{2 * b}::VARCHAR || '|' ||"
+        f" mh_{2 * b + 1}::VARCHAR) AS band_hash FROM mh"
+        for b in range(_MHBK_BANDS)
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, string_split(t, ' ') AS words FROM base
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(words) - 2, 1))]) AS grams
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM e GROUP BY doc_id
+), banded AS (
+{bands}
+), idx AS (
+  SELECT DISTINCT band_hash FROM banded WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, band_idx, band_hash FROM banded WHERE doc_id % 2 = 1
+)
+SELECT b.band_idx, b.band_hash,
+       CAST(MIN(b.doc_id) AS BIGINT) AS first_doc,
+       COUNT(*) AS n_docs
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.band_hash = b.band_hash)
+GROUP BY 1, 2
+"""
+
+
+DEDUP_MINHASH_BUCKETED_SQL = _mhbk_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Theta sketch set-operation cardinalities (union / intersection /
 # difference estimates from k-sized state)
@@ -3587,6 +3777,10 @@ CATALOG = {
     "dedup_incremental_bucketed": (
         dedup_incremental_bucketed,
         DEDUP_INCREMENTAL_BUCKETED_SQL,
+    ),
+    "dedup_minhash_bucketed": (
+        dedup_minhash_bucketed,
+        DEDUP_MINHASH_BUCKETED_SQL,
     ),
     "sample_weighted_priority": (
         sample_weighted_priority,
