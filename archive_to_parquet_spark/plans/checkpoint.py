@@ -41,6 +41,47 @@ def _dataframe_classes() -> list[type]:
     return [c for c in classes if "localCheckpoint" in vars(c)]
 
 
+def checkpoint_keeping_partitioning(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that RECORDS the plan's output partitioning.
+
+    Under AQE, ``Dataset.localCheckpoint`` captures UnknownPartitioning
+    — the adaptive plan's final partitioning isn't known when the
+    LogicalRDD is built — so every consumer join/agg re-shuffles rows
+    that are already correctly partitioned. Disabling AQE for just the
+    checkpoint's own job makes the captured partitioning the static
+    plan's HashPartitioning, which AQE-on consumers then reuse
+    (verified empirically on Spark 4.1: the connected-components loop
+    drops from ~4 exchanges/round to the 1 its aggregation genuinely
+    needs). Trade-off: the checkpointed subplan itself executes without
+    AQE (no runtime coalescing / skew splits) — use for bounded
+    intermediates, not giant scans."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def checkpoint_partitioned(df: DataFrame, *cols: str) -> DataFrame:
+    """Materialize ``df`` hash-partitioned on ``cols`` with the
+    partitioning preserved through the checkpoint: pay ONE explicit
+    shuffle now so every downstream consumer keyed on ``cols`` — self
+    joins, repeated loop joins — plans exchange-free against the
+    materialized relation. The partition count is pinned to the
+    session's ``spark.sql.shuffle.partitions`` so consumer-side
+    aggregations/joins (which shuffle to the same count) co-partition.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return checkpoint_keeping_partitioning(
+        df.repartition(n, *[F.col(c) for c in cols])
+    )
+
+
 @contextmanager
 def recording_checkpoint_plans(sink: list[str]):
     """Within the block, every ``localCheckpoint`` call appends the

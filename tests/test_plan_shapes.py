@@ -195,12 +195,34 @@ def test_catalog_plan_hygiene(catalog_audit):
     assert not offenders, offenders
 
 
-# Intentional plan-shape changes land here with the round that made
-# them, keyed by entry name — the pin test skips listed entries so a
-# deliberate rework doesn't force an immediate PLAN_PINS.json
-# regeneration mid-review.  MUST be drained (empty) by the time the
-# pin is regenerated.
-_PIN_DRIFT_ALLOWLIST: dict[str, str] = {}
+# Intentional plan-shape changes land here keyed by entry name, with
+# the PLAN_PINS.json "generation" current at the time of allowlisting —
+# the pin test skips listed entries so a deliberate rework doesn't
+# force an immediate PLAN_PINS.json regeneration mid-review.  The
+# drain is ENFORCED (r7 verdict ask #7): regenerating the pin bumps
+# its generation, and test_pin_allowlist_drained fails any entry whose
+# recorded generation is older than the committed pin's — a lingering
+# allowlist entry can no longer survive the regeneration that was
+# supposed to resolve it.
+_PIN_DRIFT_ALLOWLIST: dict[str, int] = {}
+
+
+def test_pin_allowlist_drained():
+    """An allowlist entry is a promise to regenerate PLAN_PINS.json;
+    once the pin's generation advances past the one the entry was
+    recorded under, keeping the entry would silently exempt that
+    query from drift detection forever — fail instead."""
+    with open(os.path.join(REPO, "PLAN_PINS.json")) as fh:
+        generation = json.load(fh).get("generation", 0)
+    stale = {
+        name: gen
+        for name, gen in _PIN_DRIFT_ALLOWLIST.items()
+        if gen < generation
+    }
+    assert not stale, (
+        f"PLAN_PINS.json is at generation {generation}; drain these "
+        f"allowlist entries recorded under older generations: {stale}"
+    )
 
 
 def test_catalog_plan_shapes_match_pin(catalog_audit):

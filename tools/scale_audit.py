@@ -73,6 +73,15 @@ def main() -> int:
     # an exploratory run at another sf must not silently overwrite it
     # (the pin test compares a live sf0.001 audit against the file).
     if sf_dir == PIN_SF_DIR:
+        # monotone generation counter: every regeneration bumps it, and
+        # the pin test fails any _PIN_DRIFT_ALLOWLIST entry recorded
+        # under an OLDER generation — the allowlist is forced to drain
+        # with the regeneration that resolves it (r7 verdict ask #7)
+        generation = 1
+        pin_path = os.path.join(REPO, "PLAN_PINS.json")
+        if os.path.exists(pin_path):
+            with open(pin_path) as fh:
+                generation = json.load(fh).get("generation", 0) + 1
         pins = {
             "_comment": (
                 "Per-entry physical-plan pin written by "
@@ -81,6 +90,7 @@ def main() -> int:
                 "after an intentional plan change."
             ),
             "sf_dir": sf_dir,
+            "generation": generation,
             "entries": {
                 r["name"]: pin_of(r)
                 for r in sorted(rows, key=lambda r: r["name"])
