@@ -250,6 +250,76 @@ def parse_mp3_header(data: bytes) -> tuple[int, int, float] | None:
     return None
 
 
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+
+
+def parse_adts_header(data: bytes) -> tuple[int, int, float] | None:
+    """(sample_rate, n_samples, duration_s) from an ADTS/AAC elementary
+    stream (ISO/IEC 13818-7 §6.2) — header-tier only, NO PCM claim:
+    fixed-offset bit unpacking of the 7/9-byte frame headers, walking
+    frame_length hops and counting 1024 samples per raw data block.
+    Malformed/new-format bytes degrade to None."""
+    d = data or b""
+    if len(d) < 7 or d[0] != 0xFF or (d[1] & 0xF6) != 0xF0:
+        return None  # syncword 0xFFF + layer 00 required
+    rate_idx = (d[2] >> 2) & 0xF
+    if rate_idx >= len(_ADTS_RATES):
+        return None
+    rate = _ADTS_RATES[rate_idx]
+    i, n_samples = 0, 0
+    while i + 7 <= len(d):
+        if d[i] != 0xFF or (d[i + 1] & 0xF6) != 0xF0:
+            return None  # mid-stream desync: treat as malformed
+        if ((d[i + 2] >> 2) & 0xF) != rate_idx:
+            return None  # rate change mid-stream — not a CBR ADTS file
+        flen = ((d[i + 3] & 0x3) << 11) | (d[i + 4] << 3) | (d[i + 5] >> 5)
+        header_len = 7 if d[i + 1] & 0x1 else 9  # +CRC when protected
+        if flen < header_len or i + flen > len(d):
+            return None
+        n_samples += 1024 * ((d[i + 6] & 0x3) + 1)  # raw data blocks + 1
+        i += flen
+    if i != len(d) or n_samples == 0:
+        return None
+    return rate, n_samples, n_samples / rate
+
+
+def parse_ogg_vorbis_header(data: bytes) -> tuple[int, int, float] | None:
+    """(sample_rate, n_samples, duration_s) from an Ogg/Vorbis stream
+    (RFC 3533 container + Vorbis I identification header) — header-tier
+    only, NO PCM claim: the first page's first packet must be the
+    ``\\x01vorbis`` identification header (version 0, rate/channels at
+    fixed offsets), and the stream's total PCM length is the LAST
+    page's granule position (absolute sample count by Vorbis mapping).
+    Page CRCs are not verified — this is metadata extraction, not
+    integrity checking; anything structurally off degrades to None."""
+    d = data or b""
+    if d[:4] != b"OggS" or len(d) < 28 or d[4] != 0:
+        return None
+    n_segs = d[26]
+    seg_table_end = 27 + n_segs
+    if n_segs < 1 or len(d) < seg_table_end + 30:
+        return None
+    p = seg_table_end  # first packet of first page
+    if d[p : p + 7] != b"\x01vorbis":
+        return None
+    if int.from_bytes(d[p + 7 : p + 11], "little") != 0:
+        return None  # vorbis_version must be 0
+    channels = d[p + 11]
+    rate = int.from_bytes(d[p + 12 : p + 16], "little")
+    if channels == 0 or rate == 0:
+        return None
+    last = d.rfind(b"OggS")
+    if last < 0 or len(d) < last + 28:
+        return None
+    granule = int.from_bytes(d[last + 6 : last + 14], "little")
+    if granule in (0, 0xFFFFFFFFFFFFFFFF):  # -1 = "no packet ends here"
+        return None
+    return rate, granule, granule / rate
+
+
 def parse_video_header(data: bytes) -> dict | None:
     """Container-level video metadata without any codec: MP4/MOV walks
     top-level boxes to moov→mvhd (timescale+duration, both mvhd
@@ -454,12 +524,15 @@ def _real_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
         parse_wav_header(data)
         or parse_flac_header(data)
         or parse_mp3_header(data)
+        or parse_ogg_vorbis_header(data)
+        or parse_adts_header(data)
     )
     if parsed is None:
         magic = (data or b"")[:4].hex()
         raise NotImplementedError(
-            f"audio header parse supports WAV/FLAC/MP3; bytes with magic "
-            f"{magic!r} (ogg/opus…) need a codec library (soundfile)"
+            f"audio header parse supports WAV/FLAC/MP3/Ogg-Vorbis/ADTS-AAC; "
+            f"bytes with magic {magic!r} (opus, mp4 audio…) need a codec "
+            f"library (soundfile)"
         )
     rate, n, duration = parsed
     h = hashlib.sha256(data or b"").digest()
@@ -2640,6 +2713,8 @@ def profile_media(df: DataFrame) -> DataFrame:
                         parse_wav_header(data)
                         or parse_flac_header(data)
                         or parse_mp3_header(data)
+                        or parse_ogg_vorbis_header(data)
+                        or parse_adts_header(data)
                     )
                     if parsed:
                         rate, n_samp, dur = parsed

@@ -1225,18 +1225,26 @@ def _le(col, n_bytes: int):
 
 
 def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL multimodal decode path, driver-checked: valid PNG and
-    WAV bytes are constructed JVM-side with closed-form geometry
-    (width/height/sample-rate derived from doc_id), pushed through the
-    Arrow ``mapInPandas`` decoders in ``decode="real"`` mode, and the
-    parsed metadata must equal what the construction implies — the
-    oracle states the closed form. This certifies the binary-column
-    plumbing AND the header parsers end-to-end (reference parity for
-    the stub-free formats; codec formats still raise loudly).
+    """The REAL multimodal decode path, driver-checked: valid PNG, WAV,
+    Ogg/Vorbis and ADTS/AAC bytes are constructed JVM-side with
+    closed-form geometry (width/height/sample-rate/duration derived
+    from doc_id), pushed through the Arrow ``mapInPandas`` decoders in
+    ``decode="real"`` mode, and the parsed metadata must equal what the
+    construction implies — the oracle states the closed form. This
+    certifies the binary-column plumbing AND the header parsers
+    end-to-end (reference parity for the stub-free formats; codec
+    formats still raise loudly).
+
+    The Ogg leg (r7 verdict stretch #8) builds a minimal two-page
+    stream — BOS page carrying the ``\\x01vorbis`` identification
+    header, EOS page whose granule position is the total sample count —
+    and the ADTS leg a run of header-only AAC frames (1024 samples
+    each), so rate/channels/duration extraction is certified for both
+    WITHOUT any PCM claim (the deliberate codec boundary stands).
 
     Scale: decode is per-row in Arrow batches, no shuffle; the join of
-    the two feature frames keys on doc_id (broadcast-sized here; at
-    corpus scale both sides are co-partitioned by id).
+    the feature frames keys on doc_id (broadcast-sized here; at corpus
+    scale all sides are co-partitioned by id).
     """
     from archive_to_parquet_spark.operators.multimodal import (
         extract_audio_features,
@@ -1269,12 +1277,66 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.lit("64617461")),            # data
         _le(data_size, 4),
     )
-    media = docs.select("doc_id", png.alias("png"), wav.alias("wav"))
+    # Ogg/Vorbis: BOS page (30-byte identification-header packet) + EOS
+    # page whose granule position = total samples; CRCs zero (the
+    # parser extracts metadata, it does not verify page integrity)
+    ogg_rate = (F.lit(8000) + (F.col("doc_id") % 4) * 4000).cast("long")
+    ogg_channels = (F.col("doc_id") % 2 + 1).cast("long")
+    ogg_total = (F.col("doc_id") % 4000 + 500).cast("long")
+    ogg = F.concat(
+        # OggS v0 BOS, granule 0, serial 1, seq 0, crc 0, 1 seg of 30
+        F.unhex(F.lit(
+            "4F676753" + "00" + "02" + "00" * 8
+            + "01000000" + "00000000" + "00000000" + "01" + "1E"
+            + "01" + "766F72626973" + "00000000"  # \x01vorbis, version 0
+        )),
+        F.unhex(F.lpad(F.hex(ogg_channels), 2, "0")),
+        _le(ogg_rate, 4),
+        # bitrates (3x4 zero), blocksizes 0xB8, framing 1
+        F.unhex(F.lit("00" * 12 + "B8" + "01")),
+        # OggS v0 EOS page: granule = total samples, seq 1, 1-byte body
+        F.unhex(F.lit("4F676753" + "00" + "04")),
+        _le(ogg_total, 8),
+        F.unhex(F.lit("01000000" + "01000000" + "00000000" + "01" + "01" + "00")),
+    )
+    # ADTS/AAC: n header-only frames (frame_length 7, AAC LC, mono,
+    # fullness 0x7FF, no CRC), 1024 samples each
+    adts_rate_idx = (F.lit(3) + F.col("doc_id") % 3).cast("long")  # 48k/44.1k/32k
+    n_frames = (F.col("doc_id") % 5 + 2).cast("int")
+    adts_frame_hex = F.concat(
+        F.lit("FFF1"),
+        F.lpad(F.hex(F.lit(0x40) + adts_rate_idx * 4), 2, "0"),
+        F.lit("4000FFFC"),
+    )
+    adts = F.unhex(F.expr("repeat(_adts_frame_hex, _n_frames)"))
+    media = (
+        docs.select(
+            "doc_id",
+            png.alias("png"),
+            wav.alias("wav"),
+            ogg.alias("ogg"),
+            adts_frame_hex.alias("_adts_frame_hex"),
+            n_frames.alias("_n_frames"),
+        )
+        .withColumn("adts", adts)
+        .drop("_adts_frame_hex", "_n_frames")
+    )
     img = extract_image_features(
         media, data_col="png", id_col="doc_id", decode="real"
     ).select(
         F.col("media_id").alias("doc_id"), "width", "height", "channels"
     )
+
+    def aud_features(col: str, prefix: str) -> DataFrame:
+        return extract_audio_features(
+            media, data_col=col, id_col="doc_id", decode="real"
+        ).select(
+            F.col("media_id").alias("doc_id"),
+            F.col("sample_rate").alias(f"{prefix}rate"),
+            F.col("n_samples").alias(f"{prefix}samples"),
+            F.round("duration_s", 6).alias(f"{prefix}duration_s"),
+        )
+
     aud = extract_audio_features(
         media, data_col="wav", id_col="doc_id", decode="real"
     ).select(
@@ -1283,7 +1345,11 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round("duration_s", 6).alias("duration_s"),
     )
-    return img.join(aud, "doc_id")
+    return (
+        img.join(aud, "doc_id")
+        .join(aud_features("ogg", "ogg_"), "doc_id")
+        .join(aud_features("adts", "adts_"), "doc_id")
+    )
 
 
 MULTIMODAL_HEADER_SQL = """
@@ -1294,7 +1360,18 @@ SELECT doc_id,
        CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
        CAST(doc_id % 1000 + 100 AS BIGINT) AS n_samples,
        round((doc_id % 1000 + 100)
-               / (8000.0 + (doc_id % 5) * 1000), 6) AS duration_s
+               / (8000.0 + (doc_id % 5) * 1000), 6) AS duration_s,
+       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS ogg_rate,
+       CAST(doc_id % 4000 + 500 AS BIGINT) AS ogg_samples,
+       round((doc_id % 4000 + 500)
+               / (8000.0 + (doc_id % 4) * 4000), 6) AS ogg_duration_s,
+       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 48000
+                 WHEN 1 THEN 44100 ELSE 32000 END AS INT) AS adts_rate,
+       CAST((doc_id % 5 + 2) * 1024 AS BIGINT) AS adts_samples,
+       round((doc_id % 5 + 2) * 1024
+               / CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 48000
+                      WHEN 1 THEN 44100 ELSE 32000 END AS DOUBLE), 6)
+         AS adts_duration_s
 FROM documents
 """
 

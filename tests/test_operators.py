@@ -612,6 +612,80 @@ def test_flac_mp3_header_decoders():
     assert parse_mp3_header(b"\x00" * 100) is None
 
 
+def _make_adts(rate_idx=4, n_frames=4, rdb=0, with_crc=False):
+    """Header-only ADTS/AAC frames (ISO 13818-7 §6.2): AAC LC, mono,
+    fullness 0x7FF, ``rdb`` extra raw-data-blocks per frame."""
+    hlen = 9 if with_crc else 7
+    frame = bytes(
+        [
+            0xFF,
+            0xF0 | (0 if with_crc else 1),
+            0x40 | (rate_idx << 2),
+            0x40 | (hlen >> 11),
+            (hlen >> 3) & 0xFF,
+            ((hlen & 0x7) << 5) | 0x1F,
+            0xFC | rdb,
+        ]
+    ) + (b"\x00\x00" if with_crc else b"")
+    return frame * n_frames
+
+
+def _make_ogg_vorbis(rate=12000, channels=2, total=1500):
+    import struct
+
+    p0 = (
+        b"OggS" + b"\x00\x02" + b"\x00" * 8  # BOS, granule 0
+        + b"\x01\x00\x00\x00" + b"\x00" * 8  # serial, seq, crc
+        + b"\x01\x1e"  # one 30-byte segment
+        + b"\x01vorbis" + b"\x00" * 4  # id header, version 0
+        + bytes([channels]) + struct.pack("<I", rate)
+        + b"\x00" * 12 + b"\xb8\x01"  # bitrates, blocksizes, framing
+    )
+    p1 = (
+        b"OggS" + b"\x00\x04" + struct.pack("<Q", total)  # EOS, granule
+        + b"\x01\x00\x00\x00" + b"\x01\x00\x00\x00" + b"\x00" * 4
+        + b"\x01\x01\x00"
+    )
+    return p0 + p1
+
+
+def test_adts_ogg_header_decoders():
+    """Header-tier Ogg/Vorbis + ADTS/AAC metadata (r7 verdict stretch
+    #8): rate/channels/duration only — no PCM claim, so no oracle risk;
+    anything structurally off degrades to None."""
+    from archive_to_parquet_spark.operators.multimodal import (
+        parse_adts_header,
+        parse_ogg_vorbis_header,
+    )
+
+    rate, n, dur = parse_adts_header(_make_adts(rate_idx=4, n_frames=4))
+    assert (rate, n) == (44100, 4096) and abs(dur - 4096 / 44100) < 1e-12
+    # CRC-protected frames are 9 bytes; raw-data-block count multiplies
+    rate, n, _ = parse_adts_header(
+        _make_adts(rate_idx=11, n_frames=2, rdb=1, with_crc=True)
+    )
+    assert (rate, n) == (8000, 2 * 2 * 1024)
+
+    rate, n, dur = parse_ogg_vorbis_header(_make_ogg_vorbis())
+    assert (rate, n) == (12000, 1500) and abs(dur - 0.125) < 1e-12
+
+    # malformed inputs degrade to None, never raise
+    assert parse_adts_header(b"") is None
+    assert parse_adts_header(b"\xff\xf1\x00") is None
+    assert parse_adts_header(_make_adts() + b"x") is None  # trailing junk
+    assert parse_adts_header(_make_adts(rate_idx=13)) is None  # reserved
+    assert parse_ogg_vorbis_header(b"OggS") is None
+    assert parse_ogg_vorbis_header(b"\x00" * 64) is None
+    ogg = bytearray(_make_ogg_vorbis())
+    ogg[28:35] = b"\x03vorbis"  # not the identification header
+    assert parse_ogg_vorbis_header(bytes(ogg)) is None
+    # rate-change mid-stream is not a CBR ADTS file
+    assert (
+        parse_adts_header(_make_adts(rate_idx=4) + _make_adts(rate_idx=5))
+        is None
+    )
+
+
 def test_video_container_metadata():
     from archive_to_parquet_spark.operators.multimodal import parse_video_header
 
