@@ -3904,90 +3904,35 @@ _CATALOG.update(_ext2.CATALOG)
 
 # Static, hand-maintained coverage schedule.  The external correctness
 # gate samples exactly the first 50 ``queries()`` entries per run, so a
-# 180+-entry catalog needs a deliberate front-of-list.  Round-7
-# rotation (per VERDICT r6 asks #1/#6): every entry is green in the
+# 180+-entry catalog needs a deliberate front-of-list.  Round-8
+# rotation (per VERDICT r7 asks #1/#3): every entry is green in the
 # committed local sf0.1 sweep, so the window keeps chasing driver-row
-# FRESHNESS.  Slot 1 is the round-7 addition (never driver-sampled),
-# slots 2-10 the last nine r2-stale entries (the r6 verdict's spill
-# list), slots 11-41 the OLDEST 31 of the 45 r3-stale entries (the
-# TPC-H q02-q22 cohort, both remaining ANN entries, and the text
-# battery, as named by the verdict), slot 42 the changed-this-round
-# multimodal_content_decode (gained the FLAC real-decode leg — a
-# changed certified entry re-fronts the same round, r6 precedent),
-# and slots 43-50 the permanent reference-parity spine required in
-# EVERY window.  The 14 r3 entries that do not fit
-# (50 − 8 spine − 1 new − 1 changed − 9 r2 = 31 < 45) are queued at
-# slots 51-64 and lead the round-8 rotation; after r7 the catalog
-# minimum driver row is r3 with exactly those 14 remaining, and r8
-# clears them.  This list is a plain literal on purpose: the ordering
-# must be deterministic and independent of any files on disk (a
-# previous revision derived it from CORRECTNESS_r*.json artifacts at
-# call time, which made the public API's ordering nondeterministic and
-# self-referential).  Update it by hand between rounds;
-# `tools/check_correctness.py` always runs ALL entries regardless of
-# order.
+# FRESHNESS.  Slots 1-14 are the LAST r3-stale entries
+# (sketch_accuracy first — displaced by re-fronts in r6 AND r7, the
+# verdict says it goes first; after this window the catalog's minimum
+# driver row is r4).  Slot 15 is the round-8 addition
+# (dedup_minhash_bucketed, never driver-sampled).  Slots 16-19 are the
+# entries whose PLANS changed this round and must re-certify
+# (r6 precedent): dedup_incremental_bucketed (idempotent staging),
+# cluster_dbscan_lsh (banded projection materialized),
+# dedup_near_clusters + split_leakage_safe (connected-components edge
+# distinct removed).  Slots 20-42 take the alphabetically-first 23 of
+# the 41-entry r4 cohort — a deterministic tie-break, and it happens
+# to include both r4 entries that also changed this round
+# (cluster_dbscan via the CC rework, multimodal_header_decode via the
+# new Ogg/ADTS legs).  Slots 43-50 are the permanent reference-parity
+# spine required in EVERY window.  The 18 r4 entries that do not fit
+# (50 − 14 r3 − 1 new − 4 re-fronts − 8 spine = 23 < 41) are queued at
+# slots 51-68 and lead the round-9 rotation.  This list is a plain
+# literal on purpose: the ordering must be deterministic and
+# independent of any files on disk (a previous revision derived it
+# from CORRECTNESS_r*.json artifacts at call time, which made the
+# public API's ordering nondeterministic and self-referential).
+# Update it by hand between rounds; `tools/check_correctness.py`
+# always runs ALL entries regardless of order.
 _SCHEDULE_FRONT: tuple[str, ...] = (
-    # -- slot 1: new in round 7 (never driver-sampled)
-    "dedup_incremental_bucketed",
-    # -- slots 2-10: last driver row r2 (the r6 spill list)
-    "rel_window_top3_per_cust",
-    "rel_rollup_sales",
-    "rel_running_totals",
-    "rel_ship_delay_by_year",
-    "rel_supplier_balance_by_nation",
-    "rel_top_orders",
-    "rel_array_funcs",
-    "rel_set_ops",
-    "rel_intersect_having",
-    # -- slots 11-42: last driver row r3 — TPC-H q02-q22 cohort, the
-    # two ANN entries, the text battery, and six more in catalog order
-    "tpch_q02_min_cost_supplier",
-    "tpch_q03_shipping_priority",
-    "tpch_q04_priority_checking",
-    "tpch_q05_local_supplier_volume",
-    "tpch_q06_forecast_revenue",
-    "tpch_q07_volume_shipping",
-    "tpch_q08_market_share",
-    "tpch_q09_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_balances",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_brand_supplier_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_supplier_semi_chain",
-    "tpch_q21_multi_exists",
-    "tpch_q22_idle_customers",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "text_char_entropy",
-    "text_gopher_quality",
-    "text_pii_redact",
-    "text_topgram_repetition",
-    "corpus_shuffle",
-    "crossdoc_spans",
-    "dedup_span_removal",
-    "sample_split",
-    "search_bm25",
-    # slot 42: multimodal_content_decode CHANGED this round (gained the
-    # FLAC real-decode leg, like the r6 progressive-JPEG leg) — a
-    # changed certified entry re-fronts in the same round, displacing
-    # one r3-stale entry (sketch_accuracy) to the r8 spill
-    "multimodal_content_decode",
-    # -- slots 43-50: permanent reference-parity spine (every round)
-    "q1_projection_hash",
-    "q2_include_text",
-    "q3_size_filter",
-    "q4_dedup_hash_groups",
-    "q5_extract_strings",
-    "q6_union_group",
-    "source_nested_walk",
-    "source_url_ingest",
-    # -- slots 51-64: the r3-stale entries that did not fit this
-    # window; they lead the round-8 rotation
+    # -- slots 1-14: the last r3-stale entries (freshness rotation,
+    # final leg — sketch_accuracy first)
     "sketch_accuracy",
     "curation_pipeline",
     "decontaminate_ngrams",
@@ -4002,6 +3947,66 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "stream_dedup_keys",
     "stream_sessionize",
     "web_domain_stats",
+    # -- slot 15: new in round 8 (never driver-sampled)
+    "dedup_minhash_bucketed",
+    # -- slots 16-19: plans changed this round — re-certify
+    "dedup_incremental_bucketed",
+    "cluster_dbscan_lsh",
+    "dedup_near_clusters",
+    "split_leakage_safe",
+    # -- slots 20-42: alphabetically-first 23 of the r4 cohort
+    "ann_jl_topk",
+    "ann_pq_topk",
+    "bpe_top_pairs",
+    "cluster_dbscan",
+    "cluster_kmeans",
+    "corpus_global_index",
+    "decontaminate_semantic",
+    "dedup_bloom_probe",
+    "dedup_incremental",
+    "dedup_url_canonical",
+    "embedding_jl_projection",
+    "eval_calibration_bins",
+    "eval_ndcg_bm25",
+    "graph_pagerank",
+    "graph_triangles",
+    "maintenance_profile_table",
+    "maintenance_snapshot_diff",
+    "maintenance_upsert",
+    "maintenance_zorder_stats",
+    "mine_hard_negatives",
+    "multimodal_header_decode",
+    "multimodal_phash_dedup",
+    "parse_quarantine",
+    # -- slots 43-50: permanent reference-parity spine (every round)
+    "q1_projection_hash",
+    "q2_include_text",
+    "q3_size_filter",
+    "q4_dedup_hash_groups",
+    "q5_extract_strings",
+    "q6_union_group",
+    "source_nested_walk",
+    "source_url_ingest",
+    # -- slots 51-68: the r4 entries that did not fit this window;
+    # they lead the round-9 rotation
+    "privacy_k_anonymity",
+    "rel_bucketed_join",
+    "rel_salted_hot_join",
+    "rel_skew_isolated_join",
+    "search_index_probe",
+    "sketch_countmin",
+    "sketch_heavy_hitters",
+    "sketch_mergeable_hll",
+    "source_csv_roundtrip",
+    "source_dpp_join",
+    "source_orc_roundtrip",
+    "source_partitioned_pruning",
+    "source_schema_evolution",
+    "stream_parse_quarantine",
+    "stream_stateful_user_stats",
+    "text_html_extract",
+    "tokenize_bpe_encode",
+    "train_logreg_quality",
 )
 
 
