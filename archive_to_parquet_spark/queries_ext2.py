@@ -2909,32 +2909,47 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the scale property AND the joined values together. This
     is the pay-the-shuffle-once layout for the 100-TB recurring join:
     the exchange is paid at write time, every subsequent join of the
-    two tables is exchange-free. Money in exact integer cents."""
+    two tables is exchange-free. Money in exact integer cents.
+
+    Staging is idempotent (r8, same rework as
+    dedup_incremental_bucketed): the bucketed tables are written once
+    per sf_dir and re-registered on later executions, so repeated runs
+    measure the exchange-free JOIN — the thing the layout buys — not
+    the layout write it amortizes."""
     import re
-    import shutil
 
     from archive_to_parquet_spark.functions.exactnum import cents_col
     from archive_to_parquet_spark.plans.bucketing import (
+        _input_fingerprint,
         bucketed_join,
+        ensure_bucketed_table,
         plan_has_exchange,
-        write_bucketed,
     )
     from archive_to_parquet_spark.queries_ext import _stage_dir
 
     suffix = re.sub(r"\W", "_", sf_dir.rstrip("/").split("sf")[-1])
     tl, to = f"bj_li_{suffix}", f"bj_ord_{suffix}"
     stage = _stage_dir("bucketedjoin", sf_dir)
-    shutil.rmtree(stage, ignore_errors=True)
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    fp = [
+        "bj-v2",
+        _input_fingerprint(
+            f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"
+        ),
+    ]
+    ensure_bucketed_table(
+        spark, tl, os.path.join(stage, "li"), "okey", 8,
+        lambda: _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"), "l_extendedprice"
+        ),
+        fp,
     )
-    od = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    ensure_bucketed_table(
+        spark, to, os.path.join(stage, "od"), "okey", 8,
+        lambda: _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"), "o_orderpriority"
+        ),
+        fp,
     )
-    for tbl in (tl, to):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    write_bucketed(li, tl, "okey", 8, path=os.path.join(stage, "li"))
-    write_bucketed(od, to, "okey", 8, path=os.path.join(stage, "od"))
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
