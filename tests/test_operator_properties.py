@@ -135,6 +135,19 @@ def test_catalog_schedule_static_and_complete():
     assert names[: len(sched)] == sched
     assert sorted(names) == sorted(q._CATALOG), "catalog not fully covered"
     assert names == list(q.queries()), "ordering not stable across calls"
+    # the driver samples exactly the first 50 entries: the permanent
+    # reference-parity spine must be inside that window every round,
+    # and every window entry needs an oracle (a weaker rows-only check
+    # slipping into the certified window would be a silent downgrade)
+    window = set(names[:50])
+    spine = {
+        "q1_projection_hash", "q2_include_text", "q3_size_filter",
+        "q4_dedup_hash_groups", "q5_extract_strings", "q6_union_group",
+        "source_nested_walk", "source_url_ingest",
+    }
+    assert spine <= window, f"parity spine outside window: {spine - window}"
+    no_oracle = [n for n in names[:50] if q._CATALOG[n][1] is None]
+    assert not no_oracle, f"window entries without oracle SQL: {no_oracle}"
 
 
 # -- URL canonicalization: idempotence + batch form ---------------------------
