@@ -169,3 +169,90 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert now == untouched_files
+
+
+# -- idempotent staging (ensure_bucketed_table, r8) ---------------------------
+
+
+def test_ensure_bucketed_table_builds_once_and_reregisters(spark, tmp_path):
+    """The pay-the-shuffle-ONCE contract: the first call writes, later
+    calls with the same fingerprint never rebuild — even after the
+    table vanishes from the catalog (a fresh session) — and the
+    re-registered external table still joins exchange-free."""
+    import os
+
+    from archive_to_parquet_spark.plans.bucketing import (
+        ensure_bucketed_table,
+        plan_has_exchange,
+    )
+
+    path_a = str(tmp_path / "a")
+    path_b = str(tmp_path / "b")
+    builds = {"n": 0}
+
+    def build_a():
+        builds["n"] += 1
+        return spark.range(100).select(
+            (F.col("id") % 11).alias("k"), F.col("id").alias("v")
+        )
+
+    for tbl in ("ensb_a", "ensb_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    fp = ["v1", [["input", 1, 2]]]
+    ensure_bucketed_table(spark, "ensb_a", path_a, "k", 4, build_a, fp)
+    assert builds["n"] == 1
+    ensure_bucketed_table(spark, "ensb_a", path_a, "k", 4, build_a, fp)
+    assert builds["n"] == 1, "same fingerprint must not rebuild"
+
+    # fresh-session simulation: drop ONLY the catalog entry (files stay)
+    spark.sql("DROP TABLE ensb_a")
+    ensure_bucketed_table(spark, "ensb_a", path_a, "k", 4, build_a, fp)
+    assert builds["n"] == 1, "re-registration must be catalog-only"
+    assert spark.table("ensb_a").count() == 100
+
+    # the re-registered table keeps the bucket spec: co-bucketed join
+    # plans without any shuffle Exchange
+    ensure_bucketed_table(
+        spark, "ensb_b", path_b, "k", 4,
+        lambda: spark.range(11).select(
+            (F.col("id") % 11).alias("k"), F.lit("dim").alias("d")
+        ),
+        fp,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("ensb_a").join(spark.table("ensb_b"), "k")
+        assert not plan_has_exchange(j)
+        assert j.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # changed fingerprint (input or recipe) rebuilds
+    ensure_bucketed_table(
+        spark, "ensb_a", path_a, "k", 4, build_a, ["v2", [["input", 1, 2]]]
+    )
+    assert builds["n"] == 2, "fingerprint change must rebuild"
+    assert os.path.exists(os.path.join(path_a, "_A2PS_BUCKETED_OK"))
+    for tbl in ("ensb_a", "ensb_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_ensure_bucketed_table_rebuilds_on_bucket_spec_change(spark, tmp_path):
+    from archive_to_parquet_spark.plans.bucketing import ensure_bucketed_table
+
+    path = str(tmp_path / "t")
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return spark.range(20).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+        )
+
+    spark.sql("DROP TABLE IF EXISTS ensb_spec")
+    ensure_bucketed_table(spark, "ensb_spec", path, "k", 4, build, ["v1"])
+    ensure_bucketed_table(spark, "ensb_spec", path, "k", 8, build, ["v1"])
+    assert builds["n"] == 2, "bucket-count change must rebuild"
+    assert spark.table("ensb_spec").count() == 20
+    spark.sql("DROP TABLE IF EXISTS ensb_spec")
