@@ -320,14 +320,126 @@ def parse_ogg_vorbis_header(data: bytes) -> tuple[int, int, float] | None:
     return rate, granule, granule / rate
 
 
+def _ebml_id(d: bytes, i: int) -> tuple[int, int] | None:
+    """(class_id, n_bytes) at offset i — Matroska element IDs keep their
+    length-marker bits (0x1A45DFA3 is the 4-byte ID as written). None on
+    truncation or an invalid marker."""
+    if i >= len(d):
+        return None
+    b = d[i]
+    for ln in range(1, 5):  # element IDs are 1-4 bytes
+        if b & (0x80 >> (ln - 1)):
+            if i + ln > len(d):
+                return None
+            return int.from_bytes(d[i : i + ln], "big"), ln
+    return None
+
+
+def _ebml_size(d: bytes, i: int) -> tuple[int | None, int] | None:
+    """(content_size, n_bytes) at offset i — marker bit STRIPPED; size
+    None means the spec's "unknown size" (all value bits 1), which a
+    streamed Segment may use. None overall on truncation/invalid."""
+    if i >= len(d):
+        return None
+    b = d[i]
+    for ln in range(1, 9):  # data sizes are 1-8 bytes
+        if b & (0x80 >> (ln - 1)):
+            if i + ln > len(d):
+                return None
+            raw = int.from_bytes(d[i : i + ln], "big") & ((1 << (7 * ln)) - 1)
+            if raw == (1 << (7 * ln)) - 1:
+                return None, ln  # unknown size
+            return raw, ln
+    return None
+
+
+def _ebml_children(d: bytes, start: int, end: int):
+    """Yield (element_id, content_start, content_end) for the EBML
+    elements laid out in d[start:end). An unknown-size element extends
+    to the enclosing end (legal only for the last child — which is what
+    yielding-to-end models). Stops silently at any malformed element:
+    callers treat what was walked so far as all there is."""
+    i = start
+    while i < end:
+        rid = _ebml_id(d, i)
+        if rid is None:
+            return
+        eid, id_len = rid
+        rsz = _ebml_size(d, i + id_len)
+        if rsz is None:
+            return
+        size, sz_len = rsz
+        cs = i + id_len + sz_len
+        ce = end if size is None else cs + size
+        if ce > end:
+            return
+        yield eid, cs, ce
+        i = ce
+
+
+def parse_matroska_header(data: bytes) -> dict | None:
+    """Container-level Matroska/WebM metadata via a real EBML walk
+    (RFC 8794 structure + the Matroska DocType): Segment→Info yields
+    TimestampScale (ns/tick, default 1,000,000) and Duration (4- or
+    8-byte float, in ticks); Segment→Tracks→TrackEntry→Video yields
+    PixelWidth/PixelHeight. Header-tier only — no codec claim, block
+    data is never touched; anything structurally off degrades to None.
+    Returns the parse_video_header dict shape."""
+    d = data or b""
+    if d[:4] != b"\x1a\x45\xdf\xa3":  # EBML header class ID
+        return None
+    scale = 1_000_000
+    duration_ticks: float | None = None
+    width = height = None
+    for eid, cs, ce in _ebml_children(d, 0, len(d)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for sid, ss, se in _ebml_children(d, cs, ce):
+            if sid == 0x1549A966:  # Info
+                for iid, js, je in _ebml_children(d, ss, se):
+                    if iid == 0x2AD7B1:  # TimestampScale (uint)
+                        scale = int.from_bytes(d[js:je], "big") or scale
+                    elif iid == 0x4489:  # Duration (float, in ticks)
+                        if je - js == 4:
+                            duration_ticks = struct.unpack(">f", d[js:je])[0]
+                        elif je - js == 8:
+                            duration_ticks = struct.unpack(">d", d[js:je])[0]
+            elif sid == 0x1654AE6B:  # Tracks
+                for tid, ts, te in _ebml_children(d, ss, se):
+                    if tid != 0xAE:  # TrackEntry
+                        continue
+                    for vid, vs, ve in _ebml_children(d, ts, te):
+                        if vid != 0xE0:  # Video settings
+                            continue
+                        for pid, ps, pe in _ebml_children(d, vs, ve):
+                            if pid == 0xB0:
+                                width = int.from_bytes(d[ps:pe], "big")
+                            elif pid == 0xBA:
+                                height = int.from_bytes(d[ps:pe], "big")
+    if duration_ticks is None and width is None and height is None:
+        return None  # an EBML stream, but nothing Matroska-shaped inside
+    duration_s = (
+        duration_ticks * scale / 1e9 if duration_ticks is not None else None
+    )
+    return {
+        "duration_s": duration_s,
+        "n_frames": None,
+        "width": width,
+        "height": height,
+    }
+
+
 def parse_video_header(data: bytes) -> dict | None:
     """Container-level video metadata without any codec: MP4/MOV walks
     top-level boxes to moov→mvhd (timescale+duration, both mvhd
     versions); AVI reads the avih chunk (frame period, frame count,
-    dimensions). Returns {duration_s, n_frames, width, height} with
-    None for fields the container doesn't carry; None overall for
-    unrecognized bytes."""
+    dimensions); Matroska/WebM walks the EBML tree to Info + Video
+    (parse_matroska_header). Returns {duration_s, n_frames, width,
+    height} with None for fields the container doesn't carry; None
+    overall for unrecognized bytes."""
     d = data or b""
+    if d[:4] == b"\x1a\x45\xdf\xa3":  # Matroska / WebM (EBML)
+        return parse_matroska_header(d)
     # MP4 / MOV: size(4) type(4) boxes; mvhd lives inside moov
     if len(d) >= 12 and d[4:8] == b"ftyp":
 
@@ -782,18 +894,19 @@ def extract_video_metadata(
     decode: str = "fake",
 ) -> DataFrame:
     """video binary → container metadata (duration, frame count, dims)
-    via mapInPandas. ``decode="real"`` parses MP4/MOV mvhd and AVI avih
-    headers (pure Python, no codec); unrecognized containers raise
-    NotImplementedError. Fields a container doesn't carry are null
-    (MP4 mvhd has duration but not dims/frames; AVI avih has all)."""
+    via mapInPandas. ``decode="real"`` parses MP4/MOV mvhd, AVI avih
+    and Matroska/WebM EBML headers (pure Python, no codec);
+    unrecognized containers raise NotImplementedError. Fields a
+    container doesn't carry are null (MP4 mvhd has duration but not
+    dims/frames; AVI avih has all; Matroska has duration + dims)."""
     if decode == "real":
         def kernel(data: bytes) -> dict:
             meta = parse_video_header(data)
             if meta is None:
                 magic = (data or b"")[:8].hex()
                 raise NotImplementedError(
-                    f"video metadata parse supports MP4/MOV/AVI; bytes "
-                    f"with magic {magic!r} need a demuxer (PyAV)"
+                    f"video metadata parse supports MP4/MOV/AVI/WebM; "
+                    f"bytes with magic {magic!r} need a demuxer (PyAV)"
                 )
             return meta
     elif decode == "fake":

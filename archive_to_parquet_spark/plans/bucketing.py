@@ -129,11 +129,16 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on)
 
 
-def plan_has_exchange(df: DataFrame) -> bool:
-    """True if the physical plan contains a SHUFFLE Exchange.
+def count_shuffle_exchanges(df: DataFrame) -> int:
+    """Number of SHUFFLE Exchange operators in the physical plan.
 
     BroadcastExchange doesn't count — it replicates a small side without
     repartitioning rows; bucketing exists to remove shuffle exchanges.
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.replace("BroadcastExchange", "").count("Exchange") > 0
+    return plan.replace("BroadcastExchange", "").count("Exchange")
+
+
+def plan_has_exchange(df: DataFrame) -> bool:
+    """True if the physical plan contains a SHUFFLE Exchange."""
+    return count_shuffle_exchanges(df) > 0

@@ -1224,6 +1224,11 @@ def _le(col, n_bytes: int):
     return F.concat(*parts)
 
 
+def _be2(col):
+    """2-byte big-endian binary of an int column."""
+    return F.unhex(F.lpad(F.hex(col), 4, "0"))
+
+
 def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL multimodal decode path, driver-checked: valid PNG, WAV,
     Ogg/Vorbis and ADTS/AAC bytes are constructed JVM-side with
@@ -1242,6 +1247,15 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     each), so rate/channels/duration extraction is certified for both
     WITHOUT any PCM claim (the deliberate codec boundary stands).
 
+    The WebM leg (round 8) builds a minimal Matroska stream — EBML
+    header (DocType webm), Segment→Info carrying TimestampScale
+    (doc_id-derived, ns/tick) + Duration (1000.0 ticks, a literal
+    8-byte float), Segment→Tracks→TrackEntry→Video carrying
+    PixelWidth/PixelHeight — and pushes it through the real EBML walk
+    (parse_matroska_header), certifying duration_s = ticks × scale /
+    1e9 and the dims against the closed form. Same boundary: container
+    metadata only, no frame/codec claim.
+
     Scale: decode is per-row in Arrow batches, no shuffle; the join of
     the feature frames keys on doc_id (broadcast-sized here; at corpus
     scale all sides are co-partitioned by id).
@@ -1249,6 +1263,7 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archive_to_parquet_spark.operators.multimodal import (
         extract_audio_features,
         extract_image_features,
+        extract_video_metadata,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -1309,12 +1324,40 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("4000FFFC"),
     )
     adts = F.unhex(F.expr("repeat(_adts_frame_hex, _n_frames)"))
+    # Matroska/WebM: fixed 64-byte layout, all EBML size vints literal;
+    # only TimestampScale (4-byte uint) and the pixel dims (2-byte
+    # uints) vary. Duration is the literal double 1000.0 ticks, so
+    # duration_s = 1000 * (m*1000 ns) / 1e9 = m / 1000 exactly.
+    webm_m = (F.col("doc_id") % 4000 + 500).cast("long")
+    webm_w = (F.col("doc_id") % 640 + 16).cast("long")
+    webm_h = (F.col("doc_id") % 480 + 16).cast("long")
+    webm = F.concat(
+        F.unhex(F.lit(
+            "1A45DFA3" + "87" + "4282847765626D"  # EBML hdr, DocType webm
+            + "18538067" + "AF"                   # Segment (47-byte body)
+            + "1549A966" + "93"                   # Info (19)
+            + "2AD7B184"                          # TimestampScale, uint32
+        )),
+        _be4(webm_m * 1000),
+        F.unhex(F.lit(
+            "448988" + "408F400000000000"         # Duration = 1000.0 ticks
+            + "1654AE6B" + "92"                   # Tracks (18)
+            + "AE" + "90"                         # TrackEntry (16)
+            + "D78101" + "838101"                 # TrackNumber 1, type video
+            + "E0" + "88"                         # Video (8)
+            + "B082"                              # PixelWidth, uint16
+        )),
+        _be2(webm_w),
+        F.unhex(F.lit("BA82")),                   # PixelHeight, uint16
+        _be2(webm_h),
+    )
     media = (
         docs.select(
             "doc_id",
             png.alias("png"),
             wav.alias("wav"),
             ogg.alias("ogg"),
+            webm.alias("webm"),
             adts_frame_hex.alias("_adts_frame_hex"),
             n_frames.alias("_n_frames"),
         )
@@ -1345,10 +1388,19 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round("duration_s", 6).alias("duration_s"),
     )
+    vid = extract_video_metadata(
+        media, data_col="webm", id_col="doc_id", decode="real"
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").alias("webm_width"),
+        F.col("height").alias("webm_height"),
+        F.round("duration_s", 6).alias("webm_duration_s"),
+    )
     return (
         img.join(aud, "doc_id")
         .join(aud_features("ogg", "ogg_"), "doc_id")
         .join(aud_features("adts", "adts_"), "doc_id")
+        .join(vid, "doc_id")
     )
 
 
@@ -1371,7 +1423,10 @@ SELECT doc_id,
        round((doc_id % 5 + 2) * 1024
                / CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 48000
                       WHEN 1 THEN 44100 ELSE 32000 END AS DOUBLE), 6)
-         AS adts_duration_s
+         AS adts_duration_s,
+       CAST(doc_id % 640 + 16 AS INT) AS webm_width,
+       CAST(doc_id % 480 + 16 AS INT) AS webm_height,
+       round((doc_id % 4000 + 500) / 1000.0, 6) AS webm_duration_s
 FROM documents
 """
 

@@ -3266,6 +3266,346 @@ DEDUP_MINHASH_BUCKETED_SQL = _mhbk_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# ANN serving with a bucketed LSH index (zero-Exchange candidate
+# generation — the bucketed layout's third family)
+# ---------------------------------------------------------------------------
+
+_ALSHBK_PLANES = 8
+_ALSHBK_DIM = 64
+_ALSHBK_K = 10
+
+
+def _alshbk_probe_masks() -> list[int]:
+    """Multi-probe mask set (home bucket + 1-bit + 2-bit flips) —
+    shared by the Spark staging plan and the oracle generator."""
+    masks = [0] + [1 << b for b in range(_ALSHBK_PLANES)]
+    masks += [
+        (1 << b1) | (1 << b2)
+        for b1 in range(_ALSHBK_PLANES)
+        for b2 in range(b1 + 1, _ALSHBK_PLANES)
+    ]
+    return masks
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING against a persisted, bucketed LSH index — the
+    zero-Exchange bucketed layout's third family, carried from exact
+    dedup (`dedup_incremental_bucketed`) and near-dup index maintenance
+    (`dedup_minhash_bucketed`) to similarity search (reference contract
+    D1's hash-indexed layout generalized, src/sink.rs:75-103).
+
+    At 100 TB the vector corpus is the table you keep: it is staged
+    ONCE as an 8-bucket table on the hyperplane-LSH bucket id (md5
+    literal planes — fixed_hyperplanes — so the oracle reproduces every
+    bucket bit-for-bit), and each day's query batch is staged
+    probe-EXPANDED (home bucket + 37-way multi-probe) on the same
+    bucket spec. Candidate generation — the join that touches the
+    100-TB side — then plans with ZERO shuffle Exchanges, asserted
+    in-query with auto-broadcast disabled; the only Exchange in the
+    whole top-k plan is the final re-rank, keyed on query_id and
+    priced on CANDIDATES only (also asserted: exactly one). The corpus
+    is never re-shuffled, per batch or ever.
+
+    Output and oracle match `ann_lsh_topk` (exact equality on the
+    approximate algorithm itself): per query the top-10 by cosine
+    (rounded to 6 before ranking; vec_id tiebreak) among corpus rows
+    in any probed bucket. Corpus = even vec_ids; the daily query batch
+    = vec_id % 50 == 25 (disjoint, so serving never self-matches).
+
+    Staging is idempotent (`ensure_bucketed_table`): repeated runs
+    measure the PROBE — the actual serving workload."""
+    import re
+
+    from pyspark.sql import Window
+
+    from archive_to_parquet_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm_col,
+    )
+    from archive_to_parquet_spark.operators.similarity import (
+        fixed_hyperplanes,
+        hyperplane_bucket_literal,
+    )
+    from archive_to_parquet_spark.plans.bucketing import (
+        _input_fingerprint,
+        count_shuffle_exchanges,
+        ensure_bucketed_table,
+        plan_has_exchange,
+    )
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+
+    planes = fixed_hyperplanes(_ALSHBK_PLANES, _ALSHBK_DIM)
+    suffix = re.sub(r"\W", "_", sf_dir.rstrip("/").split("sf")[-1])
+    ti, tb = f"alshbk_idx_{suffix}", f"alshbk_q_{suffix}"
+    stage = _stage_dir("annlshbucketed", sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    fp = ["alshbk-v1", _input_fingerprint(f"{sf_dir}/embeddings.parquet")]
+    ensure_bucketed_table(
+        spark, ti, os.path.join(stage, "idx"), "bucket", 8,
+        lambda: emb.filter(F.col("vec_id") % 2 == 0).select(
+            "vec_id",
+            F.col("embedding").alias("cv"),
+            l2_norm_col("embedding").alias("cn"),
+            hyperplane_bucket_literal("embedding", planes).alias("bucket"),
+        ),
+        fp,
+    )
+    masks = _alshbk_probe_masks()
+    ensure_bucketed_table(
+        spark, tb, os.path.join(stage, "q"), "bucket", 8,
+        # probe expansion happens at STAGING: each query row fans out to
+        # its 37 probe buckets (all masks distinct → no dedup needed),
+        # so the serving join reads pre-bucketed probe rows
+        lambda: emb.filter(F.col("vec_id") % 50 == 25)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            l2_norm_col("embedding").alias("qn"),
+            hyperplane_bucket_literal("embedding", planes).alias("b0"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.explode(
+                F.array(*[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        ),
+        fp,
+    )
+
+    def candidates() -> DataFrame:
+        return (
+            spark.table(tb)
+            .join(spark.table(ti), "bucket")
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(cosine_from_norms("cv", "qv", "cn", "qn"), 6).alias(
+                    "cosine"
+                ),
+            )
+        )
+
+    def topk() -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+        return (
+            candidates()
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _ALSHBK_K)
+            .select("query_id", "vec_id", "cosine", "rank")
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # the join that touches the corpus side moves no rows at all;
+        # the whole top-k pays exactly ONE exchange, on candidates only
+        assert not plan_has_exchange(candidates()), (
+            "bucketed ANN candidate generation gained a shuffle"
+        )
+        n_ex = count_shuffle_exchanges(topk())
+        assert n_ex == 1, (
+            f"bucketed ANN top-k should pay exactly 1 exchange "
+            f"(candidates-only re-rank), plan has {n_ex}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return topk()
+
+
+def _alshbk_sql_planes():
+    """(plane_cols_sql, bucket_expr_fn) for the md5-literal-plane LSH —
+    shared by every oracle that reproduces the bucket assignment."""
+    from archive_to_parquet_spark.operators.similarity import fixed_hyperplanes
+
+    planes = fixed_hyperplanes(_ALSHBK_PLANES, _ALSHBK_DIM)
+    plane_cols = ",\n         ".join(
+        "[" + ", ".join(repr(x) for x in pl) + "]::DOUBLE[] AS p" + str(p)
+        for p, pl in enumerate(planes)
+    )
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_inner_product({v}::DOUBLE[], p{p}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(_ALSHBK_PLANES)
+        )
+
+    return plane_cols, bucket
+
+
+def _ann_lshbk_oracle_sql() -> str:
+    """DuckDB twin of the bucketed-LSH serving path: same literal
+    planes, same 37-mask probe expansion, same rounded-cosine re-rank —
+    corpus restricted to even vec_ids, queries to vec_id % 50 == 25."""
+    plane_cols, bucket = _alshbk_sql_planes()
+    mask_list = ", ".join(str(m) for m in _alshbk_probe_masks())
+    return f"""
+WITH planes AS (
+  SELECT {plane_cols}
+), c AS (
+  SELECT vec_id, embedding, {bucket('embedding')} AS bucket
+  FROM embeddings CROSS JOIN planes
+  WHERE vec_id % 2 = 0
+), q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv, {bucket('embedding')} AS b0
+  FROM embeddings CROSS JOIN planes
+  WHERE vec_id % 50 = 25
+), probes AS (
+  SELECT DISTINCT query_id, CAST(xor(b0::BIGINT, mask::BIGINT) AS INT) AS bucket
+  FROM q0 CROSS JOIN (SELECT unnest([{mask_list}]) AS mask) m
+), scored AS (
+  SELECT p.query_id, c.vec_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], q0.qv::DOUBLE[]), 6) AS cosine
+  FROM probes p
+  JOIN c ON c.bucket = p.bucket
+  JOIN q0 ON q0.query_id = p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_ALSHBK_K}
+"""
+
+
+ANN_LSH_BUCKETED_SQL = _ann_lshbk_oracle_sql()
+
+
+def stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS maintenance of the bucketed ANN index — the streaming
+    leg of `ann_lsh_bucketed` (reference contract D1's persistent index
+    under arrival, src/sink.rs:75-103): vectors arrive as 4 slice files
+    (vec_id % 4), one per micro-batch; each batch computes its
+    literal-plane LSH bucket JVM-side and foreachBatch APPENDS it to
+    the SAME 8-bucket table layout the serving join reads — writes pay
+    the bucket route per batch, so the index never needs re-layout.
+
+    The emitted result is the per-bucket index profile (vector count,
+    first member): additive across batches, so it is invariant to batch
+    boundaries and equals the batch computation over all streamed
+    vectors — the oracle states exactly that. The count is
+    COUNT(DISTINCT vec_id), so a replayed micro-batch (failure-retry
+    appends twice) cannot change the answer: dedup rides the layout
+    instead of needing a transactional sink.
+
+    Scale shape, asserted in-query: the profile groupBy("bucket") —
+    and even its two-phase DISTINCT expansion, whose keys (bucket,
+    vec_id) ⊇ the bucket key — plans with ZERO shuffle Exchanges over
+    the appended table. At 100 TB this is the daily health check of
+    the index you serve from; it never moves a row."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    from archive_to_parquet_spark.operators.similarity import (
+        fixed_hyperplanes,
+        hyperplane_bucket_literal,
+    )
+    from archive_to_parquet_spark.plans.bucketing import plan_has_exchange
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = fixed_hyperplanes(_ALSHBK_PLANES, _ALSHBK_DIM)
+    table = f"saidx_{uuid.uuid4().hex[:8]}"
+    root = tempfile.mkdtemp(prefix="stream_ann_idx_")
+    stage = os.path.join(root, "in")
+    os.makedirs(stage)
+    try:
+        for k in range(4):
+            tmp = os.path.join(root, f"slice{k}")
+            emb.filter(F.col("vec_id") % 4 == k).coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"{k:02d}.parquet")
+            shutil.copy(part, dst)
+            t = 1_700_000_000 + k * 10  # deterministic arrival order
+            os.utime(dst, (t, t))
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        idx_path = os.path.join(root, "idx")
+
+        def append_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            (
+                batch_df.select(
+                    "vec_id",
+                    hyperplane_bucket_literal("embedding", planes).alias(
+                        "bucket"
+                    ),
+                )
+                .write.mode("append")
+                .bucketBy(8, "bucket")
+                .sortBy("bucket")
+                .option("path", idx_path)
+                .format("parquet")
+                .saveAsTable(table)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def profile() -> DataFrame:
+            return (
+                spark.table(table)
+                .groupBy("bucket")
+                .agg(
+                    F.countDistinct("vec_id").alias("n_vectors"),
+                    F.min("vec_id").alias("first_vec"),
+                )
+                .select("bucket", "n_vectors", "first_vec")
+            )
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert not plan_has_exchange(profile()), (
+                "bucketed index profile gained a shuffle"
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # the staging dir (bucket files included) is removed below
+        return profile().localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _stream_ann_idx_oracle_sql() -> str:
+    """Batch twin: per-bucket profile over ALL streamed vectors — the
+    arrival-order/batch-boundary invariance is the claim under test."""
+    plane_cols, bucket = _alshbk_sql_planes()
+    return f"""
+WITH planes AS (
+  SELECT {plane_cols}
+), b AS (
+  SELECT vec_id, {bucket('embedding')} AS bucket
+  FROM embeddings CROSS JOIN planes
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       COUNT(DISTINCT vec_id) AS n_vectors,
+       CAST(MIN(vec_id) AS BIGINT) AS first_vec
+FROM b GROUP BY 1
+"""
+
+
+STREAM_ANN_INDEX_APPEND_SQL = _stream_ann_idx_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # Theta sketch set-operation cardinalities (union / intersection /
 # difference estimates from k-sized state)
 # ---------------------------------------------------------------------------
@@ -3796,6 +4136,11 @@ CATALOG = {
     "dedup_minhash_bucketed": (
         dedup_minhash_bucketed,
         DEDUP_MINHASH_BUCKETED_SQL,
+    ),
+    "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_BUCKETED_SQL),
+    "stream_ann_index_append": (
+        stream_ann_index_append,
+        STREAM_ANN_INDEX_APPEND_SQL,
     ),
     "sample_weighted_priority": (
         sample_weighted_priority,

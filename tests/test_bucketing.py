@@ -256,3 +256,42 @@ def test_ensure_bucketed_table_rebuilds_on_bucket_spec_change(spark, tmp_path):
     assert builds["n"] == 2, "bucket-count change must rebuild"
     assert spark.table("ensb_spec").count() == 20
     spark.sql("DROP TABLE IF EXISTS ensb_spec")
+
+
+def test_ann_lsh_bucketed_matches_unbucketed_lsh(spark):
+    """The bucketed ANN serving path returns EXACTLY what the plain
+    lsh_top_k composition returns for the same corpus/query split and
+    parameters — the layout changes the physical plan (zero-Exchange
+    candidates, asserted in-query), never the answer. Also exercises
+    staging idempotence: the second run reuses the staged tables."""
+    from archive_to_parquet_spark.operators.similarity import (
+        fixed_hyperplanes,
+        lsh_top_k,
+    )
+    from archive_to_parquet_spark.queries_ext2 import (
+        _ALSHBK_DIM,
+        _ALSHBK_K,
+        _ALSHBK_PLANES,
+        ann_lsh_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    planes = fixed_hyperplanes(_ALSHBK_PLANES, _ALSHBK_DIM)
+    want = sorted(
+        tuple(r)
+        for r in lsh_top_k(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 50 == 25).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ),
+            k=_ALSHBK_K,
+            multi_probe_bits=2,
+            planes=planes,
+            round_to=6,
+        ).collect()
+    )
+    got1 = sorted(tuple(r) for r in ann_lsh_bucketed(spark, SF_DIR).collect())
+    got2 = sorted(tuple(r) for r in ann_lsh_bucketed(spark, SF_DIR).collect())
+    assert got1 == want
+    assert got2 == want  # staged-table reuse serves identical results

@@ -103,3 +103,42 @@ def test_random_bytes_degrade_quietly(data):
     out = decode_pixels(data)
     if out is not None:
         assert np.all(np.isfinite(out))
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    cut=st.floats(0.0, 1.0),
+    flips=st.lists(
+        st.tuples(st.floats(0.0, 1.0), st.integers(0, 255)), max_size=6
+    ),
+)
+def test_matroska_parse_never_raises_on_corruption(cut, flips):
+    """The EBML walker faces the same arbitrary-archive-content rule:
+    truncated/bit-flipped Matroska must return a dict or None, never
+    raise. A flipped float Duration byte can encode inf/nan and a
+    flipped size vint can widen a dim field — the walker surfaces
+    what the container declares and the caller range-checks, so the
+    contract pinned here is shape-only: duration None-or-float, dims
+    None-or-non-negative-int, no exception."""
+    from archive_to_parquet_spark.operators.multimodal import (
+        parse_matroska_header,
+    )
+    from tests.test_operators import _make_webm
+
+    blob = bytearray(_make_webm(scale=2_000_000, width=320, height=240))
+    blob = blob[: max(1, int(len(blob) * cut))]
+    for pos_frac, val in flips:
+        if blob:
+            blob[int((len(blob) - 1) * pos_frac)] = val
+    out = parse_matroska_header(bytes(blob))
+    if out is not None:
+        d = out["duration_s"]
+        assert d is None or isinstance(d, float)
+        for k in ("width", "height"):
+            # a flipped size vint may widen the dim field (caller
+            # range-checks); the contract here is: int, non-negative
+            assert out[k] is None or out[k] >= 0

@@ -700,6 +700,74 @@ def test_video_container_metadata():
     assert parse_video_header(b"nonsense bytes here") is None
 
 
+def _make_webm(
+    scale: int = 1_000_000,
+    width: int = 640,
+    height: int = 480,
+    dur: float = 1000.0,
+    dur_bytes: int = 8,
+    with_scale: bool = True,
+) -> bytes:
+    import struct
+
+    ebml = bytes.fromhex("1A45DFA3") + b"\x87" + bytes.fromhex("4282847765626D")
+    info_c = b""
+    if with_scale:
+        info_c += bytes.fromhex("2AD7B184") + scale.to_bytes(4, "big")
+    pack = ">d" if dur_bytes == 8 else ">f"
+    info_c += b"\x44\x89" + bytes([0x80 | dur_bytes]) + struct.pack(pack, dur)
+    info = bytes.fromhex("1549A966") + bytes([0x80 | len(info_c)]) + info_c
+    video_c = (
+        b"\xB0\x82" + width.to_bytes(2, "big")
+        + b"\xBA\x82" + height.to_bytes(2, "big")
+    )
+    video = b"\xE0" + bytes([0x80 | len(video_c)]) + video_c
+    te_c = b"\xD7\x81\x01" + b"\x83\x81\x01" + video
+    te = b"\xAE" + bytes([0x80 | len(te_c)]) + te_c
+    tracks = bytes.fromhex("1654AE6B") + bytes([0x80 | len(te)]) + te
+    seg_c = info + tracks
+    seg = bytes.fromhex("18538067") + bytes([0x80 | len(seg_c)]) + seg_c
+    return ebml + seg
+
+
+def test_matroska_container_metadata():
+    from archive_to_parquet_spark.operators.multimodal import (
+        parse_matroska_header,
+        parse_video_header,
+    )
+
+    # routed from parse_video_header by the EBML magic
+    got = parse_video_header(_make_webm(scale=1_234_000, width=300, height=200))
+    assert got == {
+        "duration_s": 1.234, "n_frames": None, "width": 300, "height": 200,
+    }
+    # TimestampScale absent → 1,000,000 ns/tick default
+    got = parse_matroska_header(_make_webm(with_scale=False, dur=2500.0))
+    assert abs(got["duration_s"] - 2.5) < 1e-12
+    # 4-byte float Duration is also legal
+    got = parse_matroska_header(_make_webm(dur=2048.0, dur_bytes=4))
+    assert abs(got["duration_s"] - 2.048) < 1e-9
+    # unknown-size Segment (streamed write) extends to end of buffer
+    b = bytearray(_make_webm(width=64, height=48))
+    i = bytes(b).find(bytes.fromhex("18538067")) + 4
+    b[i] = 0xFF
+    got = parse_matroska_header(bytes(b))
+    assert got["width"] == 64 and got["height"] == 48
+    # malformed inputs degrade to None, never raise
+    assert parse_matroska_header(b"") is None
+    assert parse_matroska_header(b"\x1a\x45\xdf\xa3") is None  # truncated
+    assert parse_matroska_header(b"junk bytes") is None
+    # an EBML stream with nothing Matroska-shaped inside
+    ebml_only = (
+        bytes.fromhex("1A45DFA3") + b"\x87" + bytes.fromhex("4282847765626D")
+    )
+    assert parse_matroska_header(ebml_only) is None
+    # a child element whose declared size overruns its parent is dropped
+    b = bytearray(_make_webm())
+    b[-10] = 0xFF  # corrupt a size vint inside Tracks
+    assert parse_matroska_header(bytes(b)) is not None  # Info still parsed
+
+
 def test_real_audio_video_decode_via_spark(spark):
     from archive_to_parquet_spark.operators.multimodal import (
         extract_audio_features,
@@ -717,12 +785,15 @@ def test_real_audio_video_decode_via_spark(spark):
     assert len(rows[1].mfcc) == 13
 
     video = spark.createDataFrame(
-        [(1, bytearray(_make_mp4())), (2, bytearray(_make_avi()))],
+        [(1, bytearray(_make_mp4())), (2, bytearray(_make_avi())),
+         (3, bytearray(_make_webm(scale=2_000_000, width=320, height=240)))],
         "media_id long, data binary",
     )
     out = {r.media_id: r for r in extract_video_metadata(video, decode="real").collect()}
     assert abs(out[1].duration_s - 5.5) < 1e-9 and out[1].width is None
     assert out[2].n_frames == 250 and out[2].width == 640
+    assert abs(out[3].duration_s - 2.0) < 1e-12 and out[3].width == 320
+    assert out[3].n_frames is None  # Matroska Info carries no frame count
 
 
 def test_quantize_int8_edges(spark):
