@@ -429,6 +429,40 @@ def parse_matroska_header(data: bytes) -> dict | None:
     }
 
 
+def parse_ogg_opus_header(data: bytes) -> tuple[int, int, float] | None:
+    """(sample_rate, n_samples, duration_s) from an Ogg/Opus stream
+    (RFC 7845) — header-tier only, NO PCM claim: the first page's first
+    packet must be the ``OpusHead`` identification header (version 1,
+    channel count and pre-skip at fixed offsets). Opus always decodes
+    at 48 kHz and granule positions count 48 kHz samples, so the PCM
+    length is the LAST page's granule position minus the pre-skip
+    (RFC 7845 §4) regardless of the informational input rate.
+    Anything structurally off degrades to None."""
+    d = data or b""
+    if d[:4] != b"OggS" or len(d) < 28 or d[4] != 0:
+        return None
+    n_segs = d[26]
+    p = 27 + n_segs  # first packet of first page
+    if n_segs < 1 or len(d) < p + 19:
+        return None
+    if d[p : p + 8] != b"OpusHead" or d[p + 8] != 1:
+        return None
+    channels = d[p + 9]
+    pre_skip = int.from_bytes(d[p + 10 : p + 12], "little")
+    if channels == 0:
+        return None
+    last = d.rfind(b"OggS")
+    if last < 0 or len(d) < last + 28:
+        return None
+    granule = int.from_bytes(d[last + 6 : last + 14], "little")
+    if granule in (0, 0xFFFFFFFFFFFFFFFF):
+        return None
+    n = granule - pre_skip
+    if n <= 0:
+        return None
+    return 48000, n, n / 48000.0
+
+
 def parse_video_header(data: bytes) -> dict | None:
     """Container-level video metadata without any codec: MP4/MOV walks
     top-level boxes to moov→mvhd (timescale+duration, both mvhd
@@ -637,14 +671,15 @@ def _real_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
         or parse_flac_header(data)
         or parse_mp3_header(data)
         or parse_ogg_vorbis_header(data)
+        or parse_ogg_opus_header(data)
         or parse_adts_header(data)
     )
     if parsed is None:
         magic = (data or b"")[:4].hex()
         raise NotImplementedError(
-            f"audio header parse supports WAV/FLAC/MP3/Ogg-Vorbis/ADTS-AAC; "
-            f"bytes with magic {magic!r} (opus, mp4 audio…) need a codec "
-            f"library (soundfile)"
+            f"audio header parse supports WAV/FLAC/MP3/Ogg-Vorbis/Ogg-Opus/"
+            f"ADTS-AAC; bytes with magic {magic!r} (mp4 audio…) need a "
+            f"codec library (soundfile)"
         )
     rate, n, duration = parsed
     h = hashlib.sha256(data or b"").digest()

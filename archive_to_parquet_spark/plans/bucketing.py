@@ -121,6 +121,30 @@ def ensure_bucketed_table(
         json.dump({"spec": json.loads(want), "ddl": ddl}, fh)
 
 
+def ensure_parquet_snapshot(
+    spark: SparkSession,
+    path: str,
+    build: Callable[[], DataFrame],
+    fingerprint: object,
+) -> None:
+    """Idempotent plain-parquet staging — `ensure_bucketed_table`'s
+    marker contract without the bucket spec, for persisted STATE that a
+    query folds deltas into (aggregate materialized views, snapshots).
+    The build runs once per (path, fingerprint); later executions —
+    including in a fresh session — read the existing files."""
+    marker = os.path.join(path, "_A2PS_SNAPSHOT_OK")
+    want = json.dumps({"fingerprint": fingerprint}, sort_keys=True)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            saved = json.load(fh)
+        if json.dumps(saved.get("spec"), sort_keys=True) == want:
+            return
+    shutil.rmtree(path, ignore_errors=True)
+    build().write.mode("overwrite").parquet(path)
+    with open(marker, "w") as fh:
+        json.dump({"spec": json.loads(want)}, fh)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: str
 ) -> DataFrame:

@@ -3910,20 +3910,21 @@ _CATALOG.update(_ext2.CATALOG)
 # FRESHNESS.  Slots 1-14 are the LAST r3-stale entries
 # (sketch_accuracy first — displaced by re-fronts in r6 AND r7, the
 # verdict says it goes first; after this window the catalog's minimum
-# driver row is r4).  Slots 15-16 are the round-8 additions
-# (dedup_minhash_bucketed, ann_lsh_bucketed — never driver-sampled).
-# Slots 17-20 are the entries whose PLANS changed this round and must
-# re-certify (r6 precedent): dedup_incremental_bucketed (idempotent
-# staging), cluster_dbscan_lsh (banded projection materialized),
+# driver row is r4).  Slots 15-18 are the round-8 additions
+# (dedup_minhash_bucketed, ann_lsh_bucketed, stream_ann_index_append,
+# maintenance_incremental_agg — never driver-sampled).  Slots 19-22
+# are the entries whose PLANS changed this round and must re-certify
+# (r6 precedent): dedup_incremental_bucketed (idempotent staging),
+# cluster_dbscan_lsh (banded projection materialized),
 # dedup_near_clusters + split_leakage_safe (connected-components edge
-# distinct removed).  Slots 21-42 take the alphabetically-first 22 of
+# distinct removed).  Slots 23-42 take the alphabetically-first 20 of
 # the 41-entry r4 cohort — a deterministic tie-break, and it happens
 # to include both r4 entries that also changed this round
 # (cluster_dbscan via the CC rework, multimodal_header_decode via the
-# new Ogg/ADTS legs).  Slots 43-50 are the permanent reference-parity
-# spine required in EVERY window.  The 19 r4 entries that do not fit
-# (50 − 14 r3 − 2 new − 4 re-fronts − 8 spine = 22 < 41) are queued at
-# slots 51-69 and lead the round-9 rotation.  This list is a plain
+# new Ogg/ADTS/WebM legs).  Slots 43-50 are the permanent
+# reference-parity spine required in EVERY window.  The 21 r4 entries
+# that do not fit (50 − 14 r3 − 4 new − 4 re-fronts − 8 spine = 20 <
+# 41) are queued at slots 51-71 and lead the round-9 rotation.  This list is a plain
 # literal on purpose: the ordering must be deterministic and
 # independent of any files on disk (a previous revision derived it
 # from CORRECTNESS_r*.json artifacts at call time, which made the
@@ -3947,16 +3948,17 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "stream_dedup_keys",
     "stream_sessionize",
     "web_domain_stats",
-    # -- slots 15-17: new in round 8 (never driver-sampled)
+    # -- slots 15-18: new in round 8 (never driver-sampled)
     "dedup_minhash_bucketed",
     "ann_lsh_bucketed",
     "stream_ann_index_append",
-    # -- slots 18-21: plans changed this round — re-certify
+    "maintenance_incremental_agg",
+    # -- slots 19-22: plans changed this round — re-certify
     "dedup_incremental_bucketed",
     "cluster_dbscan_lsh",
     "dedup_near_clusters",
     "split_leakage_safe",
-    # -- slots 22-42: alphabetically-first 21 of the r4 cohort
+    # -- slots 23-42: alphabetically-first 20 of the r4 cohort
     "ann_jl_topk",
     "ann_pq_topk",
     "bpe_top_pairs",
@@ -3976,7 +3978,6 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "maintenance_snapshot_diff",
     "maintenance_upsert",
     "maintenance_zorder_stats",
-    "mine_hard_negatives",
     "multimodal_header_decode",
     # -- slots 43-50: permanent reference-parity spine (every round)
     "q1_projection_hash",
@@ -3987,9 +3988,11 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "q6_union_group",
     "source_nested_walk",
     "source_url_ingest",
-    # -- slots 51-70: the r4 entries that did not fit this window;
-    # they lead the round-9 rotation (multimodal_phash_dedup and
-    # parse_quarantine displaced by the new-entry slots)
+    # -- slots 51-71: the r4 entries that did not fit this window;
+    # they lead the round-9 rotation (mine_hard_negatives,
+    # multimodal_phash_dedup and parse_quarantine displaced by the
+    # new-entry slots)
+    "mine_hard_negatives",
     "multimodal_phash_dedup",
     "parse_quarantine",
     "privacy_k_anonymity",

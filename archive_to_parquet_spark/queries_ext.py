@@ -1231,7 +1231,8 @@ def _be2(col):
 
 def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL multimodal decode path, driver-checked: valid PNG, WAV,
-    Ogg/Vorbis and ADTS/AAC bytes are constructed JVM-side with
+    Ogg/Vorbis, Ogg/Opus, ADTS/AAC and Matroska/WebM bytes are
+    constructed JVM-side with
     closed-form geometry (width/height/sample-rate/duration derived
     from doc_id), pushed through the Arrow ``mapInPandas`` decoders in
     ``decode="real"`` mode, and the parsed metadata must equal what the
@@ -1314,6 +1315,28 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _le(ogg_total, 8),
         F.unhex(F.lit("01000000" + "01000000" + "00000000" + "01" + "01" + "00")),
     )
+    # Ogg/Opus (RFC 7845): BOS page with the 19-byte OpusHead (version
+    # 1, pre-skip 312, informational input rate 48k), EOS page whose
+    # granule = pre-skip + n samples (granules always count 48 kHz
+    # samples, so duration = n / 48000 whatever the input rate)
+    opus_n = (F.col("doc_id") % 48000 + 4800).cast("long")
+    opus_channels = (F.col("doc_id") % 2 + 1).cast("long")
+    opus = F.concat(
+        # OggS v0 BOS, granule 0, serial 2, seq 0, crc 0, 1 seg of 19
+        F.unhex(F.lit(
+            "4F676753" + "00" + "02" + "00" * 8
+            + "02000000" + "00000000" + "00000000" + "01" + "13"
+            + "4F70757348656164" + "01"  # OpusHead, version 1
+        )),
+        F.unhex(F.lpad(F.hex(opus_channels), 2, "0")),
+        _le(F.lit(312), 2),    # pre-skip
+        _le(F.lit(48000), 4),  # input rate (informational only)
+        F.unhex(F.lit("0000" + "00")),  # output gain, mapping family 0
+        # OggS v0 EOS page: granule = pre-skip + samples, seq 1, 1-byte body
+        F.unhex(F.lit("4F676753" + "00" + "04")),
+        _le(opus_n + 312, 8),
+        F.unhex(F.lit("02000000" + "01000000" + "00000000" + "01" + "01" + "00")),
+    )
     # ADTS/AAC: n header-only frames (frame_length 7, AAC LC, mono,
     # fullness 0x7FF, no CRC), 1024 samples each
     adts_rate_idx = (F.lit(3) + F.col("doc_id") % 3).cast("long")  # 48k/44.1k/32k
@@ -1357,6 +1380,7 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             png.alias("png"),
             wav.alias("wav"),
             ogg.alias("ogg"),
+            opus.alias("opus"),
             webm.alias("webm"),
             adts_frame_hex.alias("_adts_frame_hex"),
             n_frames.alias("_n_frames"),
@@ -1399,6 +1423,7 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         img.join(aud, "doc_id")
         .join(aud_features("ogg", "ogg_"), "doc_id")
+        .join(aud_features("opus", "opus_"), "doc_id")
         .join(aud_features("adts", "adts_"), "doc_id")
         .join(vid, "doc_id")
     )
@@ -1417,6 +1442,9 @@ SELECT doc_id,
        CAST(doc_id % 4000 + 500 AS BIGINT) AS ogg_samples,
        round((doc_id % 4000 + 500)
                / (8000.0 + (doc_id % 4) * 4000), 6) AS ogg_duration_s,
+       48000 AS opus_rate,
+       CAST(doc_id % 48000 + 4800 AS BIGINT) AS opus_samples,
+       round((doc_id % 48000 + 4800) / 48000.0, 6) AS opus_duration_s,
        CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 48000
                  WHEN 1 THEN 44100 ELSE 32000 END AS INT) AS adts_rate,
        CAST((doc_id % 5 + 2) * 1024 AS BIGINT) AS adts_samples,

@@ -3605,6 +3605,98 @@ FROM b GROUP BY 1
 STREAM_ANN_INDEX_APPEND_SQL = _stream_ann_idx_oracle_sql()
 
 
+def maintenance_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AGGREGATE-materialized-view maintenance — the
+    never-rescan-the-base pattern every 100-TB warehouse lives by
+    (reference contract K4's post-write stats generalized to persisted,
+    foldable state; src/lib.rs counters are the degenerate one-group
+    case): revenue-by-nation is kept as mergeable partials (COUNT +
+    exact-cents SUM per nation), the HISTORY partials (orders with
+    o_orderkey % 4 != 3, through broadcast customer→nation dims) are
+    staged once per sf_dir as the MV state, and each run folds only the
+    DELTA batch (o_orderkey % 4 == 3) into it: scan delta → broadcast
+    dim join → partial agg → union with state → re-agg. COUNT and SUM
+    are algebraic, so merge(state, agg(delta)) == agg(full) — and the
+    oracle IS the full recompute, so the driver row certifies the
+    algebra, not just the numbers.
+
+    Scale: the history fact table is never touched again — asserted
+    in-query by counting parquet scans in the probe plan (state file +
+    delta fact + 2 dims = exactly 4; a full recompute would scan the
+    whole fact). The delta agg is map-side combinable into 25 groups;
+    the merge re-agg moves 25 partial rows per batch. At 1000
+    executors the daily cost is the delta scan, full stop."""
+    from archive_to_parquet_spark.functions.exactnum import cents_col
+    from archive_to_parquet_spark.plans.bucketing import (
+        _input_fingerprint,
+        ensure_parquet_snapshot,
+    )
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+
+    mv_path = os.path.join(_stage_dir("incragg", sf_dir), "mv")
+
+    def rev_by_nation(orders: DataFrame) -> DataFrame:
+        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        return (
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(cents_col("o_totalprice")).alias("revenue_c"),
+            )
+        )
+
+    orders = _t(spark, sf_dir, "orders")
+    ensure_parquet_snapshot(
+        spark,
+        mv_path,
+        lambda: rev_by_nation(orders.filter(F.col("o_orderkey") % 4 != 3)),
+        [
+            "incragg-v1",
+            _input_fingerprint(
+                f"{sf_dir}/orders.parquet",
+                f"{sf_dir}/customer.parquet",
+                f"{sf_dir}/nation.parquet",
+            ),
+        ],
+    )
+
+    def probe() -> DataFrame:
+        state = spark.read.parquet(mv_path)
+        delta = rev_by_nation(orders.filter(F.col("o_orderkey") % 4 == 3))
+        return (
+            state.unionByName(delta)
+            .groupBy("n_name")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("revenue_c").alias("revenue_c"),
+            )
+        )
+
+    plan = probe()._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 4, (
+        f"incremental-MV probe must scan state + delta + 2 dims "
+        f"(4 parquet scans), plan has {n_scans} — the history fact "
+        f"table is being rescanned"
+    )
+    return probe()
+
+
+MAINTENANCE_INCREMENTAL_AGG_SQL = """
+SELECT n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Theta sketch set-operation cardinalities (union / intersection /
 # difference estimates from k-sized state)
@@ -4141,6 +4233,10 @@ CATALOG = {
     "stream_ann_index_append": (
         stream_ann_index_append,
         STREAM_ANN_INDEX_APPEND_SQL,
+    ),
+    "maintenance_incremental_agg": (
+        maintenance_incremental_agg,
+        MAINTENANCE_INCREMENTAL_AGG_SQL,
     ),
     "sample_weighted_priority": (
         sample_weighted_priority,

@@ -295,3 +295,25 @@ def test_ann_lsh_bucketed_matches_unbucketed_lsh(spark):
     got2 = sorted(tuple(r) for r in ann_lsh_bucketed(spark, SF_DIR).collect())
     assert got1 == want
     assert got2 == want  # staged-table reuse serves identical results
+
+
+def test_ensure_parquet_snapshot_builds_once(spark, tmp_path):
+    from archive_to_parquet_spark.plans.bucketing import (
+        ensure_parquet_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    ensure_parquet_snapshot(spark, path, build, ["v1", [["in", 1, 2]]])
+    ensure_parquet_snapshot(spark, path, build, ["v1", [["in", 1, 2]]])
+    assert builds["n"] == 1, "matching fingerprint must not rebuild"
+    assert spark.read.parquet(path).count() == 10
+    # changed fingerprint rebuilds in place
+    ensure_parquet_snapshot(spark, path, build, ["v2", [["in", 1, 2]]])
+    assert builds["n"] == 2
+    assert spark.read.parquet(path).count() == 10

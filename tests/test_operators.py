@@ -649,6 +649,57 @@ def _make_ogg_vorbis(rate=12000, channels=2, total=1500):
     return p0 + p1
 
 
+def _make_ogg_opus(channels=2, pre_skip=312, n_samples=9600):
+    import struct
+
+    p0 = (
+        b"OggS" + b"\x00\x02" + b"\x00" * 8  # BOS, granule 0
+        + b"\x02\x00\x00\x00" + b"\x00" * 8  # serial, seq, crc
+        + b"\x01\x13"  # one 19-byte segment
+        + b"OpusHead" + b"\x01"  # id header, version 1
+        + bytes([channels]) + struct.pack("<H", pre_skip)
+        + struct.pack("<I", 48000)  # informational input rate
+        + b"\x00\x00" + b"\x00"  # output gain, mapping family 0
+    )
+    p1 = (
+        b"OggS" + b"\x00\x04" + struct.pack("<Q", pre_skip + n_samples)
+        + b"\x02\x00\x00\x00" + b"\x01\x00\x00\x00" + b"\x00" * 4
+        + b"\x01\x01\x00"
+    )
+    return p0 + p1
+
+
+def test_ogg_opus_header_decoder():
+    """Ogg/Opus (RFC 7845) joins the header tier: granules count 48 kHz
+    samples whatever the input rate, PCM length = last granule −
+    pre-skip; structurally-off input degrades to None."""
+    from archive_to_parquet_spark.operators.multimodal import (
+        parse_ogg_opus_header,
+        parse_ogg_vorbis_header,
+    )
+
+    rate, n, dur = parse_ogg_opus_header(_make_ogg_opus(n_samples=9600))
+    assert (rate, n) == (48000, 9600) and abs(dur - 0.2) < 1e-12
+    # the pre-skip is NOT part of the PCM length
+    rate, n, _ = parse_ogg_opus_header(
+        _make_ogg_opus(pre_skip=1000, n_samples=4800)
+    )
+    assert n == 4800
+    # Vorbis parser rejects an Opus stream and vice versa
+    assert parse_ogg_vorbis_header(_make_ogg_opus()) is None
+    assert parse_ogg_opus_header(_make_ogg_vorbis()) is None
+    # malformed: wrong version, zero channels, granule <= pre-skip
+    bad = bytearray(_make_ogg_opus())
+    bad[36] = 2  # version byte inside OpusHead
+    assert parse_ogg_opus_header(bytes(bad)) is None
+    assert parse_ogg_opus_header(_make_ogg_opus(channels=0)) is None
+    assert parse_ogg_opus_header(
+        _make_ogg_opus(pre_skip=312, n_samples=0)
+    ) is None
+    assert parse_ogg_opus_header(b"OggS") is None
+    assert parse_ogg_opus_header(b"") is None
+
+
 def test_adts_ogg_header_decoders():
     """Header-tier Ogg/Vorbis + ADTS/AAC metadata (r7 verdict stretch
     #8): rate/channels/duration only — no PCM claim, so no oracle risk;
