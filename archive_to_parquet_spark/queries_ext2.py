@@ -3498,7 +3498,10 @@ def stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     and even its two-phase DISTINCT expansion, whose keys (bucket,
     vec_id) ⊇ the bucket key — plans with ZERO shuffle Exchanges over
     the appended table. At 100 TB this is the daily health check of
-    the index you serve from; it never moves a row."""
+    the index you serve from; it never moves a row.
+
+    Machinery lives in streaming/ann_index.py (replay idempotence has
+    its own crash-replay test there)."""
     import glob
     import shutil
     import tempfile
@@ -3506,9 +3509,12 @@ def stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from archive_to_parquet_spark.operators.similarity import (
         fixed_hyperplanes,
-        hyperplane_bucket_literal,
     )
     from archive_to_parquet_spark.plans.bucketing import plan_has_exchange
+    from archive_to_parquet_spark.streaming.ann_index import (
+        ann_index_stream,
+        index_profile,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     planes = fixed_hyperplanes(_ALSHBK_PLANES, _ALSHBK_DIM)
@@ -3530,55 +3536,28 @@ def stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(stage)
         )
-        idx_path = os.path.join(root, "idx")
-
-        def append_batch(batch_df: DataFrame, _batch_id: int) -> None:
-            (
-                batch_df.select(
-                    "vec_id",
-                    hyperplane_bucket_literal("embedding", planes).alias(
-                        "bucket"
-                    ),
-                )
-                .write.mode("append")
-                .bucketBy(8, "bucket")
-                .sortBy("bucket")
-                .option("path", idx_path)
-                .format("parquet")
-                .saveAsTable(table)
-            )
-
-        q = (
-            stream.writeStream.foreachBatch(append_batch)
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .start()
+        q = ann_index_stream(
+            stream,
+            table,
+            os.path.join(root, "idx"),
+            planes,
+            checkpoint_dir=os.path.join(root, "ckpt"),
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
 
-        def profile() -> DataFrame:
-            return (
-                spark.table(table)
-                .groupBy("bucket")
-                .agg(
-                    F.countDistinct("vec_id").alias("n_vectors"),
-                    F.min("vec_id").alias("first_vec"),
-                )
-                .select("bucket", "n_vectors", "first_vec")
-            )
-
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            assert not plan_has_exchange(profile()), (
+            assert not plan_has_exchange(index_profile(spark, table)), (
                 "bucketed index profile gained a shuffle"
             )
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         # the staging dir (bucket files included) is removed below
-        return profile().localCheckpoint(eager=True)
+        return index_profile(spark, table).localCheckpoint(eager=True)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(root, ignore_errors=True)

@@ -125,6 +125,11 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     # round-7 addition
     "dedup_incremental_bucketed",
+    # round-8 additions (stream_ann_index_append excluded like every
+    # stream_* entry — its wall time is streaming machinery)
+    "dedup_minhash_bucketed",
+    "ann_lsh_bucketed",
+    "maintenance_incremental_agg",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,

@@ -83,3 +83,55 @@ def test_fuzzy_self_join_blocking_key_bounds_pairs(spark):
         for r in fuzzy_self_join(df, "id", "name", block_col="region").collect()
     }
     assert out == {(1, 2)}  # cross-block pair (1,3) suppressed
+
+
+def test_fuzzy_strategies_agree_and_auto_picks_by_length(spark):
+    """Both candidate engines are exact, so they must return the SAME
+    pair set; auto routes short corpora to deletions and long ones to
+    q-gram prefixes (variants would be O(len²) per string)."""
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.operators.joins import fuzzy_self_join
+
+    part = (
+        spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+    )
+    got_d = sorted(
+        tuple(r)
+        for r in fuzzy_self_join(
+            part, "id", "name", strategy="deletions"
+        ).collect()
+    )
+    got_q = sorted(
+        tuple(r)
+        for r in fuzzy_self_join(part, "id", "name", strategy="qgram").collect()
+    )
+    got_auto = sorted(
+        tuple(r) for r in fuzzy_self_join(part, "id", "name").collect()
+    )
+    assert got_d == got_q
+    assert got_auto == got_d  # short names -> deletion engine, same set
+    assert len(got_d) > 0
+
+    # long strings route to the q-gram engine and still verify exactly
+    long_df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dogs tonight"),  # ED 1
+            (3, "a completely different sentence that matches nothing."),
+        ],
+        "id long, name string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_self_join(long_df, "id", "name").collect()
+    }
+    assert out == {(1, 2): 1}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        fuzzy_self_join(part, "id", "name", strategy="bogus")
+    with pytest.raises(ValueError):
+        fuzzy_self_join(part, "id", "name", max_edits=3, strategy="deletions")

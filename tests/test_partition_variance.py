@@ -39,6 +39,13 @@ COHORT = [
     "dedup_cdc_chunks",
     "dedup_cdc_gear",
     "cluster_kmeans",
+    # round-8 bucketed family: staged-layout probes (anti-join, top-k
+    # re-rank, MV merge) must not depend on the session's partition
+    # count — the bucket count (8) is a property of the LAYOUT, and a
+    # session running 2 vs 5 shuffle partitions must read identical
+    # answers out of the same staged buckets
+    "ann_lsh_bucketed",
+    "maintenance_incremental_agg",
 ]
 
 

@@ -394,3 +394,37 @@ def test_neardup_index_probe_ignores_crash_debris(spark, tmp_path):
     )
     assert _index_exists(str(index_dir))
     assert spark.read.parquet(str(index_dir)).count() > 0
+
+
+def test_ann_index_replay_is_idempotent(spark, tmp_path):
+    """A failure-replayed micro-batch appends a SECOND copy of its rows
+    to the bucketed ANN index — the profile (COUNT DISTINCT + MIN per
+    bucket) must not change: idempotence rides the layout, not a
+    transactional sink (streaming/ann_index.py)."""
+    from archive_to_parquet_spark.operators.similarity import (
+        fixed_hyperplanes,
+    )
+    from archive_to_parquet_spark.streaming.ann_index import (
+        append_vectors_batch,
+        index_profile,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = fixed_hyperplanes(8, 64)
+    table, path = "annidx_replay_t", str(tmp_path / "idx")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        b0 = emb.filter(F.col("vec_id") % 2 == 0)
+        b1 = emb.filter(F.col("vec_id") % 2 == 1)
+        append_vectors_batch(b0, table, path, planes)
+        append_vectors_batch(b1, table, path, planes)
+        before = sorted(tuple(r) for r in index_profile(spark, table).collect())
+        rows_before = spark.table(table).count()
+        # replay batch 1 (crash between append and checkpoint commit)
+        append_vectors_batch(b1, table, path, planes)
+        after = sorted(tuple(r) for r in index_profile(spark, table).collect())
+        assert after == before, "replayed append changed the index profile"
+        # the duplicate rows ARE there — the profile folds them away
+        assert spark.table(table).count() == rows_before + b1.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
