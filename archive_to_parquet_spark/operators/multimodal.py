@@ -669,17 +669,19 @@ def _real_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
     parsed = (
         parse_wav_header(data)
         or parse_flac_header(data)
-        or parse_mp3_header(data)
+        # strong-magic containers before MP3's sync-scan heuristic
+        or parse_mp4_audio_header(data)
         or parse_ogg_vorbis_header(data)
         or parse_ogg_opus_header(data)
+        or parse_mp3_header(data)
         or parse_adts_header(data)
     )
     if parsed is None:
         magic = (data or b"")[:4].hex()
         raise NotImplementedError(
-            f"audio header parse supports WAV/FLAC/MP3/Ogg-Vorbis/Ogg-Opus/"
-            f"ADTS-AAC; bytes with magic {magic!r} (mp4 audio…) need a "
-            f"codec library (soundfile)"
+            f"audio header parse supports WAV/FLAC/MP3/M4A/Ogg-Vorbis/"
+            f"Ogg-Opus/ADTS-AAC; bytes with magic {magic!r} need a codec "
+            f"library (soundfile)"
         )
     rate, n, duration = parsed
     h = hashlib.sha256(data or b"").digest()
@@ -751,6 +753,50 @@ def _mp4_find(d: bytes, start: int, end: int, path: list[bytes]):
             yield ps, pe
         else:
             yield from _mp4_find(d, ps, pe, rest)
+
+
+def parse_mp4_audio_header(data: bytes) -> tuple[int, int, float] | None:
+    """(sample_rate, n_samples, duration_s) from an MP4/M4A audio
+    track (ISO 14496-12) — header-tier only, NO PCM claim: walk
+    moov→trak, keep the track whose hdlr handler is ``soun``, read
+    timescale+duration from its mdhd (both versions) and
+    channelcount + 16.16 sample rate from the first stsd sample entry
+    (mp4a/alac/any AudioSampleEntry layout). n_samples converts mdhd
+    ticks to samples ((duration × rate) div timescale — exact when the
+    track timescale is the sample rate, the normal encoder layout).
+    Anything structurally off degrades to None."""
+    d = data or b""
+    if len(d) < 12 or d[4:8] not in (b"ftyp", b"moov", b"mdat", b"wide", b"free"):
+        return None
+    try:
+        for trak_s, trak_e in _mp4_find(d, 0, len(d), [b"moov", b"trak"]):
+            is_audio = any(
+                d[hs + 8 : hs + 12] == b"soun"
+                for hs, _he in _mp4_find(d, trak_s, trak_e, [b"mdia", b"hdlr"])
+            )
+            if not is_audio:
+                continue
+            timescale = duration = rate = None
+            for ms, me in _mp4_find(d, trak_s, trak_e, [b"mdia", b"mdhd"]):
+                ver = d[ms]
+                if ver == 1 and ms + 32 <= me:
+                    timescale = struct.unpack(">I", d[ms + 20 : ms + 24])[0]
+                    duration = struct.unpack(">Q", d[ms + 24 : ms + 32])[0]
+                elif ver == 0 and ms + 20 <= me:
+                    timescale = struct.unpack(">I", d[ms + 12 : ms + 16])[0]
+                    duration = struct.unpack(">I", d[ms + 16 : ms + 20])[0]
+            for ss, se in _mp4_find(
+                d, trak_s, trak_e, [b"mdia", b"minf", b"stbl", b"stsd"]
+            ):
+                body = ss + 8 + 8  # fullbox + entry_count, then entry hdr
+                if body + 28 <= se:
+                    rate = struct.unpack(">I", d[body + 24 : body + 28])[0] >> 16
+            if rate and timescale and duration is not None:
+                n = duration * rate // timescale
+                return rate, n, n / rate
+        return None
+    except (struct.error, IndexError):
+        return None
 
 
 def mp4_keyframe_samples(data: bytes) -> list[tuple[int, int, int]] | None:

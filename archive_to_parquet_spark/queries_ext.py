@@ -1231,8 +1231,8 @@ def _be2(col):
 
 def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL multimodal decode path, driver-checked: valid PNG, WAV,
-    Ogg/Vorbis, Ogg/Opus, ADTS/AAC and Matroska/WebM bytes are
-    constructed JVM-side with
+    Ogg/Vorbis, Ogg/Opus, MP4/M4A audio, ADTS/AAC and Matroska/WebM
+    bytes are constructed JVM-side with
     closed-form geometry (width/height/sample-rate/duration derived
     from doc_id), pushed through the Arrow ``mapInPandas`` decoders in
     ``decode="real"`` mode, and the parsed metadata must equal what the
@@ -1347,6 +1347,38 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("4000FFFC"),
     )
     adts = F.unhex(F.expr("repeat(_adts_frame_hex, _n_frames)"))
+    # MP4/M4A audio (ISO 14496-12): fixed 173-byte box tree with every
+    # size literal — ftyp + moov→trak→mdia{mdhd,hdlr(soun),minf→stbl→
+    # stsd→mp4a}; mdhd timescale is set to the sample rate so
+    # n_samples = mdhd duration exactly
+    m4a_rate = (F.lit(16000) + (F.col("doc_id") % 3) * 8000).cast("long")
+    m4a_n = (F.col("doc_id") % 96000 + 9600).cast("long")
+    m4a_channels = (F.col("doc_id") % 2 + 1).cast("long")
+    m4a = F.concat(
+        F.unhex(F.lit(
+            "00000010" + "66747970" + "4D344120" + "00000000"  # ftyp M4A
+            + "0000009D" + "6D6F6F76"                          # moov (157)
+            + "00000095" + "7472616B"                          # trak (149)
+            + "0000008D" + "6D646961"                          # mdia (141)
+            + "00000020" + "6D646864" + "00000000"             # mdhd v0
+            + "00000000" + "00000000"                          # ctime, mtime
+        )),
+        _be4(m4a_rate),   # timescale = sample rate
+        _be4(m4a_n),      # duration in ticks = samples
+        F.unhex(F.lit(
+            "00000000"                                         # language+pre
+            + "00000021" + "68646C72" + "00000000" + "00000000"
+            + "736F756E" + "00" * 12 + "00"                    # hdlr 'soun'
+            + "00000044" + "6D696E66"                          # minf (68)
+            + "0000003C" + "7374626C"                          # stbl (60)
+            + "00000034" + "73747364" + "00000000" + "00000001"  # stsd, 1 entry
+            + "00000024" + "6D703461" + "000000000000" + "0001"  # mp4a, dref 1
+            + "0000" + "0000" + "00000000"                     # ver, rev, vendor
+        )),
+        _be2(m4a_channels),
+        F.unhex(F.lit("0010" + "0000" + "0000")),              # 16-bit, pre, res
+        _be4(m4a_rate * 65536),                                # 16.16 rate
+    )
     # Matroska/WebM: fixed 64-byte layout, all EBML size vints literal;
     # only TimestampScale (4-byte uint) and the pixel dims (2-byte
     # uints) vary. Duration is the literal double 1000.0 ticks, so
@@ -1381,6 +1413,7 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             wav.alias("wav"),
             ogg.alias("ogg"),
             opus.alias("opus"),
+            m4a.alias("m4a"),
             webm.alias("webm"),
             adts_frame_hex.alias("_adts_frame_hex"),
             n_frames.alias("_n_frames"),
@@ -1424,6 +1457,7 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         img.join(aud, "doc_id")
         .join(aud_features("ogg", "ogg_"), "doc_id")
         .join(aud_features("opus", "opus_"), "doc_id")
+        .join(aud_features("m4a", "m4a_"), "doc_id")
         .join(aud_features("adts", "adts_"), "doc_id")
         .join(vid, "doc_id")
     )
@@ -1445,6 +1479,11 @@ SELECT doc_id,
        48000 AS opus_rate,
        CAST(doc_id % 48000 + 4800 AS BIGINT) AS opus_samples,
        round((doc_id % 48000 + 4800) / 48000.0, 6) AS opus_duration_s,
+       CAST(16000 + (doc_id % 3) * 8000 AS INT) AS m4a_rate,
+       CAST(doc_id % 96000 + 9600 AS BIGINT) AS m4a_samples,
+       round((doc_id % 96000 + 9600)
+               / CAST(16000 + (doc_id % 3) * 8000 AS DOUBLE), 6)
+         AS m4a_duration_s,
        CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 48000
                  WHEN 1 THEN 44100 ELSE 32000 END AS INT) AS adts_rate,
        CAST((doc_id % 5 + 2) * 1024 AS BIGINT) AS adts_samples,

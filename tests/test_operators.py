@@ -669,6 +669,67 @@ def _make_ogg_opus(channels=2, pre_skip=312, n_samples=9600):
     return p0 + p1
 
 
+def _make_m4a(rate=32000, n=64000, channels=2, timescale=None, v1=False):
+    import struct
+
+    ts = timescale or rate
+    ftyp = struct.pack(">I", 16) + b"ftypM4A " + b"\x00" * 4
+    if v1:
+        mdhd = (
+            struct.pack(">I", 44) + b"mdhd" + b"\x01\x00\x00\x00"
+            + b"\x00" * 16 + struct.pack(">I", ts) + struct.pack(">Q", n)
+            + b"\x00" * 4
+        )
+    else:
+        mdhd = (
+            struct.pack(">I", 32) + b"mdhd" + b"\x00" * 4 + b"\x00" * 8
+            + struct.pack(">I", ts) + struct.pack(">I", n) + b"\x00" * 4
+        )
+    hdlr = (
+        struct.pack(">I", 33) + b"hdlr" + b"\x00" * 8 + b"soun"
+        + b"\x00" * 13
+    )
+    entry = (
+        struct.pack(">I", 36) + b"mp4a" + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 8 + struct.pack(">H", channels) + struct.pack(">H", 16)
+        + b"\x00" * 4 + struct.pack(">I", rate << 16)
+    )
+    stsd = (
+        struct.pack(">I", 16 + len(entry)) + b"stsd" + b"\x00" * 4
+        + struct.pack(">I", 1) + entry
+    )
+    stbl = struct.pack(">I", 8 + len(stsd)) + b"stbl" + stsd
+    minf = struct.pack(">I", 8 + len(stbl)) + b"minf" + stbl
+    mdia_c = mdhd + hdlr + minf
+    mdia = struct.pack(">I", 8 + len(mdia_c)) + b"mdia" + mdia_c
+    trak = struct.pack(">I", 8 + len(mdia)) + b"trak" + mdia
+    moov = struct.pack(">I", 8 + len(trak)) + b"moov" + trak
+    return ftyp + moov
+
+
+def test_mp4_audio_header_decoder():
+    """M4A/MP4 audio joins the header tier (ISO 14496-12 box walk):
+    rate/channels from the stsd sample entry, length from mdhd ticks;
+    a video-only MP4 and malformed bytes degrade to None."""
+    from archive_to_parquet_spark.operators.multimodal import (
+        parse_mp4_audio_header,
+    )
+
+    assert parse_mp4_audio_header(_make_m4a()) == (32000, 64000, 2.0)
+    # 64-bit mdhd (version 1)
+    rate, n, dur = parse_mp4_audio_header(_make_m4a(24000, 12000, v1=True))
+    assert (rate, n) == (24000, 12000) and abs(dur - 0.5) < 1e-12
+    # mdhd timescale != sample rate: ticks convert exactly
+    rate, n, _ = parse_mp4_audio_header(
+        _make_m4a(48000, 96000, timescale=24000)
+    )
+    assert (rate, n) == (48000, 192000)
+    # video-only MP4 (mvhd, no soun track) is not audio
+    assert parse_mp4_audio_header(_make_mp4()) is None
+    assert parse_mp4_audio_header(_make_m4a()[:40]) is None  # truncated
+    assert parse_mp4_audio_header(b"junk bytes") is None
+
+
 def test_ogg_opus_header_decoder():
     """Ogg/Opus (RFC 7845) joins the header tier: granules count 48 kHz
     samples whatever the input rate, PCM length = last granule −
