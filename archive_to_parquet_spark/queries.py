@@ -3903,6 +3903,13 @@ from archive_to_parquet_spark import queries_ext2 as _ext2  # noqa: E402
 
 _CATALOG.update(_ext2.CATALOG)
 
+# Round-8 extension: hybrid RRF retrieval, constraint-suite audit,
+# compaction planning, suffix-sort maximal repeats — see
+# queries_ext3.py module docstring.
+from archive_to_parquet_spark import queries_ext3 as _ext3  # noqa: E402
+
+_CATALOG.update(_ext3.CATALOG)
+
 
 # Static, hand-maintained coverage schedule.  The external correctness
 # gate samples exactly the first 50 ``queries()`` entries per run, so a
@@ -3912,21 +3919,26 @@ _CATALOG.update(_ext2.CATALOG)
 # FRESHNESS.  Slots 1-14 are the LAST r3-stale entries
 # (sketch_accuracy first — displaced by re-fronts in r6 AND r7, the
 # verdict says it goes first; after this window the catalog's minimum
-# driver row is r4).  Slots 15-18 are the round-8 additions
+# driver row is r4).  Slots 15-26 are the round-8 additions
 # (dedup_minhash_bucketed, ann_lsh_bucketed, stream_ann_index_append,
-# maintenance_incremental_agg — never driver-sampled).  Slots 19-22
-# are the entries whose PLANS changed this round and must re-certify
+# maintenance_incremental_agg, then the second-leg eight:
+# search_hybrid_rrf, audit_constraint_suite,
+# maintenance_compaction_plan, dedup_suffix_lcp, eval_ab_welch_ttest,
+# stream_constraint_monitor, graph_label_propagation,
+# sample_stratified_neyman — never driver-sampled).  Slots 27-30 are
+# the entries whose PLANS changed this round and must re-certify
 # (r6 precedent): dedup_incremental_bucketed (idempotent staging),
 # cluster_dbscan_lsh (banded projection materialized),
 # dedup_near_clusters + split_leakage_safe (connected-components edge
-# distinct removed).  Slots 23-42 take the alphabetically-first 20 of
-# the 41-entry r4 cohort — a deterministic tie-break, and it happens
-# to include both r4 entries that also changed this round
-# (cluster_dbscan via the CC rework, multimodal_header_decode via the
-# new Ogg/ADTS/WebM legs).  Slots 43-50 are the permanent
-# reference-parity spine required in EVERY window.  The 21 r4 entries
-# that do not fit (50 − 14 r3 − 4 new − 4 re-fronts − 8 spine = 20 <
-# 41) are queued at slots 51-71 and lead the round-9 rotation.  This list is a plain
+# distinct removed).  Slots 31-42 take the r4 cohort in alphabetical
+# order (deterministic tie-break) minus the four maintenance_*, two
+# eval_* and two graph_* entries the second-leg additions displaced;
+# multimodal_header_decode stays because its Ogg/ADTS/WebM/MP4 legs
+# are new this round (cluster_dbscan also changed via the CC rework).
+# Slots 43-50 are the permanent reference-parity spine required in
+# EVERY window.  The 29 r4 entries that do not fit (50 − 14 r3 − 12
+# new − 4 re-fronts − 8 spine = 12 < 41) are queued at slots 51-79
+# and lead the round-9 rotation.  This list is a plain
 # literal on purpose: the ordering must be deterministic and
 # independent of any files on disk (a previous revision derived it
 # from CORRECTNESS_r*.json artifacts at call time, which made the
@@ -3950,17 +3962,28 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "stream_dedup_keys",
     "stream_sessionize",
     "web_domain_stats",
-    # -- slots 15-18: new in round 8 (never driver-sampled)
+    # -- slots 15-22: new in round 8 (never driver-sampled)
     "dedup_minhash_bucketed",
     "ann_lsh_bucketed",
     "stream_ann_index_append",
     "maintenance_incremental_agg",
-    # -- slots 19-22: plans changed this round — re-certify
+    "search_hybrid_rrf",
+    "audit_constraint_suite",
+    "maintenance_compaction_plan",
+    "dedup_suffix_lcp",
+    "eval_ab_welch_ttest",
+    "stream_constraint_monitor",
+    "graph_label_propagation",
+    "sample_stratified_neyman",
+    # -- slots 23-26: plans changed this round — re-certify
     "dedup_incremental_bucketed",
     "cluster_dbscan_lsh",
     "dedup_near_clusters",
     "split_leakage_safe",
-    # -- slots 23-42: alphabetically-first 20 of the r4 cohort
+    # -- slots 27-42: r4 cohort (alphabetical tie-break, minus the four
+    # maintenance_* entries the four second-leg new entries displaced
+    # to the round-9 queue; multimodal_header_decode stays — its
+    # Ogg/ADTS/WebM/MP4 legs are new this round and need re-cert)
     "ann_jl_topk",
     "ann_pq_topk",
     "bpe_top_pairs",
@@ -3972,14 +3995,6 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_url_canonical",
     "embedding_jl_projection",
-    "eval_calibration_bins",
-    "eval_ndcg_bm25",
-    "graph_pagerank",
-    "graph_triangles",
-    "maintenance_profile_table",
-    "maintenance_snapshot_diff",
-    "maintenance_upsert",
-    "maintenance_zorder_stats",
     "multimodal_header_decode",
     # -- slots 43-50: permanent reference-parity spine (every round)
     "q1_projection_hash",
@@ -3990,10 +4005,19 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "q6_union_group",
     "source_nested_walk",
     "source_url_ingest",
-    # -- slots 51-71: the r4 entries that did not fit this window;
+    # -- slots 51-79: the r4 entries that did not fit this window;
     # they lead the round-9 rotation (mine_hard_negatives,
-    # multimodal_phash_dedup and parse_quarantine displaced by the
-    # new-entry slots)
+    # multimodal_phash_dedup, parse_quarantine, the four
+    # maintenance_* entries, both eval_* r4 entries and both graph_*
+    # r4 entries displaced by the new-entry slots)
+    "eval_calibration_bins",
+    "eval_ndcg_bm25",
+    "graph_pagerank",
+    "graph_triangles",
+    "maintenance_profile_table",
+    "maintenance_snapshot_diff",
+    "maintenance_upsert",
+    "maintenance_zorder_stats",
     "mine_hard_negatives",
     "multimodal_phash_dedup",
     "parse_quarantine",

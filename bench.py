@@ -130,6 +130,15 @@ HEADLINE = [
     "dedup_minhash_bucketed",
     "ann_lsh_bucketed",
     "maintenance_incremental_agg",
+    # round-8 second leg (stream_constraint_monitor excluded like
+    # every stream_* entry)
+    "search_hybrid_rrf",
+    "audit_constraint_suite",
+    "maintenance_compaction_plan",
+    "dedup_suffix_lcp",
+    "eval_ab_welch_ttest",
+    "graph_label_propagation",
+    "sample_stratified_neyman",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,
