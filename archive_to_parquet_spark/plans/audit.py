@@ -29,11 +29,29 @@ PY_NODES = (
 )
 
 
+def _global_windows(plan: str) -> int:
+    """Count window specs with NO partition keys — the single-partition
+    funnel WindowExec warns about at runtime.  Heuristic on the plan
+    string: in ``windowspecdefinition(a#1, b#2 ASC ..., frame)`` the
+    partition keys come first, so a FIRST argument that is already a
+    sort order (carries ASC/DESC) means an empty partition clause.  An
+    unpartitioned window with no ORDER BY either (pure global frame)
+    is not caught — no catalog entry uses one, and it would trip the
+    shuffle pin anyway via its SinglePartition exchange."""
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+        first = m.group(1)
+        if " ASC" in first or " DESC" in first:
+            n += 1
+    return n
+
+
 def audit_plan(plan: str) -> dict:
     broadcast_x = plan.count("BroadcastExchange")
     shuffle_x = plan.count("Exchange") - broadcast_x
     py_nodes = [n for n in PY_NODES if n in plan]
     return {
+        "global_windows": _global_windows(plan),
         "shuffle_exchanges": shuffle_x,
         "broadcast_exchanges": broadcast_x,
         "bhj": plan.count("BroadcastHashJoin"),
@@ -100,11 +118,13 @@ def pin_of(rec: dict) -> dict:
     """The pinned per-entry triple: the statistics whose silent growth
     is a scale regression.  Broadcast counts and scan counts are NOT
     pinned — adding a broadcast dim or splitting a scan is routine;
-    gaining a shuffle, a nested-loop join, a cartesian product, or a
-    Python exec node is not."""
+    gaining a shuffle, a nested-loop join, a cartesian product, a
+    Python exec node, or an unpartitioned (single-partition-funnel)
+    window is not."""
     return {
         "shuffles": rec["shuffle_exchanges"],
         "bnlj": rec["bnlj"],
         "py": rec["py"],
         "cartesian": rec["cartesian"],
+        "gw": rec["global_windows"],
     }

@@ -4029,9 +4029,13 @@ def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable, k-sized shuffle), materialized once
     (``localCheckpoint`` of ≤2k rows — the sketch itself); total
     count, cumulative ranks, and quantile picks all derive from that
-    bucket table, never from a re-scan.  The certificate re-scans
-    once against the 3-row broadcast estimate.  Sketches from
-    different partitions/days merge by adding bucket counts.
+    bucket table, never from a re-scan.  The cumulative-rank window
+    is deliberately UNPARTITIONED (the only one in the catalog,
+    pinned gw=1): it folds the ≤2k-row bucket table, never data-sized
+    input — a single-partition pass over the sketch IS the design.
+    The certificate re-scans once against the 3-row broadcast
+    estimate.  Sketches from different partitions/days merge by
+    adding bucket counts.
     """
     from archive_to_parquet_spark.functions.exactnum import cents_col
 

@@ -164,9 +164,20 @@ def main() -> int:
         f"{shj} shuffled-hash** — dimensions broadcast; only "
         "fact-to-fact joins shuffle."
     )
+    gw_entries = sorted(r["name"] for r in rows if r["global_windows"])
     print(
-        "- **Every entry's {shuffles, BNLJ, python, cartesian} is "
-        "pinned in PLAN_PINS.json and enforced by "
+        f"- **Unpartitioned (single-partition-funnel) windows in "
+        f"{len(gw_entries)} entries**: {', '.join(gw_entries) or '—'}"
+        + (
+            " — each is a documented bounded-input fold (see the "
+            "entry's docstring); everything data-sized partitions."
+            if gw_entries
+            else ""
+        )
+    )
+    print(
+        "- **Every entry's {shuffles, BNLJ, python, cartesian, "
+        "global-windows} is pinned in PLAN_PINS.json and enforced by "
         "tests/test_plan_shapes.py** — silent drift fails the suite."
     )
     print()
