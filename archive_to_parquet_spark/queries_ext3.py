@@ -575,11 +575,14 @@ def dedup_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("pfx").orderBy("suffix", "doc_id", "pos")
     # prefix equality is monotone, so the count of agreeing prefix
     # lengths IS the LCP — except when the two (truncated) suffixes are
-    # IDENTICAL, where every i ≤ 60 agrees; clamp to the string length
+    # IDENTICAL, where every probed i agrees; clamp to the string
+    # length.  Group members share the 25-char prefix by construction,
+    # so the scan starts at 26 and adds the guaranteed 25.
     lcp = F.least(
-        F.size(
+        F.lit(_SFX_MIN)
+        + F.size(
             F.filter(
-                F.sequence(F.lit(1), F.lit(_SFX_LEN)),
+                F.sequence(F.lit(_SFX_MIN + 1), F.lit(_SFX_LEN)),
                 lambda i: F.substr(F.col("suffix"), F.lit(1), i)
                 == F.substr(F.col("prev_sfx"), F.lit(1), i),
             )
@@ -628,9 +631,10 @@ sfx AS (
 ),
 pairs AS (
   SELECT doc_id, suffix, prev_doc,
-         least(len(list_filter(generate_series(1, {_SFX_LEN}),
-                               i -> substr(suffix, 1, i)
-                                    = substr(prev_sfx, 1, i))),
+         least({_SFX_MIN}
+               + len(list_filter(generate_series({_SFX_MIN} + 1, {_SFX_LEN}),
+                                 i -> substr(suffix, 1, i)
+                                      = substr(prev_sfx, 1, i))),
                length(suffix), length(prev_sfx)) AS lcp
   FROM (
     SELECT doc_id, pos, suffix,
@@ -922,8 +926,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select("a", "b").union(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # materialize the symmetrized edge list once: both rounds (and the
+    # seed-label derivation) reuse it, instead of re-running the
+    # lineitem self-join + distinct per consumer (the
+    # lsh_epsilon_pairs precedent; the checkpoint subplan stays inside
+    # the audit via recording_checkpoint_plans)
+    edges = (
+        pairs.select("a", "b")
+        .union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint()
     )
     labels = edges.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
