@@ -575,24 +575,29 @@ def connected_components(
         checkpoint_partitioned,
     )
 
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .localCheckpoint()
+    edges = checkpoint_partitioned(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        ),
+        "dst",
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint()
-    )
+    # distinct already hash-partitions on id (AQE is off inside the
+    # partitioning-preserving checkpoint, so the captured partitioning
+    # is the static HashPartitioning the loop joins then reuse).  The
+    # component column is added AFTER the checkpoint: aliasing id
+    # inside the checkpointed plan makes its outputPartitioning a
+    # collection the LogicalRDD capture drops to Unknown (measured:
+    # the round joins then re-exchange labels every iteration).
+    labels = checkpoint_keeping_partitioning(
+        edges.select(F.col("src").alias("id")).distinct()
+    ).withColumn("component", F.col("id"))
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
+        updated = checkpoint_keeping_partitioning(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -604,7 +609,6 @@ def connected_components(
                     < F.col("component")
                 ).alias("changed"),
             )
-            .localCheckpoint()
         )
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.drop("changed")

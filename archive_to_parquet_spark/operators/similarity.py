@@ -895,8 +895,20 @@ def dbscan_from_pairs(
     ).unionByName(
         pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"))
     )
+    from archive_to_parquet_spark.plans.checkpoint import (
+        checkpoint_keeping_partitioning,
+    )
+
     deg = directed.groupBy("id").agg(F.count("*").alias("n_nbrs"))
-    core = deg.filter(F.col("n_nbrs") >= min_neighbors).select("id")
+    # core feeds THREE consumers (two semi-joins, the border anti-join)
+    # plus the self-loop seed — without materialization the degree
+    # aggregation re-executes inside each, including inside
+    # connected_components' edges checkpoint.  The groupBy already
+    # hash-partitions on id; the partitioning-keeping checkpoint lets
+    # every id-keyed consumer plan exchange-free.
+    core = checkpoint_keeping_partitioning(
+        deg.filter(F.col("n_nbrs") >= min_neighbors).select("id")
+    )
     core_edges = (
         pairs.join(core.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
         .join(core.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
@@ -970,23 +982,33 @@ def lsh_epsilon_pairs(
         checkpoint_partitioned,
     )
 
-    side = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm_col(vec_col).alias("n"),
-    ).localCheckpoint()  # feeds banding + both sides of the exact filter
+    # feeds banding + both sides of the exact filter; materialized
+    # hash-partitioned on id so the two vector-fetch joins below plan
+    # with NO exchange on the vector side (r7 verdict ask #5)
+    side = checkpoint_partitioned(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm_col(vec_col).alias("n"),
+        ),
+        "id",
+    )
     band_cols = [
         hyperplane_bucket_literal(
             "v", fixed_hyperplanes(num_planes, dim, seed=seed + 101 * b)
         ).alias(f"b{b}")
         for b in range(num_bands)
     ]
-    banded = side.select("id", *band_cols).select(
-        "id",
-        F.posexplode(
-            F.array(*[F.col(f"b{b}") for b in range(num_bands)])
-        ).alias("band_idx", "bucket"),
-    ).localCheckpoint()
+    banded = checkpoint_partitioned(
+        side.select("id", *band_cols).select(
+            "id",
+            F.posexplode(
+                F.array(*[F.col(f"b{b}") for b in range(num_bands)])
+            ).alias("band_idx", "bucket"),
+        ),
+        "band_idx",
+        "bucket",
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -3910,106 +3910,52 @@ from archive_to_parquet_spark import queries_ext3 as _ext3  # noqa: E402
 
 _CATALOG.update(_ext3.CATALOG)
 
+# Round-9 extension: ROC-AUC eval, PSI drift monitor, vacuum planning,
+# l-diversity audit, temperature mixing — see queries_ext4.py module
+# docstring.
+from archive_to_parquet_spark import queries_ext4 as _ext4  # noqa: E402
+
+_CATALOG.update(_ext4.CATALOG)
+
 
 # Static, hand-maintained coverage schedule.  The external correctness
 # gate samples exactly the first 50 ``queries()`` entries per run, so a
-# 180+-entry catalog needs a deliberate front-of-list.  Round-8
-# rotation (per VERDICT r7 asks #1/#3): every entry is green in the
-# committed local sf0.1 sweep, so the window keeps chasing driver-row
-# FRESHNESS.  Slots 1-14 are the LAST r3-stale entries
-# (sketch_accuracy first — displaced by re-fronts in r6 AND r7, the
-# verdict says it goes first; after this window the catalog's minimum
-# driver row is r4).  Slots 15-26 are the round-8 additions
-# (dedup_minhash_bucketed, ann_lsh_bucketed, stream_ann_index_append,
-# maintenance_incremental_agg, then the second-leg eight:
-# search_hybrid_rrf, audit_constraint_suite,
-# maintenance_compaction_plan, dedup_suffix_lcp, eval_ab_welch_ttest,
-# stream_constraint_monitor, graph_label_propagation,
-# sample_stratified_neyman — never driver-sampled).  Slots 27-30 are
-# the entries whose PLANS changed this round and must re-certify
-# (r6 precedent): dedup_incremental_bucketed (idempotent staging),
-# cluster_dbscan_lsh (banded projection materialized),
-# dedup_near_clusters + split_leakage_safe (connected-components edge
-# distinct removed).  Slots 31-42 take the r4 cohort in alphabetical
-# order (deterministic tie-break) minus the four maintenance_*, two
-# eval_* and two graph_* entries the second-leg additions displaced;
-# multimodal_header_decode stays because its Ogg/ADTS/WebM/MP4 legs
-# are new this round (cluster_dbscan also changed via the CC rework).
+# 200+-entry catalog needs a deliberate front-of-list.  Round-9
+# rotation (per VERDICT r8): slots 1-2 are the two r8 driver-RED
+# entries (maintenance_compaction_plan, dedup_suffix_lcp), rewritten
+# this round to be engine-version-invariant (integer division, ASCII-
+# first normalization, lambda-free oracle, BIGINT casts) — a green
+# driver row on these is the round's top deliverable.  Slots 3-8 are
+# the entries whose plans or numeric paths changed this round and must
+# re-certify (r6 precedent): eval_ab_welch_ttest +
+# sample_stratified_neyman (second moments now decimal(38,0)/HUGEINT),
+# cluster_dbscan_lsh + cluster_dbscan + dedup_near_clusters +
+# split_leakage_safe (connected-components / dbscan checkpoint-
+# partitioned rework, 28-29 -> 15-18 pinned shuffles).  Slots 9-37
+# take the ENTIRE 29-entry r4-stale cohort flagged by VERDICT r8
+# item #2, in alphabetical order (deterministic tie-break) — after
+# this window no catalog entry's latest driver row predates r5.
+# Slots 38-42 are the round-9 additions (never driver-sampled).
 # Slots 43-50 are the permanent reference-parity spine required in
-# EVERY window.  The 29 r4 entries that do not fit (50 − 14 r3 − 12
-# new − 4 re-fronts − 8 spine = 12 < 41) are queued at slots 51-79
-# and lead the round-9 rotation.  This list is a plain
-# literal on purpose: the ordering must be deterministic and
-# independent of any files on disk (a previous revision derived it
-# from CORRECTNESS_r*.json artifacts at call time, which made the
-# public API's ordering nondeterministic and self-referential).
-# Update it by hand between rounds; `tools/check_correctness.py`
-# always runs ALL entries regardless of order.
+# EVERY window.  This list is a plain literal on purpose: the ordering
+# must be deterministic and independent of any files on disk (a
+# previous revision derived it from CORRECTNESS_r*.json artifacts at
+# call time, which made the public API's ordering nondeterministic and
+# self-referential).  Update it by hand between rounds;
+# `tools/check_correctness.py` always runs ALL entries regardless of
+# order.
 _SCHEDULE_FRONT: tuple[str, ...] = (
-    # -- slots 1-14: the last r3-stale entries (freshness rotation,
-    # final leg — sketch_accuracy first)
-    "sketch_accuracy",
-    "curation_pipeline",
-    "decontaminate_ngrams",
-    "embedding_quantize",
-    "filter_quantile_bands",
-    "lm_bigram_score",
-    "mix_weights",
-    "profile_table",
-    "rel_recursive_cte",
-    "source_jsonl_roundtrip",
-    "stream_click_purchase",
-    "stream_dedup_keys",
-    "stream_sessionize",
-    "web_domain_stats",
-    # -- slots 15-22: new in round 8 (never driver-sampled)
-    "dedup_minhash_bucketed",
-    "ann_lsh_bucketed",
-    "stream_ann_index_append",
-    "maintenance_incremental_agg",
-    "search_hybrid_rrf",
-    "audit_constraint_suite",
+    # -- slots 1-2: the r8 driver-RED entries, made version-invariant
     "maintenance_compaction_plan",
     "dedup_suffix_lcp",
+    # -- slots 3-8: plans/numerics changed this round -- re-certify
     "eval_ab_welch_ttest",
-    "stream_constraint_monitor",
-    "graph_label_propagation",
     "sample_stratified_neyman",
-    # -- slots 23-26: plans changed this round — re-certify
-    "dedup_incremental_bucketed",
     "cluster_dbscan_lsh",
+    "cluster_dbscan",
     "dedup_near_clusters",
     "split_leakage_safe",
-    # -- slots 27-42: r4 cohort (alphabetical tie-break, minus the four
-    # maintenance_* entries the four second-leg new entries displaced
-    # to the round-9 queue; multimodal_header_decode stays — its
-    # Ogg/ADTS/WebM/MP4 legs are new this round and need re-cert)
-    "ann_jl_topk",
-    "ann_pq_topk",
-    "bpe_top_pairs",
-    "cluster_dbscan",
-    "cluster_kmeans",
-    "corpus_global_index",
-    "decontaminate_semantic",
-    "dedup_bloom_probe",
-    "dedup_incremental",
-    "dedup_url_canonical",
-    "embedding_jl_projection",
-    "multimodal_header_decode",
-    # -- slots 43-50: permanent reference-parity spine (every round)
-    "q1_projection_hash",
-    "q2_include_text",
-    "q3_size_filter",
-    "q4_dedup_hash_groups",
-    "q5_extract_strings",
-    "q6_union_group",
-    "source_nested_walk",
-    "source_url_ingest",
-    # -- slots 51-79: the r4 entries that did not fit this window;
-    # they lead the round-9 rotation (mine_hard_negatives,
-    # multimodal_phash_dedup, parse_quarantine, the four
-    # maintenance_* entries, both eval_* r4 entries and both graph_*
-    # r4 entries displaced by the new-entry slots)
+    # -- slots 9-37: the full r4-stale cohort (alphabetical)
     "eval_calibration_bins",
     "eval_ndcg_bm25",
     "graph_pagerank",
@@ -4039,6 +3985,21 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "text_html_extract",
     "tokenize_bpe_encode",
     "train_logreg_quality",
+    # -- slots 38-42: new in round 9 (never driver-sampled)
+    "eval_auc_quality",
+    "eval_psi_drift",
+    "maintenance_vacuum_plan",
+    "privacy_l_diversity",
+    "mix_temperature_sampling",
+    # -- slots 43-50: permanent reference-parity spine (every round)
+    "q1_projection_hash",
+    "q2_include_text",
+    "q3_size_filter",
+    "q4_dedup_hash_groups",
+    "q5_extract_strings",
+    "q6_union_group",
+    "source_nested_walk",
+    "source_url_ingest",
 )
 
 

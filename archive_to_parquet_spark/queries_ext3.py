@@ -369,13 +369,15 @@ def audit_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
 
-    plan = suite()._jdf.queryExecution().executedPlan().toString()
+    out = suite()
+    plan = out._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
-    assert n_scans == 2, (
-        f"constraint suite must evaluate in ONE pass (orders + customer "
-        f"= 2 parquet scans), plan has {n_scans}"
-    )
-    return suite()
+    if n_scans != 2:  # a real error, not `assert` — survives python -O
+        raise RuntimeError(
+            f"constraint suite must evaluate in ONE pass (orders + customer"
+            f" = 2 parquet scans), plan has {n_scans}"
+        )
+    return out
 
 
 AUDIT_CONSTRAINT_SUITE_SQL = f"""
@@ -437,7 +439,8 @@ def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     file: file count, total bytes, id range, and how many small files
     the rewrite retires.
 
-    Greedy cumulative packing (bin = floor(bytes_before / target)) is
+    Greedy cumulative packing (bin = bytes_before DIV target, exact
+    BIGINT integer division — no float ever enters the bin id) is
     Iceberg's actual strategy: it preserves arrival clustering, never
     reorders data, and plans in one pass over the MANIFEST — no data
     byte is read to decide the rewrite. A bin may overshoot the target
@@ -461,18 +464,21 @@ def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # bin id via BIGINT integer division (never float): floor(x / t) on a
+    # non-negative bigint x equals x DIV t exactly, and integer division is
+    # version-invariant across engines where double division + floor() is
+    # hostage to each engine's float formatting/rounding stack.
     binned = files.withColumn(
-        "bin",
-        F.floor(
-            F.coalesce(F.sum("file_bytes").over(w), F.lit(0))
-            / F.lit(_COMPACT_TARGET)
-        ),
+        "bytes_before",
+        F.coalesce(F.sum("file_bytes").over(w), F.lit(0)).cast("bigint"),
+    ).withColumn(
+        "bin", F.expr(f"bytes_before DIV {_COMPACT_TARGET}")
     )
     return (
         binned.groupBy("lang", "bin")
         .agg(
             F.count("*").alias("n_files"),
-            F.sum("file_bytes").alias("total_bytes"),
+            F.sum("file_bytes").cast("bigint").alias("total_bytes"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
             (F.count("*") - 1).alias("files_retired"),
@@ -496,15 +502,15 @@ WITH manifest AS (
 ),
 binned AS (
   SELECT doc_id, lang, file_bytes,
-         CAST(floor(COALESCE(SUM(file_bytes) OVER (
+         CAST(COALESCE(SUM(file_bytes) OVER (
              PARTITION BY lang ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           / {_COMPACT_TARGET}) AS BIGINT) AS bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           // {_COMPACT_TARGET} AS bin
   FROM manifest
 )
 SELECT lang, bin,
        COUNT(*) AS n_files,
-       SUM(file_bytes) AS total_bytes,
+       CAST(SUM(file_bytes) AS BIGINT) AS total_bytes,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc,
        COUNT(*) - 1 AS files_retired
@@ -519,6 +525,10 @@ GROUP BY lang, bin
 
 _SFX_LEN = 60  # suffixes truncated to this many chars before sorting
 _SFX_MIN = 25  # minimal repeat length reported (= the group-key prefix)
+_SFX_SCAN_CAP = 10_000  # chars of normalized text scanned per document
+# (both engines cap the text identically, so the oracle can enumerate
+# positions from a CONSTANT generate_series — older DuckDB builds reject
+# correlated/subquery bounds — without any data-dependent divergence)
 
 
 def dedup_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,9 +558,21 @@ def dedup_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped to the shorter string's length — prefix equality is
     monotone, so the count IS the longest-common-prefix length (the
     clamp handles identical truncated suffixes, where every i agrees);
-    no loop, no UDF, same expression in DuckDB."""
+    no loop, no UDF, same expression in DuckDB.
+
+    Version-invariance (round 9): normalization strips every byte
+    outside ASCII ``[A-Za-z0-9]`` BEFORE lowercasing, so ``lower()``
+    only ever sees ASCII and no engine's Unicode/ICU table revision
+    can change the result; the DuckDB oracle uses no lambda syntax
+    (correlated ``generate_series`` + a filtered COUNT replace the
+    ``list_filter(.., p -> ..)`` forms, whose ``->`` arrow DuckDB
+    deprecated after 1.2)."""
     docs = _t(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    norm = F.substring(
+        F.trim(F.lower(F.regexp_replace("text", "[^A-Za-z0-9]+", " "))),
+        1,
+        _SFX_SCAN_CAP,
+    )
     starts = F.filter(
         F.sequence(F.lit(1), F.length("norm")),
         lambda p: (F.substr(F.col("norm"), p, F.lit(1)) != F.lit(" "))
@@ -601,7 +623,7 @@ def dedup_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_repeats"),
         F.sum(
             F.when(F.col("prev_doc") != F.col("doc_id"), 1).otherwise(0)
-        ).alias("n_cross_doc"),
+        ).cast("bigint").alias("n_cross_doc"),
         F.max("lcp").cast("int").alias("max_lcp"),
         F.min(F.substr(F.col("suffix"), F.lit(1), F.col("lcp"))).alias(
             "sample_repeat"
@@ -612,43 +634,44 @@ def dedup_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_SUFFIX_LCP_SQL = f"""
 WITH norm AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         substr(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))),
+                1, {_SFX_SCAN_CAP}) AS norm
   FROM documents
 ),
+series AS (
+  SELECT g.pos AS pos FROM generate_series(1, {_SFX_SCAN_CAP}) AS g(pos)
+),
 sfx AS (
-  SELECT doc_id, pos,
-         substr(norm, pos, {_SFX_LEN}) AS suffix,
-         substr(norm, pos, {_SFX_MIN}) AS pfx
-  FROM (
-    SELECT doc_id, norm,
-           unnest(list_filter(generate_series(1, length(norm)),
-                              p -> substr(norm, p, 1) <> ' '
-                                   AND (p = 1 OR substr(norm, p - 1, 1) = ' ')
-                  )) AS pos
-    FROM norm
-  )
-  WHERE length(substr(norm, pos, {_SFX_LEN})) >= {_SFX_MIN}
+  SELECT doc_id, g.pos AS pos,
+         substr(norm, g.pos, {_SFX_LEN}) AS suffix,
+         substr(norm, g.pos, {_SFX_MIN}) AS pfx
+  FROM norm, series g
+  WHERE g.pos <= length(norm)
+    AND substr(norm, g.pos, 1) <> ' '
+    AND (g.pos = 1 OR substr(norm, g.pos - 1, 1) = ' ')
+    AND length(substr(norm, g.pos, {_SFX_LEN})) >= {_SFX_MIN}
+),
+lagged AS (
+  SELECT doc_id, pos, suffix,
+         lag(suffix) OVER (PARTITION BY pfx
+                           ORDER BY suffix, doc_id, pos) AS prev_sfx,
+         lag(doc_id) OVER (PARTITION BY pfx
+                           ORDER BY suffix, doc_id, pos) AS prev_doc
+  FROM sfx
 ),
 pairs AS (
-  SELECT doc_id, suffix, prev_doc,
-         least({_SFX_MIN}
-               + len(list_filter(generate_series({_SFX_MIN} + 1, {_SFX_LEN}),
-                                 i -> substr(suffix, 1, i)
-                                      = substr(prev_sfx, 1, i))),
-               length(suffix), length(prev_sfx)) AS lcp
-  FROM (
-    SELECT doc_id, pos, suffix,
-           lag(suffix) OVER (PARTITION BY pfx
-                             ORDER BY suffix, doc_id, pos) AS prev_sfx,
-           lag(doc_id) OVER (PARTITION BY pfx
-                             ORDER BY suffix, doc_id, pos) AS prev_doc
-    FROM sfx
-  )
-  WHERE prev_sfx IS NOT NULL
+  SELECT p.doc_id, p.pos, p.suffix, p.prev_doc,
+         least({_SFX_MIN} + COUNT(*) FILTER (
+                 WHERE substr(p.suffix, 1, s.i) = substr(p.prev_sfx, 1, s.i)),
+               length(p.suffix), length(p.prev_sfx)) AS lcp
+  FROM lagged p, generate_series({_SFX_MIN} + 1, {_SFX_LEN}) AS s(i)
+  WHERE p.prev_sfx IS NOT NULL
+  GROUP BY p.doc_id, p.pos, p.suffix, p.prev_sfx, p.prev_doc
 )
 SELECT doc_id,
        COUNT(*) AS n_repeats,
-       SUM(CASE WHEN prev_doc <> doc_id THEN 1 ELSE 0 END) AS n_cross_doc,
+       CAST(SUM(CASE WHEN prev_doc <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_doc,
        CAST(MAX(lcp) AS INT) AS max_lcp,
        MIN(substr(suffix, 1, lcp)) AS sample_repeat
 FROM pairs
@@ -668,9 +691,11 @@ def eval_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     query every experimentation platform runs over its event log.
 
     Exactness path: per-arm moments are computed in integer
-    milli-units (n, Σm, Σm² with m = round(value·1000) — Σm² ≤ 2.4e17
-    at sf0.1, inside int64), so the shuffled aggregation is EXACT in
-    any engine; mean, variance, t and the Welch–Satterthwaite df are
+    milli-units (n, Σm as int64; Σm² accumulated as decimal(38,0) in
+    Spark / HUGEINT in DuckDB, so the second moment stays exact to
+    10^38 — no silent int64 wrap at any realistic arm size), so the
+    shuffled aggregation is EXACT in any engine; mean, variance, t
+    and the Welch–Satterthwaite df are
     then literal double expressions over those identical integers —
     bit-identical across engines because IEEE-754 ops are correctly
     rounded and the expression tree is fixed. No float ever enters a
@@ -694,7 +719,9 @@ def eval_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("mv").alias("s1"),
-            F.sum(F.col("mv") * F.col("mv")).alias("s2"),
+            F.sum(
+                F.col("mv").cast("decimal(19,0)") * F.col("mv")
+            ).alias("s2"),
         )
     )
 
@@ -743,7 +770,8 @@ WITH arms AS (
   FROM events WHERE event_type = 'purchase'
 ),
 m AS (
-  SELECT arm, COUNT(*) AS n, SUM(mv) AS s1, SUM(mv * mv) AS s2
+  SELECT arm, COUNT(*) AS n, SUM(mv) AS s1,
+         SUM(CAST(mv AS HUGEINT) * mv) AS s2
   FROM arms GROUP BY arm
 ),
 wide AS (
@@ -1026,7 +1054,9 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with the smallest md5(doc_id) priority — the deterministic
     uniform draw every sampling entry in this catalog uses.
 
-    Exactness path: per-stratum moments (n, Σx, Σx²) are exact int64;
+    Exactness path: per-stratum moments are exact integers (n, Σx in
+    int64; Σx² accumulated as decimal(38,0) in Spark / HUGEINT in
+    DuckDB, exact to 10^38 — no int64 wrap horizon at any corpus size);
     σ_h is then a fixed double expression over those integers, rounded
     to 6dp BEFORE the allocation arithmetic so the cross-stratum
     Σ N_k·σ_k (a 5-term double sum) starts from identical values in
@@ -1042,7 +1072,9 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments = docs.groupBy("lang").agg(
         F.count("*").alias("n_h"),
         F.sum("n_chars").alias("s1"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        F.sum(
+            F.col("n_chars").cast("decimal(19,0)") * F.col("n_chars")
+        ).alias("s2"),
     )
     nh = F.col("n_h").cast("double")
     s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
@@ -1088,7 +1120,7 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_NEYMAN_SQL = f"""
 WITH moments AS (
   SELECT lang, COUNT(*) AS n_h, SUM(n_chars) AS s1,
-         SUM(n_chars * n_chars) AS s2
+         SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2
   FROM documents GROUP BY lang
 ),
 weighted AS (

@@ -349,12 +349,57 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     # one-time costs the 25 GB baseline run amortizes away; our fixture
     # is 0.5 GB so they'd dominate a cold measurement
     run_noop(entries_pipeline(spark, paths, ConvertOptions(threads=cpus)))
+
+    # Quiet-window retry for the THREE ingest throughput legs (r8
+    # verdict ask #3): the per-query retry machinery below never
+    # covered these sections, so one loaded window silently polluted
+    # the raw MB/s figures (r8: 1119 vs r7's 1677 on identical code).
+    # Same mechanism as timed_entries: a leg is bracketed by pin
+    # samples; if min(before, after) says the window was loaded, the
+    # whole leg re-measures in the next window (bounded by a small
+    # dedicated budget — the legs are multi-second, so a handful of
+    # retries is already half a minute).  The reported value and its
+    # normalization pin both come from the window that PRODUCED the
+    # winning measurement.
+    ingest_retry_budget = [
+        int(os.environ.get("SPARK_GRAFT_BENCH_INGEST_RETRIES", "6"))
+    ]
+    ingest_retries_used = [0]
+
+    def _ingest_leg(measure, before: float):
+        """Run `measure()` (returns a comparable tuple/float) inside a
+        pin-bracketed window, retrying in the next window while the
+        bracket says loaded and budget remains.  Returns
+        (winning_measurement, winning_window_pin, last_after_pin)."""
+        windows = []
+        while True:
+            m = measure()
+            after = pin_sample()
+            windows.append((m, min(before, after)))
+            if min(before, after) <= min(pin_samples) * 1.15:
+                break
+            if ingest_retry_budget[0] <= 0:
+                break
+            ingest_retry_budget[0] -= 1
+            ingest_retries_used[0] += 1
+            before = after
+        best_m, best_pin = min(windows)
+        return best_m, best_pin, after
+
+    def _tar_measure() -> float:
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.time()
+            run_noop(
+                entries_pipeline(spark, paths, ConvertOptions(threads=cpus))
+            )
+            best = min(best, time.time() - t0)
+        return best
+
     pin_before_tar = pin_sample()
-    ingest_sec = float("inf")
-    for _ in range(5):
-        t0 = time.time()
-        run_noop(entries_pipeline(spark, paths, ConvertOptions(threads=cpus)))
-        ingest_sec = min(ingest_sec, time.time() - t0)
+    ingest_sec, ingest_pin, prev_after = _ingest_leg(
+        _tar_measure, pin_before_tar
+    )
     ingest = {
         "sec": round(ingest_sec, 3),
         "bytes": total_bytes,
@@ -381,7 +426,6 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     pruned_opts = ConvertOptions(
         threads=cpus, columns=("source", "path", "size", "hash", "format")
     )
-    pin_before_pruned = pin_sample()
 
     def _best_of(n: int, opts: ConvertOptions) -> float:
         best = float("inf")
@@ -392,9 +436,20 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
         return best
 
     run_noop(entries_pipeline(spark, big_paths, ConvertOptions(threads=cpus)))
-    big_full_sec = _best_of(3, ConvertOptions(threads=cpus))
     run_noop(entries_pipeline(spark, big_paths, pruned_opts))
-    pruned_sec = _best_of(3, pruned_opts)
+
+    def _pruned_measure() -> tuple:
+        # both arms of the A/B in ONE window so the speedup ratio is
+        # apples-to-apples; the pair retries together; sort key is the
+        # pruned arm (the headline number of this section)
+        full = _best_of(3, ConvertOptions(threads=cpus))
+        pruned = _best_of(3, pruned_opts)
+        return (pruned, full)
+
+    pin_before_pruned = pin_sample()
+    (pruned_sec, big_full_sec), pruned_pin, prev_after = _ingest_leg(
+        _pruned_measure, min(prev_after, pin_before_pruned)
+    )
     ingest_pruned = {
         "sec": round(pruned_sec, 3),
         "bytes": big_bytes,
@@ -411,14 +466,23 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     # Common Crawl layout) — MB/s is payload bytes, comparable with tar
     warc_paths, warc_bytes = _warc_fixture("/tmp/a2p_bench_fixtures")
     run_noop(entries_pipeline(spark, warc_paths, ConvertOptions(threads=cpus)))
+
+    def _warc_measure() -> float:
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.time()
+            run_noop(
+                entries_pipeline(
+                    spark, warc_paths, ConvertOptions(threads=cpus)
+                )
+            )
+            best = min(best, time.time() - t0)
+        return best
+
     pin_between = pin_sample()
-    ingest_pin = min(pin_before_tar, pin_before_pruned)
-    pruned_pin = min(pin_before_pruned, pin_between)
-    warc_sec = float("inf")
-    for _ in range(5):
-        t0 = time.time()
-        run_noop(entries_pipeline(spark, warc_paths, ConvertOptions(threads=cpus)))
-        warc_sec = min(warc_sec, time.time() - t0)
+    warc_sec, warc_pin, pin_after_warc = _ingest_leg(
+        _warc_measure, min(prev_after, pin_between)
+    )
     ingest_warc = {
         "sec": round(warc_sec, 3),
         "bytes": warc_bytes,
@@ -426,8 +490,6 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
         "entries": _INGEST_MEMBERS * len(warc_paths),
         "entries_per_s": round(_INGEST_MEMBERS * len(warc_paths) / warc_sec, 0),
     }
-    pin_after_warc = pin_sample()
-    warc_pin = min(pin_between, pin_after_warc)
 
     # best of 5 everywhere (r4 verdict ask #2): the first run includes
     # whole-stage-codegen compilation for every new operator shape; at
@@ -475,19 +537,23 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
         nonlocal prev_pin, retry_budget, budget_topup, retries_exhausted
         for name in names:
             before = prev_pin
-            # `best` is INTENTIONALLY the min over ALL retry windows,
-            # not just the final (quiet) one: load only ever inflates a
-            # measurement, so min() is a monotone improvement, and the
-            # final window's best-of-5 is always included — the reported
-            # value is never worse than the quiet window's own best
-            # (ADVICE r7: noted as by-design).
-            best = float("inf")
+            # Each retry window tracks its OWN best-of-5, and the
+            # reported value is the min across windows — with the pins
+            # recorded being the ones that bracket the WINDOW THAT
+            # PRODUCED that min (r8 advice: the old cross-window `best`
+            # could pair an early-window measurement with the final
+            # window's pins, so normalization divided by the wrong
+            # window's load factor).  min across windows is still a
+            # monotone improvement: load only ever inflates.
+            windows: list[tuple[float, float, float]] = []
             while True:
+                w_best = float("inf")
                 for _ in range(5):
                     t0 = time.time()
                     run_noop(qs[name](spark, sf_dir))
-                    best = min(best, time.time() - t0)
+                    w_best = min(w_best, time.time() - t0)
                 after = pin_sample()
+                windows.append((w_best, before, after))
                 window = min(before, after)
                 if window <= min(pin_samples) * quiet_factor:
                     break
@@ -500,8 +566,9 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
                         break
                 retry_budget -= 1
                 before = after  # retry in the next window
-            pin_before[name] = before
-            pin_after[name] = after
+            best, win_before, win_after = min(windows)
+            pin_before[name] = win_before
+            pin_after[name] = win_after
             out[name] = round(best, 3)
             prev_pin = after
 
@@ -568,6 +635,8 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     )
     pin_stats["query_retries_used"] = budget_granted - retry_budget
     pin_stats["retries_spent"] = pin_stats["query_retries_used"]
+    pin_stats["ingest_retries_used"] = ingest_retries_used[0]
+    pin_stats["ingest_retries_exhausted"] = int(ingest_retry_budget[0] == 0)
     pin_stats["retry_budget_effective"] = budget_granted
     pin_stats["retries_exhausted"] = retries_exhausted
     pin_stats["host_loaded"] = pin_stats["inflation_median_pct"] > 15.0

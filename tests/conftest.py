@@ -29,32 +29,30 @@ os.environ.setdefault("SPARK_GRAFT_TRACE", "0")
 # pytest.ini's faulthandler_timeout=600 dumps all thread stacks when a
 # test stalls, but it does not END the run — and the r6 stall was the
 # python main thread blocked in a py4j socket read (JVM idle), which
-# nothing short of process death unblocks.  This hook arms a daemon
-# timer around every test's WHOLE protocol — fixture setup included,
-# because the heaviest Spark work in the suite (the session-scoped
-# whole-catalog audit fixture) executes during setup, exactly where a
-# py4j wedge would otherwise escape a call-phase-only timer.  At
-# 1200 s it dumps tracebacks once more and hard-exits the process with
-# a distinctive status, so a wedged suite fails loudly in ~20 minutes
-# instead of silently eating a round.  The slowest legitimate
-# test+setup in the suite is <3 min, so 1200 s cannot misfire on real
-# work on an idle host — but the session-scoped whole-catalog audit
-# fixture (180+ plan builds) runs inside the FIRST requesting test's
-# window, so a heavily loaded CI host can override the budget via
-# SPARK_GRAFT_WATCHDOG_SECS rather than eat a spurious abort.
+# nothing short of process death unblocks.  These hooks arm a fresh
+# daemon timer around EACH test phase (setup — which includes fixture
+# execution, so the session-scoped whole-catalog audit fixture is
+# covered — then call, then teardown).  Per-phase arming means a test
+# whose fixture setup and body are both legitimately slow never shares
+# one window (the r8 advice: the old whole-protocol timer charged the
+# 180+-plan-build audit fixture to the first requesting test's call
+# budget), while a py4j wedge in any single phase still dies in
+# 1200 s: the timer dumps all thread stacks and hard-exits with a
+# distinctive status, so a wedged suite fails loudly in ~20 minutes
+# instead of silently eating a round.  A heavily loaded CI host can
+# widen the budget via SPARK_GRAFT_WATCHDOG_SECS.
 _WATCHDOG_SECS = int(os.environ.get("SPARK_GRAFT_WATCHDOG_SECS", "1200"))
 
 
-@pytest.hookimpl(hookwrapper=True)
-def pytest_runtest_protocol(item, nextitem):
+def _arm_watchdog(nodeid: str, phase: str):
     import faulthandler
     import threading
 
     def _abort() -> None:
         sys.stderr.write(
-            f"\n[watchdog] test {item.nodeid} exceeded {_WATCHDOG_SECS}s "
-            "(incl. fixture setup/teardown); dumping all thread stacks "
-            "and aborting the run\n"
+            f"\n[watchdog] test {nodeid} exceeded {_WATCHDOG_SECS}s in "
+            f"{phase} phase; dumping all thread stacks and aborting the "
+            "run\n"
         )
         faulthandler.dump_traceback(file=sys.stderr, all_threads=True)
         sys.stderr.flush()
@@ -63,6 +61,30 @@ def pytest_runtest_protocol(item, nextitem):
     timer = threading.Timer(_WATCHDOG_SECS, _abort)
     timer.daemon = True
     timer.start()
+    return timer
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_setup(item):
+    timer = _arm_watchdog(item.nodeid, "setup(+fixtures)")
+    try:
+        yield
+    finally:
+        timer.cancel()
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    timer = _arm_watchdog(item.nodeid, "call")
+    try:
+        yield
+    finally:
+        timer.cancel()
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_teardown(item, nextitem):
+    timer = _arm_watchdog(item.nodeid, "teardown")
     try:
         yield
     finally:

@@ -119,8 +119,13 @@ def test_compaction_plan_binpack_invariants(spark):
         # conservation: every file lands in exactly one bin
         assert sum(r["n_files"] for r in bins) == truth[lang][0]
         assert sum(r["total_bytes"] for r in bins) == truth[lang][1]
-        # bins are dense 0..max and id-ranges never interleave
-        assert [r["bin"] for r in bins] == list(range(len(bins)))
+        # bin ids are strictly increasing from 0 and id-ranges never
+        # interleave.  (NOT dense: bin = bytes_before DIV target skips
+        # ids whenever one file exceeds ~2x the target, so a density
+        # assert would be data-dependent, not algorithmic.)
+        ids = [r["bin"] for r in bins]
+        assert ids[0] == 0
+        assert all(a < b for a, b in zip(ids, ids[1:]))
         for a, b in zip(bins, bins[1:]):
             assert a["last_doc"] < b["first_doc"]
         # greedy closing: a bin only closes once the cumulative bytes
@@ -269,9 +274,9 @@ def test_lpa_partition_covers_nodes_and_labels_are_members(spark):
     # communities partition the node set exactly
     assert sum(r["n_members"] for r in comm) == len(nodes)
     for r in comm:
-        # a community's label is a real node inside its id range
+        # a community's label is a real node (it need not fall inside
+        # the member id range after 2 LPA rounds, so no range assert)
         assert r["community"] in nodes
-        assert r["min_node"] <= r["community"] or r["n_members"] >= 1
         assert r["min_node"] <= r["max_node"]
 
 
