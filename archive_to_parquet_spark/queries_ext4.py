@@ -174,14 +174,17 @@ def eval_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PSI_BINS - 1),
         ).alias("bin"),
     )
+    # one pass over the events collapses to ≤10 (bin, ref_n, cur_n)
+    # rows, materialized once: counts feeds the axis join, the totals
+    # (derived from counts, NOT from a second corpus pass) and the
+    # final PSI fold
     counts = sided.groupBy("bin").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
-    )
+    ).localCheckpoint()
     axis = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
-    totals = sided.agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_tot"),
-        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_tot"),
+    totals = counts.agg(
+        F.sum("ref_n").alias("ref_tot"), F.sum("cur_n").alias("cur_tot")
     )
     full = (
         axis.join(counts, "bin", "left")
@@ -203,7 +206,7 @@ def eval_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref_n",
         "cur_n",
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
-    )
+    ).localCheckpoint()  # 10 rows; total fold + final output reuse it
     total = detail.agg(
         F.round(F.sum("psi_term"), 6).alias("psi_total")
     )
@@ -409,9 +412,13 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     of one integer per language.
     """
     docs = _t(spark, sf_dir, "documents")
+    # one count per language, materialized once: counts feeds the
+    # total fold, the weight column AND the final projection — without
+    # the eager checkpoint the corpus aggregation re-executes per
+    # consumer (measured 6 pinned shuffles instead of 3)
     counts = docs.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs")
-    )
+    ).localCheckpoint()
     tot = counts.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
     weighted = counts.crossJoin(F.broadcast(tot)).select(
         "lang",

@@ -139,6 +139,12 @@ HEADLINE = [
     "eval_ab_welch_ttest",
     "graph_label_propagation",
     "sample_stratified_neyman",
+    # round-9 additions
+    "eval_auc_quality",
+    "eval_psi_drift",
+    "maintenance_vacuum_plan",
+    "privacy_l_diversity",
+    "mix_temperature_sampling",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,

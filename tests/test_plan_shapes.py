@@ -228,14 +228,17 @@ def test_pin_allowlist_drained():
 def test_single_partition_windows_are_enumerated():
     """Unpartitioned windows funnel the input to ONE task — legitimate
     only as a fold over a bounded (sketch-sized) table.  The committed
-    pins must show exactly the one documented case
-    (sketch_hdr_quantiles' ≤2k-row bucket cumsum); any new global
-    window needs the same bounded-input argument and a line here."""
+    pins must show exactly the documented cases
+    (sketch_hdr_quantiles' ≤2k-row bucket cumsum and
+    eval_auc_quality's ≤4096-row binned-score accumulation); any new
+    global window needs the same bounded-input argument and a line
+    here."""
     with open(os.path.join(REPO, "PLAN_PINS.json")) as fh:
         pins = json.load(fh)["entries"]
     offenders = sorted(n for n, p in pins.items() if p.get("gw"))
-    assert offenders == ["sketch_hdr_quantiles"], offenders
+    assert offenders == ["eval_auc_quality", "sketch_hdr_quantiles"], offenders
     assert pins["sketch_hdr_quantiles"]["gw"] == 1
+    assert pins["eval_auc_quality"]["gw"] == 1
 
 
 def test_catalog_plan_shapes_match_pin(catalog_audit):
