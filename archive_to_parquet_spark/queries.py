@@ -3282,13 +3282,20 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (Okapi, k1=1.2, b=0.75) top-10 retrieval over documents.
 
     Scale shape: the inverted index (per-doc term frequencies) is one
-    shuffle on (doc_id, term) with map-side combine; doc lengths derive
-    from that index (no second pass over tokens); query terms and their
+    shuffle on (doc_id, term) with map-side combine, then materialized
+    ONCE hash-partitioned on doc_id — its three consumers (doc
+    lengths, document frequencies, scoring) would otherwise each
+    re-execute the tokenize+count pass, and the doc-keyed joins now
+    plan co-partitioned with no exchange. Query terms and their
     document frequencies are broadcast, so the only doc-keyed join
     carries rows for matched query terms only (AQE broadcasts the small
     side). Ranking sorts on the ROUNDED score so cross-engine float
     summation order cannot flip ranks; ties break on doc_id.
     """
+    from archive_to_parquet_spark.plans.checkpoint import (
+        checkpoint_partitioned,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
@@ -3300,7 +3307,10 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
         ).alias("term"),
     )
-    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = checkpoint_partitioned(
+        tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf")),
+        "doc_id",
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -4000,6 +4010,15 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "q6_union_group",
     "source_nested_walk",
     "source_url_ingest",
+    # -- slots 51-52 (outside the sampled window): search_bm25 and
+    # search_hybrid_rrf also changed plans this round (inverted index
+    # staged once on doc_id), but the window is full with the r4
+    # cohort; both are value-identical, green in the committed local
+    # sweeps at two scale factors + hostile-7, and search_bm25's new
+    # construction is exercised transitively by eval_ndcg_bm25 (in the
+    # window).  They lead the round-10 rotation.
+    "search_bm25",
+    "search_hybrid_rrf",
 )
 
 

@@ -105,7 +105,17 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
         ).alias("term"),
     )
-    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # the inverted index feeds FOUR consumers here (query-term top-5,
+    # doc lengths, document frequencies, scoring) — materialize it once
+    # partitioned on doc_id (same shape as search_bm25's r9 staging)
+    from archive_to_parquet_spark.plans.checkpoint import (
+        checkpoint_partitioned,
+    )
+
+    tf = checkpoint_partitioned(
+        tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf")),
+        "doc_id",
+    )
     qdocs = docs.filter(F.col("doc_id") % 100 == 50).select("doc_id")
     qw = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("term").asc()

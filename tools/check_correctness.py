@@ -159,10 +159,22 @@ def main() -> int:
     if json_path:
         import json
 
+        import pyspark
+
         with open(json_path, "w") as fh:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    # engine versions in every artifact (VERDICT r8
+                    # missing #1): when a hash diverges between two
+                    # oracle stacks, the first question is which
+                    # DuckDB/Spark built each side — answer it here
+                    # instead of leaving it unfalsifiable
+                    "engines": {
+                        "duckdb": duckdb.__version__,
+                        "pyspark": pyspark.__version__,
+                        "python": sys.version.split()[0],
+                    },
                     "n_entries": len(report),
                     "n_failures": len(failures),
                     "entries": report,
