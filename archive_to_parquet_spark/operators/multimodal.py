@@ -196,6 +196,62 @@ def parse_wav_header(data: bytes) -> tuple[int, int, float] | None:
     return None
 
 
+def _f80(b: bytes) -> float:
+    """Decode an 80-bit IEEE 754 extended float (the AIFF COMM sample
+    rate field): 1 sign + 15 exponent + 64 mantissa with explicit
+    integer bit."""
+    e = int.from_bytes(b[:2], "big")
+    m = int.from_bytes(b[2:10], "big")
+    sign = -1.0 if e & 0x8000 else 1.0
+    e &= 0x7FFF
+    if e == 0 and m == 0:
+        return 0.0
+    return sign * m * 2.0 ** (e - 16383 - 63)
+
+
+def parse_aiff_header(data: bytes) -> tuple[int, int, float] | None:
+    """(sample_rate, n_samples, duration_s) from an AIFF/AIFF-C COMM
+    chunk (IFF big-endian; rate is an 80-bit extended float). None for
+    non-AIFF bytes."""
+    d = data or b""
+    if len(d) < 12 or d[:4] != b"FORM" or d[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    i = 12
+    while i + 8 <= len(d):
+        cid = d[i : i + 4]
+        size = struct.unpack(">I", d[i + 4 : i + 8])[0]
+        if cid == b"COMM" and size >= 18 and i + 26 <= len(d):
+            n_frames = struct.unpack(">I", d[i + 10 : i + 14])[0]
+            rate = _f80(d[i + 16 : i + 26])
+            if rate <= 0:
+                return None
+            return int(round(rate)), n_frames, n_frames / rate
+        i += 8 + size + (size & 1)  # IFF chunks are word-aligned
+    return None
+
+
+# Sun/NeXT .au encodings we can size (bytes per sample): G.711 μ-law,
+# 8-bit linear, 16-bit linear BE, G.711 A-law
+_AU_SAMPLE_BYTES = {1: 1, 2: 1, 3: 2, 27: 1}
+
+
+def parse_au_header(data: bytes) -> tuple[int, int, float] | None:
+    """(sample_rate, n_samples, duration_s) from a Sun/NeXT .au/.snd
+    header (big-endian: magic, data offset, data size, encoding, rate,
+    channels). None for non-AU bytes or codec encodings we can't
+    size."""
+    d = data or b""
+    if len(d) < 24 or d[:4] != b".snd":
+        return None
+    off, dsize, enc, rate, ch = struct.unpack(">IIIII", d[4:24])
+    if not rate or not ch or enc not in _AU_SAMPLE_BYTES:
+        return None
+    if dsize == 0xFFFFFFFF:  # "unknown size" sentinel: rest of file
+        dsize = max(len(d) - off, 0)
+    n = dsize // (_AU_SAMPLE_BYTES[enc] * ch)
+    return rate, n, n / rate
+
+
 # MPEG audio tables: sample rates per version, bitrates (kbps) for
 # Layer III, samples per frame for Layer III
 _MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
@@ -673,6 +729,8 @@ def _real_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
         or parse_mp4_audio_header(data)
         or parse_ogg_vorbis_header(data)
         or parse_ogg_opus_header(data)
+        or parse_aiff_header(data)
+        or parse_au_header(data)
         or parse_mp3_header(data)
         or parse_adts_header(data)
     )
@@ -680,8 +738,8 @@ def _real_decode_audio(data: bytes) -> tuple[int, int, float, list[float]]:
         magic = (data or b"")[:4].hex()
         raise NotImplementedError(
             f"audio header parse supports WAV/FLAC/MP3/M4A/Ogg-Vorbis/"
-            f"Ogg-Opus/ADTS-AAC; bytes with magic {magic!r} need a codec "
-            f"library (soundfile)"
+            f"Ogg-Opus/ADTS-AAC/AIFF/AU; bytes with magic {magic!r} need "
+            f"a codec library (soundfile)"
         )
     rate, n, duration = parsed
     h = hashlib.sha256(data or b"").digest()
@@ -1032,6 +1090,11 @@ def media_table_from_entries(entries: DataFrame) -> DataFrame:
         .when(magic(5, b"ftyp"), "video")
         .when(magic(1, b"fLaC"), "audio")
         .when(magic(1, b"ID3"), "audio")
+        .when(magic(1, b".snd"), "audio")
+        .when(
+            magic(1, b"FORM") & (magic(9, b"AIFF") | magic(9, b"AIFC")),
+            "audio",
+        )
         .when(magic(1, b"P5\n") | magic(1, b"P5 ") | magic(1, b"P6\n")
               | magic(1, b"P6 "), "image")
         .when(magic(1, b"II*\x00") | magic(1, b"MM\x00*"), "image")
@@ -2721,12 +2784,101 @@ def _flac_pcm(data: bytes):
         return None
 
 
+def _au_pcm(d: bytes):
+    """(rate, mono float64 samples) for Sun/NeXT .au bytes carrying
+    G.711 μ-law (1), 8-bit linear (2), 16-bit linear BE (3) or G.711
+    A-law (27) payload; None when headerless/codec/empty."""
+    import numpy as np
+
+    if len(d) < 24:
+        return None
+    off, dsize, enc, rate, ch = struct.unpack(">IIIII", d[4:24])
+    if not rate or not ch or enc not in _AU_SAMPLE_BYTES or off > len(d):
+        return None
+    if dsize == 0xFFFFFFFF or off + dsize > len(d):
+        dsize = len(d) - off
+    raw = d[off : off + dsize]
+    if enc == 1:
+        samples = _g711_ulaw_to_linear(
+            np.frombuffer(raw, dtype=np.uint8)
+        ) / 32768.0
+    elif enc == 27:
+        samples = _g711_alaw_to_linear(
+            np.frombuffer(raw, dtype=np.uint8)
+        ) / 32768.0
+    elif enc == 2:
+        samples = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
+    else:  # 3: 16-bit linear PCM, big-endian
+        samples = np.frombuffer(
+            raw[: len(raw) & ~1], dtype=">i2"
+        ).astype(np.float64) / 32768.0
+    frames = samples.size // ch
+    if frames == 0:
+        return None
+    return rate, samples[: frames * ch].reshape(frames, ch).mean(axis=1)
+
+
+def _aiff_pcm(d: bytes):
+    """(rate, mono float64 samples) for AIFF / AIFF-C bytes whose SSND
+    payload is uncompressed PCM (AIFF always; AIFC compression 'NONE'
+    big-endian or 'sowt' little-endian). None when the SSND chunk is
+    absent/empty or the compression needs a codec."""
+    import numpy as np
+
+    is_aifc = d[8:12] == b"AIFC"
+    i = 12
+    channels = n_frames = bits = None
+    little = False
+    ok_comp = not is_aifc
+    rate = 0.0
+    raw = None
+    while i + 8 <= len(d):
+        cid = d[i : i + 4]
+        size = struct.unpack(">I", d[i + 4 : i + 8])[0]
+        if cid == b"COMM" and size >= 18 and i + 26 <= len(d):
+            channels = struct.unpack(">H", d[i + 8 : i + 10])[0]
+            n_frames = struct.unpack(">I", d[i + 10 : i + 14])[0]
+            bits = struct.unpack(">H", d[i + 14 : i + 16])[0]
+            rate = _f80(d[i + 16 : i + 26])
+            if is_aifc and size >= 22 and i + 30 <= len(d):
+                comp = d[i + 26 : i + 30]
+                ok_comp = comp in (b"NONE", b"sowt")
+                little = comp == b"sowt"
+        elif cid == b"SSND" and size >= 8:
+            # u32 offset + u32 block size precede the sample bytes
+            data_off = struct.unpack(">I", d[i + 8 : i + 12])[0]
+            raw = d[i + 16 + data_off : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if not rate or rate <= 0 or not channels or raw is None or not ok_comp:
+        return None
+    if bits == 16:
+        dt = "<i2" if little else ">i2"
+        samples = np.frombuffer(
+            raw[: len(raw) & ~1], dtype=dt
+        ).astype(np.float64) / 32768.0
+    elif bits == 8:  # AIFF 8-bit PCM is SIGNED (unlike WAV)
+        samples = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
+    else:
+        return None
+    frames = samples.size // channels
+    if n_frames:
+        frames = min(frames, n_frames)
+    if frames == 0:
+        return None
+    return int(round(rate)), samples[: frames * channels].reshape(
+        frames, channels
+    ).mean(axis=1)
+
+
 def decode_pcm(data: bytes):
     """(sample_rate, mono float64 sample array) for RIFF/WAVE bytes in
     linear PCM (format tag 1, 8/16-bit), G.711 A-law (6) / μ-law (7),
-    mono IMA ADPCM (0x11), or a native FLAC stream (lossless decode,
-    RFC 9639 — see _flac_pcm); None otherwise. Multi-channel audio is
-    averaged to mono. numpy + stdlib only — no codec library."""
+    mono IMA ADPCM (0x11), a native FLAC stream (lossless decode,
+    RFC 9639 — see _flac_pcm), a Sun/NeXT .au file (μ-law / A-law /
+    8-bit / 16-bit-BE linear), or an AIFF/AIFF-C file whose payload is
+    uncompressed PCM ('NONE'/'sowt'); None otherwise. Multi-channel
+    audio is averaged to mono. numpy + stdlib only — no codec
+    library."""
     import numpy as np
 
     d = data or b""
@@ -2738,6 +2890,10 @@ def decode_pcm(data: bytes):
         return rate, arr.astype(np.float64).mean(axis=1) / float(
             1 << (bps - 1)
         )
+    if d[:4] == b".snd":
+        return _au_pcm(d)
+    if d[:4] == b"FORM" and d[8:12] in (b"AIFF", b"AIFC"):
+        return _aiff_pcm(d)
     if len(d) < 36 or d[:4] != b"RIFF" or d[8:12] != b"WAVE":
         return None
     i = 12

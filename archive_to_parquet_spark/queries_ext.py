@@ -1231,7 +1231,8 @@ def _be2(col):
 
 def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL multimodal decode path, driver-checked: valid PNG, WAV,
-    Ogg/Vorbis, Ogg/Opus, MP4/M4A audio, ADTS/AAC and Matroska/WebM
+    Ogg/Vorbis, Ogg/Opus, MP4/M4A audio, ADTS/AAC, AIFF, Sun/NeXT .au
+    and Matroska/WebM
     bytes are constructed JVM-side with
     closed-form geometry (width/height/sample-rate/duration derived
     from doc_id), pushed through the Arrow ``mapInPandas`` decoders in
@@ -1406,6 +1407,48 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.lit("BA82")),                   # PixelHeight, uint16
         _be2(webm_h),
     )
+    # AIFF (round 9): COMM-only IFF file — channels 1, 16-bit,
+    # numSampleFrames doc_id-derived, sample rate an 80-bit IEEE
+    # extended float from a 4-entry literal table; certifies the
+    # big-endian chunk walk + extended-float decode.  Rates are chosen
+    # TIE-FREE: n/rate must never land exactly on a 7th-decimal 5 over
+    # the frame range, because Spark's round() (HALF_UP on the
+    # shortest-repr BigDecimal) and DuckDB's (on the raw double)
+    # disagree at exact 6dp ties — 16000/32000 DO tie (n·625 ends in
+    # 5 for odd n) and broke the hash; 8000/10000/22050/44100 cannot.
+    aiff_rate_hex = F.element_at(
+        F.array(
+            F.lit("400BFA00000000000000"),  # 8000
+            F.lit("400C9C40000000000000"),  # 10000
+            F.lit("400DAC44000000000000"),  # 22050
+            F.lit("400EAC44000000000000"),  # 44100
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    aiff_frames = (F.col("doc_id") % 9000 + 800).cast("long")
+    aiff = F.concat(
+        F.unhex(F.lit(
+            "464F524D" + "0000001E" + "41494646"  # FORM, size 30, AIFF
+            + "434F4D4D" + "00000012"             # COMM, size 18
+            + "0001"                              # channels = 1
+        )),
+        _be4(aiff_frames),
+        F.unhex(F.lit("0010")),                   # 16-bit
+        F.unhex(aiff_rate_hex),
+    )
+    # Sun/NeXT .au (round 9): 24-byte big-endian header, encoding 1
+    # (G.711 μ-law, 1 byte/sample), declared data size with no payload
+    # — certifies the header tier's declared-size sample count
+    au_rate = (F.lit(8000) + (F.col("doc_id") % 6) * 1000).cast("long")
+    au_n = (F.col("doc_id") % 6000 + 600).cast("long")
+    au = F.concat(
+        F.unhex(F.lit("2E736E64")),               # .snd
+        _be4(F.lit(24)),                          # data offset
+        _be4(au_n),                               # data size (1 B/sample)
+        _be4(F.lit(1)),                           # encoding: G.711 μ-law
+        _be4(au_rate),
+        _be4(F.lit(1)),                           # channels
+    )
     media = (
         docs.select(
             "doc_id",
@@ -1415,6 +1458,8 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             opus.alias("opus"),
             m4a.alias("m4a"),
             webm.alias("webm"),
+            aiff.alias("aiff"),
+            au.alias("au"),
             adts_frame_hex.alias("_adts_frame_hex"),
             n_frames.alias("_n_frames"),
         )
@@ -1459,6 +1504,8 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(aud_features("opus", "opus_"), "doc_id")
         .join(aud_features("m4a", "m4a_"), "doc_id")
         .join(aud_features("adts", "adts_"), "doc_id")
+        .join(aud_features("aiff", "aiff_"), "doc_id")
+        .join(aud_features("au", "au_"), "doc_id")
         .join(vid, "doc_id")
     )
 
@@ -1491,6 +1538,18 @@ SELECT doc_id,
                / CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 48000
                       WHEN 1 THEN 44100 ELSE 32000 END AS DOUBLE), 6)
          AS adts_duration_s,
+       CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 10000
+                 WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS aiff_rate,
+       CAST(doc_id % 9000 + 800 AS BIGINT) AS aiff_samples,
+       round((doc_id % 9000 + 800)
+               / CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000
+                      WHEN 1 THEN 10000 WHEN 2 THEN 22050
+                      ELSE 44100 END AS DOUBLE), 6) AS aiff_duration_s,
+       CAST(8000 + (doc_id % 6) * 1000 AS INT) AS au_rate,
+       CAST(doc_id % 6000 + 600 AS BIGINT) AS au_samples,
+       round((doc_id % 6000 + 600)
+               / CAST(8000 + (doc_id % 6) * 1000 AS DOUBLE), 6)
+         AS au_duration_s,
        CAST(doc_id % 640 + 16 AS INT) AS webm_width,
        CAST(doc_id % 480 + 16 AS INT) AS webm_height,
        round((doc_id % 4000 + 500) / 1000.0, 6) AS webm_duration_s

@@ -261,3 +261,114 @@ def test_g711_exhaustive_against_frozen_reference():
     assert hashlib.sha256(a).hexdigest() == (
         "7eb6677233733a90d7139d6bbcaeddbaeb1ef8a2b8f8e413ebdf834aca4cedd9"
     )
+
+
+# -- Sun/NeXT .au and AIFF/AIFF-C (round 9) --------------------------------
+
+
+def _make_au(encoding: int, rate: int, payload: bytes, channels: int = 1) -> bytes:
+    return (
+        b".snd"
+        + struct.pack(">IIIII", 24, len(payload), encoding, rate, channels)
+        + payload
+    )
+
+
+def _f80_bytes(x: float) -> bytes:
+    import math
+
+    m, e = math.frexp(x)
+    return (16383 + e - 1).to_bytes(2, "big") + int(m * (1 << 64)).to_bytes(
+        8, "big"
+    )
+
+
+def _make_aiff(
+    rate: int,
+    samples: np.ndarray,
+    channels: int = 1,
+    aifc_compression: bytes | None = None,
+) -> bytes:
+    frames = samples.size // channels
+    little = aifc_compression == b"sowt"
+    raw = samples.astype("<i2" if little else ">i2").tobytes()
+    comm_body = (
+        struct.pack(">HIH", channels, frames, 16) + _f80_bytes(float(rate))
+    )
+    form_type = b"AIFF"
+    if aifc_compression is not None:
+        form_type = b"AIFC"
+        comm_body += aifc_compression + b"\x00\x00"  # pstring name ""
+    comm = b"COMM" + struct.pack(">I", len(comm_body)) + comm_body
+    if len(comm_body) & 1:
+        comm += b"\x00"
+    ssnd_body = struct.pack(">II", 0, 0) + raw
+    ssnd = b"SSND" + struct.pack(">I", len(ssnd_body)) + ssnd_body
+    body = form_type + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def test_au_ulaw_decode_matches_g711_tables():
+    codes = bytes(range(0, 256, 8))
+    rate, mono = decode_pcm(_make_au(1, 8000, codes))
+    assert rate == 8000 and mono.size == len(codes)
+    expect = _g711_ulaw_to_linear(np.frombuffer(codes, np.uint8)) / 32768.0
+    assert np.allclose(mono, expect)
+
+
+def test_au_pcm16_be_and_stereo_mean():
+    left = np.array([1000, -2000, 3000], dtype=np.int16)
+    right = np.array([3000, 2000, -1000], dtype=np.int16)
+    inter = np.empty(6, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    rate, mono = decode_pcm(
+        _make_au(3, 16000, inter.astype(">i2").tobytes(), channels=2)
+    )
+    assert rate == 16000 and mono.size == 3
+    assert np.allclose(mono, (left + right) / 2.0 / 32768.0)
+
+
+def test_au_header_tier_declared_size():
+    from archive_to_parquet_spark.operators.multimodal import parse_au_header
+
+    # header-only: declared 600 μ-law bytes (1 B/sample), no payload
+    hdr = b".snd" + struct.pack(">IIIII", 24, 600, 1, 11000, 1)
+    assert decode_pcm(hdr) is None  # no samples to decode
+    rate, n, dur = parse_au_header(hdr)
+    assert (rate, n) == (11000, 600) and abs(dur - 600 / 11000) < 1e-12
+    # codec encoding (e.g. 23 = G.721 ADPCM) is not sizeable
+    assert parse_au_header(
+        b".snd" + struct.pack(">IIIII", 24, 600, 23, 8000, 1)
+    ) is None
+
+
+def test_aiff_be_and_aifc_sowt_roundtrip():
+    sig = (np.sin(np.arange(64) / 3.0) * 12000).astype(np.int16)
+    for comp in (None, b"NONE", b"sowt"):
+        rate, mono = decode_pcm(_make_aiff(22050, sig, aifc_compression=comp))
+        assert rate == 22050, comp
+        assert np.allclose(mono, sig / 32768.0), comp
+
+
+def test_aiff_header_tier_extended_float_rates():
+    from archive_to_parquet_spark.operators.multimodal import (
+        parse_aiff_header,
+    )
+
+    for rate in (8000, 10000, 22050, 44100, 48000):
+        comm = (
+            b"COMM"
+            + struct.pack(">I", 18)
+            + struct.pack(">HIH", 1, 4410, 16)
+            + _f80_bytes(float(rate))
+        )
+        body = b"AIFF" + comm
+        hdr = b"FORM" + struct.pack(">I", len(body)) + body
+        got = parse_aiff_header(hdr)
+        assert got is not None
+        assert got[0] == rate and got[1] == 4410
+    # a codec AIFC ('ima4') decodes to None but still header-parses
+    sig = np.zeros(8, dtype=np.int16)
+    ima = _make_aiff(8000, sig, aifc_compression=b"ima4")
+    assert decode_pcm(ima) is None
+    assert parse_aiff_header(ima)[0] == 8000
