@@ -3926,6 +3926,12 @@ _CATALOG.update(_ext3.CATALOG)
 from archive_to_parquet_spark import queries_ext4 as _ext4  # noqa: E402
 
 _CATALOG.update(_ext4.CATALOG)
+# MRR composes the BM25 oracle — patched here like eval_ndcg_bm25 (a
+# module-level build in queries_ext4 would be a circular import)
+_CATALOG["eval_mrr_bm25"] = (
+    _CATALOG["eval_mrr_bm25"][0],
+    _ext4._mrr_oracle_sql(),
+)
 
 
 # Static, hand-maintained coverage schedule.  The external correctness
@@ -4010,15 +4016,19 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "q6_union_group",
     "source_nested_walk",
     "source_url_ingest",
-    # -- slots 51-52 (outside the sampled window): search_bm25 and
+    # -- slots 51-54 (outside the sampled window): search_bm25 and
     # search_hybrid_rrf also changed plans this round (inverted index
     # staged once on doc_id), but the window is full with the r4
     # cohort; both are value-identical, green in the committed local
     # sweeps at two scale factors + hostile-7, and search_bm25's new
     # construction is exercised transitively by eval_ndcg_bm25 (in the
-    # window).  They lead the round-10 rotation.
+    # window).  stream_psi_drift and eval_mrr_bm25 are the round-9
+    # second-leg additions (local-certified at sf0.001/0.01/0.1 +
+    # hostile-7).  All four lead the round-10 rotation.
     "search_bm25",
     "search_hybrid_rrf",
+    "stream_psi_drift",
+    "eval_mrr_bm25",
 )
 
 

@@ -38,9 +38,18 @@ scalar expression trees over identical integers (rounded 6dp).
   Lample & Conneau 2019): q_l ∝ sqrt(n_l).  sqrt is IEEE-754
   correctly rounded, so unlike pow(x, 0.3) the weights are
   bit-identical across engines before the 6dp rounding.
+- ``stream_psi_drift`` — the PSI monitor under continuous arrival:
+  per-micro-batch ≤10-row algebraic per-bin partials, batch_id-keyed
+  idempotent state writes, report = merge of partials == the batch
+  entry's whole-table computation (same oracle SQL verbatim).
+- ``eval_mrr_bm25`` — MRR@10 of the BM25 retriever under the same
+  deterministic relevance rule as ``eval_ndcg_bm25``; reciprocals
+  1/k (k ≤ 10) cannot land on a 6dp rounding tie.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -146,26 +155,11 @@ _PSI_BINS = 10
 _PSI_WIDTH = 30.0  # value bins: [0,30), [30,60), ... clamped to [0,9]
 
 
-def eval_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index between a reference and a current
-    event snapshot — THE production drift monitor for any scored
-    pipeline (credit, ranking, data-quality gates): bin the metric,
-    compare the two distributions, alert when PSI > 0.2.  Snapshots
-    are the even/odd ``event_id`` halves (deterministic stand-in for
-    yesterday/today); the metric is ``value`` in 10 fixed-width bins.
-
-    Laplace smoothing (+1 per bin) keeps every term finite; the bin
-    axis is a 10-row LITERAL on both engines, so a bin empty in both
-    snapshots still contributes its (identical) smoothed term instead
-    of silently vanishing from one engine's group-by.
-
-    Scale shape: one conditional aggregation collapses the corpus to
-    ≤ 2·10 (side, bin) counts; everything after is scalar arithmetic
-    on a 10-row frame.  The per-bin term is rounded 6dp before the
-    10-term total so the final sum starts from identical doubles.
-    """
-    events = _t(spark, sf_dir, "events")
-    sided = events.filter(F.col("value").isNotNull()).select(
+def _psi_binned(events: DataFrame) -> DataFrame:
+    """(is_ref, bin) per event — the shared binning step of the batch
+    and streaming PSI monitors (even/odd event_id snapshots, 10 fixed
+    value bins clamped to [0, 9])."""
+    return events.filter(F.col("value").isNotNull()).select(
         (F.col("event_id") % 2 == 0).alias("is_ref"),
         F.least(
             F.greatest(
@@ -174,14 +168,26 @@ def eval_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PSI_BINS - 1),
         ).alias("bin"),
     )
-    # one pass over the events collapses to ≤10 (bin, ref_n, cur_n)
-    # rows, materialized once: counts feeds the axis join, the totals
-    # (derived from counts, NOT from a second corpus pass) and the
-    # final PSI fold
-    counts = sided.groupBy("bin").agg(
+
+
+def psi_bin_counts(events: DataFrame) -> DataFrame:
+    """≤10-row (bin, ref_n, cur_n) counts — the ALGEBRAIC partial both
+    PSI monitors fold to (mergeable by summation, so micro-batch
+    partials sum to exactly this)."""
+    sided = _psi_binned(events)
+    return sided.groupBy("bin").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
-    ).localCheckpoint()
+    )
+
+
+def psi_report_from_counts(
+    spark: SparkSession, counts: DataFrame
+) -> DataFrame:
+    """PSI report from materialized (bin, ref_n, cur_n) counts — the
+    shared tail of ``eval_psi_drift`` and ``stream_psi_drift``: literal
+    10-bin axis (empty bins contribute their smoothed term identically
+    in every engine), Laplace smoothing, per-bin 6dp terms, total."""
     axis = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
     totals = counts.agg(
         F.sum("ref_n").alias("ref_tot"), F.sum("cur_n").alias("cur_tot")
@@ -207,12 +213,37 @@ def eval_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur_n",
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     ).localCheckpoint()  # 10 rows; total fold + final output reuse it
-    total = detail.agg(
-        F.round(F.sum("psi_term"), 6).alias("psi_total")
-    )
+    total = detail.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
     return detail.crossJoin(F.broadcast(total)).select(
         "bin", "ref_n", "cur_n", "psi_term", "psi_total"
     )
+
+
+def eval_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    event snapshot — THE production drift monitor for any scored
+    pipeline (credit, ranking, data-quality gates): bin the metric,
+    compare the two distributions, alert when PSI > 0.2.  Snapshots
+    are the even/odd ``event_id`` halves (deterministic stand-in for
+    yesterday/today); the metric is ``value`` in 10 fixed-width bins.
+
+    Laplace smoothing (+1 per bin) keeps every term finite; the bin
+    axis is a 10-row LITERAL on both engines, so a bin empty in both
+    snapshots still contributes its (identical) smoothed term instead
+    of silently vanishing from one engine's group-by.
+
+    Scale shape: one conditional aggregation collapses the corpus to
+    ≤ 2·10 (side, bin) counts; everything after is scalar arithmetic
+    on a 10-row frame.  The per-bin term is rounded 6dp before the
+    10-term total so the final sum starts from identical doubles.
+    """
+    events = _t(spark, sf_dir, "events")
+    # one pass over the events collapses to ≤10 (bin, ref_n, cur_n)
+    # rows, materialized once: counts feeds the axis join, the totals
+    # (derived from counts, NOT from a second corpus pass) and the
+    # final PSI fold
+    counts = psi_bin_counts(events).localCheckpoint()
+    return psi_report_from_counts(spark, counts)
 
 
 EVAL_PSI_SQL = f"""
@@ -465,9 +496,179 @@ FROM weighted
 """
 
 
+# ---------------------------------------------------------------------------
+# PSI drift monitor under continuous arrival
+# ---------------------------------------------------------------------------
+
+
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor under CONTINUOUS arrival — events stream
+    in 4 micro-batches (event_id % 4 slices, one file per trigger) and
+    foreachBatch folds each batch to a ≤10-row ALGEBRAIC per-bin
+    partial written to a batch_id-keyed state path; the report merges
+    partials by summation and computes the IDENTICAL PSI the batch
+    entry emits, so the oracle is ``eval_psi_drift``'s whole-table SQL
+    verbatim and the driver row certifies merge(partials) ==
+    one-pass(all).  A replayed micro-batch OVERWRITES its own partial
+    (idempotence by layout — the ``stream_constraint_monitor``
+    precedent).  Production shape: the monitor never rescans arrived
+    data; state grows ≤10 rows per micro-batch regardless of batch
+    size.
+
+    Scale shape: per batch one map-side-combinable fold to ≤10 rows;
+    the report aggregates batch_count·10 rows — a drift dashboard over
+    a 100-TB/day stream costs a 10-integer fold per trigger."""
+    import glob
+    import shutil
+    import tempfile
+
+    from archive_to_parquet_spark.streaming.quality import (
+        psi_monitor_stream,
+        psi_report,
+    )
+
+    # ts is unused but its parquet layout varies (see queries._events);
+    # the legacy conf makes the raw read safe under both layouts
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = _t(spark, sf_dir, "events").select("event_id", "value")
+    root = tempfile.mkdtemp(prefix="stream_psi_")
+    stage = os.path.join(root, "in")
+    os.makedirs(stage)
+    try:
+        for k in range(4):
+            tmp = os.path.join(root, f"slice{k}")
+            events.filter(F.col("event_id") % 4 == k).coalesce(
+                1
+            ).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"{k:02d}.parquet")
+            shutil.copy(part, dst)
+            t = 1_700_000_000 + k * 10  # deterministic arrival order
+            os.utime(dst, (t, t))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = psi_monitor_stream(
+            stream,
+            os.path.join(root, "state"),
+            os.path.join(root, "ckpt"),
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        n_batches = len(glob.glob(os.path.join(root, "state", "batch=*")))
+        if n_batches != 4:
+            raise RuntimeError(
+                f"expected 4 micro-batch partials, found {n_batches}"
+            )
+        return psi_report(
+            spark, os.path.join(root, "state")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Mean Reciprocal Rank of the BM25 retriever
+# ---------------------------------------------------------------------------
+
+
+def eval_mrr_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of the BM25 retriever — the other standard retrieval
+    readout next to ``eval_ndcg_bm25``: per query, the reciprocal of
+    the FIRST relevant rank in the top-10 (0.0 when none), under the
+    same deterministic relevance rule (a document is relevant iff it
+    contains EVERY query term).  Reciprocals 1/k for k ≤ 10 never land
+    on a 6dp rounding tie, so the rounded value is engine-identical.
+
+    Scale shape: rankings come from ``search_bm25``'s staged inverted
+    index (one corpus tokenize, materialized on doc_id); relevance is
+    one corpus scan against the broadcast term list; the readout joins
+    a 30-row ranking with the relevance set and folds to one row per
+    query."""
+    from archive_to_parquet_spark.queries import _BM25_QUERIES, search_bm25
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = search_bm25(spark, sf_dir)
+    qterms = spark.createDataFrame(
+        [(qid, t, len(terms)) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, term string, n_terms int",
+    )
+    rel = (
+        docs.crossJoin(F.broadcast(qterms))
+        .filter(F.contains(F.lower("text"), F.col("term")))
+        .groupBy("query_id", "doc_id", "n_terms")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    first_rel = (
+        ranked.join(rel, ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_rel_rank"))
+    )
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in _BM25_QUERIES], "query_id string"
+    )
+    return qids.join(first_rel, "query_id", "left").select(
+        "query_id",
+        F.coalesce("first_rel_rank", F.lit(0))
+        .cast("int")
+        .alias("first_rel_rank"),
+        F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+        .otherwise(F.round(1.0 / F.col("first_rel_rank"), 6))
+        .alias("rr"),
+    )
+
+
+def _mrr_oracle_sql() -> str:
+    from archive_to_parquet_spark.queries import (
+        _BM25_QUERIES,
+        SEARCH_BM25_SQL,
+    )
+
+    terms = ", ".join(
+        "('{qid}', '{t}', {n})".format(qid=qid, t=t, n=len(ts))
+        for qid, ts in _BM25_QUERIES
+        for t in ts
+    )
+    qids = ", ".join("('{qid}')".format(qid=qid) for qid, _ in _BM25_QUERIES)
+    return f"""
+WITH ranked AS ({SEARCH_BM25_SQL}),
+q(query_id, term, n_terms) AS (VALUES {terms}),
+qids(query_id) AS (VALUES {qids}),
+rel AS (
+  SELECT q.query_id, d.doc_id
+  FROM documents d CROSS JOIN q
+  WHERE contains(lower(d.text), q.term)
+  GROUP BY q.query_id, d.doc_id, q.n_terms
+  HAVING COUNT(*) = q.n_terms
+),
+first_rel AS (
+  SELECT r.query_id, MIN(r.rank) AS first_rel_rank
+  FROM ranked r JOIN rel USING (query_id, doc_id)
+  GROUP BY r.query_id
+)
+SELECT qids.query_id,
+       CAST(COALESCE(f.first_rel_rank, 0) AS INT) AS first_rel_rank,
+       CASE WHEN f.first_rel_rank IS NULL THEN 0.0
+            ELSE round(1.0 / f.first_rel_rank, 6) END AS rr
+FROM qids LEFT JOIN first_rel f USING (query_id)
+"""
+
+
+# eval_mrr_bm25's oracle composes SEARCH_BM25_SQL from queries.py —
+# building it at module level would be a circular import when this
+# module is imported first (the eval_ndcg_bm25 precedent); queries.py
+# patches the oracle in after merging this CATALOG.
 CATALOG = {
     "eval_auc_quality": (eval_auc_quality, EVAL_AUC_SQL),
     "eval_psi_drift": (eval_psi_drift, EVAL_PSI_SQL),
+    "stream_psi_drift": (stream_psi_drift, EVAL_PSI_SQL),
+    "eval_mrr_bm25": (eval_mrr_bm25, None),
     "maintenance_vacuum_plan": (
         maintenance_vacuum_plan,
         MAINTENANCE_VACUUM_SQL,

@@ -104,3 +104,55 @@ def constraint_report(spark: SparkSession, state_dir: str) -> DataFrame:
         .otherwise("fail")
         .alias("status"),
     )
+
+
+# -- PSI drift monitor under continuous arrival (round 9) -------------------
+
+
+def psi_batch_partial(batch: DataFrame) -> DataFrame:
+    """≤10-row algebraic partial for a micro-batch: per-bin
+    reference/current counts (the batch entry's ``psi_bin_counts``,
+    imported so the streaming fold can never drift from the certified
+    batch binning)."""
+    from archive_to_parquet_spark.queries_ext4 import psi_bin_counts
+
+    return psi_bin_counts(batch)
+
+
+def write_psi_partial(batch: DataFrame, batch_id: int, state_dir: str) -> None:
+    """foreachBatch sink: the batch's per-bin partial lands in its OWN
+    subdirectory, mode overwrite — a failure-replayed micro-batch
+    rewrites the same path and cannot double-count."""
+    psi_batch_partial(batch).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch={batch_id}")
+    )
+
+
+def psi_monitor_stream(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Wire the PSI partial-fold into a foreachBatch query."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: write_psi_partial(b, bid, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def psi_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge the per-batch per-bin partials by summation — counts are
+    algebraic, so merge(partials) == one-pass counts over all arrived
+    rows regardless of batch boundaries — then compute the identical
+    PSI report the batch entry emits."""
+    from archive_to_parquet_spark.queries_ext4 import psi_report_from_counts
+
+    partials = spark.read.option("basePath", state_dir).parquet(
+        os.path.join(state_dir, "batch=*")
+    )
+    counts = (
+        partials.groupBy("bin")
+        .agg(F.sum("ref_n").alias("ref_n"), F.sum("cur_n").alias("cur_n"))
+        .localCheckpoint()
+    )
+    return psi_report_from_counts(spark, counts)

@@ -240,3 +240,74 @@ def test_dbscan_lsh_exact_twin_agreement(spark):
         assert len(targets) == 1, (
             f"LSH cluster {c} spans exact clusters {targets}"
         )
+
+
+# -- streaming PSI monitor --------------------------------------------------
+
+
+def test_stream_psi_report_equals_batch_psi(spark):
+    from archive_to_parquet_spark.queries_ext4 import (
+        eval_psi_drift,
+        stream_psi_drift,
+    )
+
+    batch = {r["bin"]: r for r in eval_psi_drift(spark, SF_DIR).collect()}
+    stream = {r["bin"]: r for r in stream_psi_drift(spark, SF_DIR).collect()}
+    assert set(batch) == set(stream)
+    for b in batch:
+        assert batch[b].asDict() == stream[b].asDict()
+
+
+def test_psi_partial_replay_is_idempotent(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.streaming.quality import (
+        psi_report,
+        write_psi_partial,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "value")
+    )
+    state = str(tmp_path / "state")
+    write_psi_partial(events.filter(F.col("event_id") % 2 == 0), 0, state)
+    write_psi_partial(events.filter(F.col("event_id") % 2 == 1), 1, state)
+    once = {r["bin"]: r.asDict() for r in psi_report(spark, state).collect()}
+    # a failure-replayed micro-batch OVERWRITES its own partial
+    write_psi_partial(events.filter(F.col("event_id") % 2 == 1), 1, state)
+    twice = {r["bin"]: r.asDict() for r in psi_report(spark, state).collect()}
+    assert once == twice
+    assert len(glob.glob(f"{state}/batch=*")) == 2
+
+
+# -- MRR ---------------------------------------------------------------------
+
+
+def test_mrr_first_relevant_rank_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from archive_to_parquet_spark.queries import _BM25_QUERIES, search_bm25
+    from archive_to_parquet_spark.queries_ext4 import eval_mrr_bm25
+
+    rows = {r["query_id"]: r for r in eval_mrr_bm25(spark, SF_DIR).collect()}
+    assert set(rows) == {qid for qid, _ in _BM25_QUERIES}
+    ranked = search_bm25(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.lower("text").alias("lt")
+    ).collect()
+    for qid, terms in _BM25_QUERIES:
+        rel = {d["doc_id"] for d in docs if all(t in d["lt"] for t in terms)}
+        ranks = sorted(
+            r["rank"] for r in ranked
+            if r["query_id"] == qid and r["doc_id"] in rel
+        )
+        r = rows[qid]
+        if ranks:
+            assert r["first_rel_rank"] == ranks[0]
+            assert abs(r["rr"] - round(1.0 / ranks[0], 6)) < 1e-9
+        else:
+            assert r["first_rel_rank"] == 0 and r["rr"] == 0.0
