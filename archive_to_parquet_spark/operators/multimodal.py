@@ -199,12 +199,17 @@ def parse_wav_header(data: bytes) -> tuple[int, int, float] | None:
 def _f80(b: bytes) -> float:
     """Decode an 80-bit IEEE 754 extended float (the AIFF COMM sample
     rate field): 1 sign + 15 exponent + 64 mantissa with explicit
-    integer bit."""
+    integer bit.  Returns 0.0 (→ callers reject the file) for the
+    inf/NaN exponent and for exponents a double cannot hold — corrupt
+    bytes must degrade to None-paths, never raise OverflowError out of
+    a mapInPandas task."""
     e = int.from_bytes(b[:2], "big")
     m = int.from_bytes(b[2:10], "big")
     sign = -1.0 if e & 0x8000 else 1.0
     e &= 0x7FFF
     if e == 0 and m == 0:
+        return 0.0
+    if e == 0x7FFF or e - 16446 > 960:  # inf/NaN or beyond double range
         return 0.0
     return sign * m * 2.0 ** (e - 16383 - 63)
 

@@ -79,11 +79,13 @@ def eval_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 wrap at any corpus size.
 
     Scale shape: one map-side-combinable groupBy collapses the corpus
-    to ≤ {cap} (bin, np, nn) rows; the single ordered accumulation
+    to ≤ 4096 (bin, np, nn) rows; the single ordered accumulation
     (the one global window) runs over that BOUNDED table — the same
     enumerated exception the plan pins grant ``sketch_hdr_quantiles``.
-    At 100 TB the bin table is still ≤ {cap} rows on one executor.
-    """.format(cap=_AUC_BIN_CAP + 1)
+    At 100 TB the bin table is still ≤ 4096 rows on one executor.
+    (Plain literal docstring on purpose: ``\"\"\"...\"\"\".format()`` is
+    an expression, not a docstring — gen_catalog.py reads __doc__.)
+    """
     docs = _t(spark, sf_dir, "documents")
     binned = docs.select(
         F.least(
@@ -236,6 +238,15 @@ def eval_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 2·10 (side, bin) counts; everything after is scalar arithmetic
     on a 10-row frame.  The per-bin term is rounded 6dp before the
     10-term total so the final sum starts from identical doubles.
+
+    On ln() and cross-engine exactness: ln is ≤1-ulp accurate but not
+    IEEE-correctly-rounded, so in principle a term could straddle a
+    6dp rounding boundary by one ulp (~2e-19 relative) and flip on one
+    engine.  This residual risk is shared with the long-driver-
+    certified ln-based family (search_bm25's IDF, text_lm_perplexity,
+    lm_bigram_score) and is ~12 orders of magnitude below the 5e-7
+    rounding threshold — unlike pow(x, 0.3), whose larger libm spread
+    the mixing entry avoids by design.
     """
     events = _t(spark, sf_dir, "events")
     # one pass over the events collapses to ≤10 (bin, ref_n, cur_n)
@@ -378,7 +389,7 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit (Machanavajjhala et al., ICDE 2006) over the
     same quasi-identifier pair as ``privacy_k_anonymity`` (lang,
     source): a class is releasable only if its SENSITIVE attribute
-    (content-size band, ``n_chars DIV 100``) takes ≥ l = {l} distinct
+    (content-size band, ``n_chars DIV 100``) takes ≥ l = 3 distinct
     values — k-anonymity alone cannot stop a homogeneity attack where
     every member of a class shares the sensitive value.
 
@@ -386,7 +397,7 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) — Spark plans this as the standard two-phase
     expand/re-agg, map-side combinable; the class table is orders of
     magnitude smaller than the corpus, same as the k-anonymity twin.
-    """.format(l=_LDIV_L)
+    """
     docs = _t(spark, sf_dir, "documents")
     classes = docs.groupBy("lang", "source").agg(
         F.count("*").cast("bigint").alias("class_size"),

@@ -372,11 +372,18 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     ]
     ingest_retries_used = [0]
 
-    def _ingest_leg(measure, before: float):
+    ingest_retries_gave_up_loaded = [0]
+
+    def _ingest_leg(measure):
         """Run `measure()` (returns a comparable tuple/float) inside a
         pin-bracketed window, retrying in the next window while the
-        bracket says loaded and budget remains.  Returns
+        bracket says loaded and budget remains.  The `before` pin is
+        sampled HERE, immediately before the measurement — a pin taken
+        earlier (before multi-second fixture builds/warm-ups) can be
+        stale-quiet and let a loaded window pass the quiet test with
+        an out-of-window normalization pin.  Returns
         (winning_measurement, winning_window_pin, last_after_pin)."""
+        before = pin_sample()
         windows = []
         while True:
             m = measure()
@@ -385,6 +392,9 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
             if min(before, after) <= min(pin_samples) * 1.15:
                 break
             if ingest_retry_budget[0] <= 0:
+                # gave up while the window was STILL loaded — the
+                # meaning `retries_exhausted` carries on the query side
+                ingest_retries_gave_up_loaded[0] += 1
                 break
             ingest_retry_budget[0] -= 1
             ingest_retries_used[0] += 1
@@ -392,19 +402,28 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
         best_m, best_pin = min(windows)
         return best_m, best_pin, after
 
-    def _tar_measure() -> float:
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.time()
-            run_noop(
-                entries_pipeline(spark, paths, ConvertOptions(threads=cpus))
-            )
-            best = min(best, time.time() - t0)
-        return best
+    def _throughput_measure(leg_paths, n: int = 5):
+        """Best-of-n wall seconds for one full entries_pipeline run
+        over `leg_paths` — the shared measurement closure of the tar
+        and WARC legs (kept single-sourced so a protocol change cannot
+        skew their comparison)."""
 
-    pin_before_tar = pin_sample()
+        def measure() -> float:
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.time()
+                run_noop(
+                    entries_pipeline(
+                        spark, leg_paths, ConvertOptions(threads=cpus)
+                    )
+                )
+                best = min(best, time.time() - t0)
+            return best
+
+        return measure
+
     ingest_sec, ingest_pin, prev_after = _ingest_leg(
-        _tar_measure, pin_before_tar
+        _throughput_measure(paths)
     )
     ingest = {
         "sec": round(ingest_sec, 3),
@@ -452,9 +471,8 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
         pruned = _best_of(3, pruned_opts)
         return (pruned, full)
 
-    pin_before_pruned = pin_sample()
     (pruned_sec, big_full_sec), pruned_pin, prev_after = _ingest_leg(
-        _pruned_measure, min(prev_after, pin_before_pruned)
+        _pruned_measure
     )
     ingest_pruned = {
         "sec": round(pruned_sec, 3),
@@ -473,21 +491,8 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     warc_paths, warc_bytes = _warc_fixture("/tmp/a2p_bench_fixtures")
     run_noop(entries_pipeline(spark, warc_paths, ConvertOptions(threads=cpus)))
 
-    def _warc_measure() -> float:
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.time()
-            run_noop(
-                entries_pipeline(
-                    spark, warc_paths, ConvertOptions(threads=cpus)
-                )
-            )
-            best = min(best, time.time() - t0)
-        return best
-
-    pin_between = pin_sample()
     warc_sec, warc_pin, pin_after_warc = _ingest_leg(
-        _warc_measure, min(prev_after, pin_between)
+        _throughput_measure(warc_paths)
     )
     ingest_warc = {
         "sec": round(warc_sec, 3),
@@ -642,7 +647,9 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     pin_stats["query_retries_used"] = budget_granted - retry_budget
     pin_stats["retries_spent"] = pin_stats["query_retries_used"]
     pin_stats["ingest_retries_used"] = ingest_retries_used[0]
-    pin_stats["ingest_retries_exhausted"] = int(ingest_retry_budget[0] == 0)
+    # legs that gave up while STILL loaded (same semantics as the
+    # query-side retries_exhausted), not merely "budget hit zero"
+    pin_stats["ingest_retries_exhausted"] = ingest_retries_gave_up_loaded[0]
     pin_stats["retry_budget_effective"] = budget_granted
     pin_stats["retries_exhausted"] = retries_exhausted
     pin_stats["host_loaded"] = pin_stats["inflation_median_pct"] > 15.0

@@ -14,7 +14,6 @@ semantics.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import functions as F
 
