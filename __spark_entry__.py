@@ -27,8 +27,9 @@ defaults):
    streaming rows via ``toLocalIterator`` with an early stop at
    ``_TRACE_ROW_BUDGET`` rows so a per-row-output entry can't OOM the
    driver; over-budget entries record a skip marker instead of rows.
-   Stale traces from earlier rounds are pruned when ``queries()`` is
-   first called.  Set ``SPARK_GRAFT_TRACE=0`` to disable entirely.
+   Traces for entries no longer in the catalog are pruned when
+   ``queries()`` is first called; traces for live entries persist until
+   their entry is rerun.  Set ``SPARK_GRAFT_TRACE=0`` to disable.
 """
 
 from __future__ import annotations
@@ -201,14 +202,19 @@ _TRACES_PRUNED: list[bool] = []
 
 
 def _prune_stale_traces() -> None:
-    """One-shot per process: DRIVER_TRACE/ holds only the current
-    round's traces (tools/diff_trace.py documents the retention)."""
+    """One-shot per process: drop only traces whose entry no longer
+    exists in the catalog (removed/renamed queries).  Traces for live
+    entries are left intact — each run overwrites its own per-entry
+    file — so a partial driver run or an ad-hoc smoke can never delete
+    the committed full-catalog trace set (a round-9 driver run wiped
+    157 of 207 committed traces under the old prune-everything rule)."""
     if _TRACES_PRUNED or os.environ.get("SPARK_GRAFT_TRACE", "1") == "0":
         return
     _TRACES_PRUNED.append(True)
+    live = {f"{name}.json" for name in _catalog.queries()}
     if os.path.isdir(_TRACE_DIR):
         for f in os.listdir(_TRACE_DIR):
-            if f.endswith(".json"):
+            if f.endswith(".json") and f not in live:
                 try:
                     os.unlink(os.path.join(_TRACE_DIR, f))
                 except OSError:

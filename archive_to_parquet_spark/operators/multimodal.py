@@ -40,6 +40,7 @@ Decode tiers (no image/audio libs exist in this container):
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from collections.abc import Iterator
 
@@ -211,7 +212,11 @@ def _f80(b: bytes) -> float:
         return 0.0
     if e == 0x7FFF or e - 16446 > 960:  # inf/NaN or beyond double range
         return 0.0
-    return sign * m * 2.0 ** (e - 16383 - 63)
+    # e-16446 == 960 with a mantissa that rounds up to 2^64 as a double
+    # still overflows (2^64 * 2^960 = 2^1024) — reject any non-finite
+    # result rather than trusting the exponent bound alone.
+    val = sign * m * 2.0 ** (e - 16383 - 63)
+    return val if math.isfinite(val) else 0.0
 
 
 def parse_aiff_header(data: bytes) -> tuple[int, int, float] | None:

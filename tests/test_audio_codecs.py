@@ -372,3 +372,30 @@ def test_aiff_header_tier_extended_float_rates():
     ima = _make_aiff(8000, sig, aifc_compression=b"ima4")
     assert decode_pcm(ima) is None
     assert parse_aiff_header(ima)[0] == 8000
+
+
+def test_aiff_f80_overflow_edge_degrades_to_none():
+    # e - 16446 == 960 passes an exponent-only bound, but a mantissa
+    # within 2^10 of 2^64 rounds to 2^64 as a double, so the product
+    # overflows to inf; the contract is None-path, never OverflowError.
+    from archive_to_parquet_spark.operators.multimodal import (
+        _f80,
+        parse_aiff_header,
+    )
+
+    evil_rate = struct.pack(">H", 16446 + 960) + b"\xff" * 8
+    assert _f80(evil_rate) == 0.0
+    comm = (
+        b"COMM"
+        + struct.pack(">I", 18)
+        + struct.pack(">HIH", 1, 100, 16)
+        + evil_rate
+    )
+    body = b"AIFF" + comm
+    hdr = b"FORM" + struct.pack(">I", len(body)) + body
+    assert len(hdr) == 38
+    assert parse_aiff_header(hdr) is None  # must not raise
+    # largest finite edge still decodes: exponent 960+16445, mantissa
+    # just under the rounding boundary stays finite
+    big = struct.pack(">H", 16446 + 959) + b"\xff" * 8
+    assert _f80(big) > 0.0 and _f80(big) != float("inf")

@@ -277,18 +277,22 @@ def test_driver_conf_restore_and_trace_budget(spark, tmp_path, monkeypatch):
 
 def test_queries_prunes_stale_traces(tmp_path, monkeypatch):
     """DRIVER_TRACE retention: the first queries() call of a process
-    clears old trace files (one round's traces on disk, ever)."""
+    deletes only traces for entries that left the catalog; traces for
+    live entries persist (a partial driver run or ad-hoc smoke must
+    never wipe the committed full-catalog trace set — r9 lesson)."""
     import __spark_entry__ as mod
 
     trace_dir = tmp_path / "old_traces"
     trace_dir.mkdir()
     (trace_dir / "stale_entry.json").write_text("{}")
+    (trace_dir / "q1_projection_hash.json").write_text("{}")  # live
     monkeypatch.setattr(mod, "_TRACE_DIR", str(trace_dir))
     monkeypatch.setattr(mod, "_TRACES_PRUNED", [])
     monkeypatch.delenv("SPARK_GRAFT_TRACE", raising=False)
     mod.queries()
-    assert not list(trace_dir.glob("*.json"))
-    # second call is a no-op (does not delete the current round's files)
+    assert not (trace_dir / "stale_entry.json").exists()
+    assert (trace_dir / "q1_projection_hash.json").exists()
+    # second call is a no-op (does not delete newly written files)
     (trace_dir / "fresh_entry.json").write_text("{}")
     mod.queries()
     assert (trace_dir / "fresh_entry.json").exists()

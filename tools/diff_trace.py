@@ -8,11 +8,12 @@ leaving it to guesswork.
 
 Usage: python tools/diff_trace.py <name> [sf_dir]
 
-Retention: DRIVER_TRACE/ holds exactly one round's traces —
-``__spark_entry__.queries()`` prunes every existing ``*.json`` the
-first time it is called in a process, so whatever run touched the
-contract last (the official driver round, or a local
-``tools/check_correctness.py`` sweep) owns the directory's contents.
+Retention: DRIVER_TRACE/ holds one trace per live catalog entry —
+``__spark_entry__.queries()`` prunes only ``*.json`` files whose entry
+no longer exists in the catalog, and each run overwrites the per-entry
+files it actually executes, so a partial run (the 50-entry driver
+window, or an ad-hoc smoke) refreshes its own traces without deleting
+the rest of the committed full-catalog set.
 Per-entry traces store at most 1000 rows, and entries whose result
 exceeds the 20,000-row pull budget record a skip marker instead of
 rows, so the artifact dir stays bounded (~a few MB) round over round.
