@@ -288,10 +288,24 @@ def parse_flac_header(data: bytes) -> tuple[int, int, float] | None:
     return rate, total, total / rate
 
 
+# MPEG Layer III samples per frame by version bits (MPEG1: 1152,
+# MPEG2/2.5: 576 — ISO/IEC 11172-3 / 13818-3)
+_MP3_SPF = {3: 1152, 2: 576, 0: 576}
+
+
 def parse_mp3_header(data: bytes) -> tuple[int, int, float] | None:
-    """(sample_rate, est_n_samples, est_duration_s) from the first MPEG
-    Layer III frame header (skipping any leading ID3v2 tag). Duration is
-    the CBR estimate: remaining bytes / byte rate."""
+    """(sample_rate, n_samples, duration_s) from an MPEG Layer III
+    stream (skipping any leading ID3v2 tag) — header tier only, NO PCM
+    claim (the reference treats media as opaque bytes — this metadata
+    tier goes beyond it; the PCM codec stub stands).
+
+    Duration sources, strongest first: a Xing/Info VBR header (frame
+    count at 4 + side-info bytes past the first frame header — 17/32
+    for MPEG1 mono/other, 9/17 for MPEG2/2.5) or a Fraunhofer VBRI
+    header (fixed 32-byte offset, frame count at tag+14) give the
+    EXACT total ``frames × samples_per_frame``; without either the
+    CBR estimate ``remaining bytes / byte rate`` is returned.
+    Malformed bytes degrade to None, never raise."""
     d = data or b""
     start = 0
     if d[:3] == b"ID3" and len(d) >= 10:
@@ -308,6 +322,29 @@ def parse_mp3_header(data: bytes) -> tuple[int, int, float] | None:
             rate_idx = (d[i + 2] >> 2) & 0x3
             if version != 1 and layer == 1 and rate_idx != 3 and 0 < bitrate_idx < 15:
                 rate = _MP3_RATES[version][rate_idx]
+                spf = _MP3_SPF[version]
+                # Xing/Info: first-frame offset = header + side info,
+                # whose size depends on version and channel mode
+                mode = (d[i + 3] >> 6) & 0x3  # 3 = mono
+                if version == 3:
+                    side = 17 if mode == 3 else 32
+                else:
+                    side = 9 if mode == 3 else 17
+                x = i + 4 + side
+                if d[x : x + 4] in (b"Xing", b"Info") and len(d) >= x + 12:
+                    flags = int.from_bytes(d[x + 4 : x + 8], "big")
+                    frames = int.from_bytes(d[x + 8 : x + 12], "big")
+                    if flags & 0x1 and frames > 0:
+                        n = frames * spf
+                        return rate, n, n / rate
+                # VBRI (Fraunhofer): fixed 32 bytes past the header;
+                # u16 version/delay/quality, u32 bytes, u32 frames
+                v = i + 4 + 32
+                if d[v : v + 4] == b"VBRI" and len(d) >= v + 18:
+                    frames = int.from_bytes(d[v + 14 : v + 18], "big")
+                    if frames > 0:
+                        n = frames * spf
+                        return rate, n, n / rate
                 table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
                 kbps = table[bitrate_idx]
                 duration = (len(d) - i) * 8.0 / (kbps * 1000)

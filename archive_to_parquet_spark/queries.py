@@ -3936,22 +3936,23 @@ _CATALOG["eval_mrr_bm25"] = (
 
 # Static, hand-maintained coverage schedule.  The external correctness
 # gate samples exactly the first 50 ``queries()`` entries per run, so a
-# 200+-entry catalog needs a deliberate front-of-list.  Round-9
-# rotation (per VERDICT r8): slots 1-2 are the two r8 driver-RED
-# entries (maintenance_compaction_plan, dedup_suffix_lcp), rewritten
-# this round to be engine-version-invariant (integer division, ASCII-
-# first normalization, lambda-free oracle, BIGINT casts) — a green
-# driver row on these is the round's top deliverable.  Slots 3-8 are
-# the entries whose plans or numeric paths changed this round and must
-# re-certify (r6 precedent): eval_ab_welch_ttest +
-# sample_stratified_neyman (second moments now decimal(38,0)/HUGEINT),
-# cluster_dbscan_lsh + cluster_dbscan + dedup_near_clusters +
-# split_leakage_safe (connected-components / dbscan checkpoint-
-# partitioned rework, 28-29 -> 15-18 pinned shuffles).  Slots 9-37
-# take the ENTIRE 29-entry r4-stale cohort flagged by VERDICT r8
-# item #2, in alphabetical order (deterministic tie-break) — after
-# this window no catalog entry's latest driver row predates r5.
-# Slots 38-42 are the round-9 additions (never driver-sampled).
+# 200+-entry catalog needs a deliberate front-of-list.  Round-10
+# rotation (per VERDICT r9 ask #2): slots 1-5 are the carried
+# certification queue — search_bm25 + search_hybrid_rrf (plans changed
+# in r9: inverted index staged once on doc_id), stream_psi_drift +
+# eval_mrr_bm25 (the only two entries with no driver row ever), and
+# multimodal_header_decode (gained AIFF/.au legs in r9 and the
+# MP3-header/Xing leg this round after its r8 certification).
+# Slots 6-42 take 37 of the 41-entry r5-stale cohort (alphabetical);
+# the 4 that did not fit spill to the round-11 rotation, chosen as the
+# closest TWINS of entries already in this window so the displaced
+# risk is minimal: q2b_utf8_binary (same filter as spine
+# q2_include_text on real binary), q4b_distinct_hash_count (count form
+# of spine q4_dedup_hash_groups), rel_pricing_summary (same
+# aggregation as tpch_q01_pricing_summary, slot 40), and
+# rel_trailing_window_avg (window-frame battery twin of
+# rel_window_funcs_panel, slot 28).  After this window those 4 are the
+# ONLY catalog entries whose latest driver row is r5.
 # Slots 43-50 are the permanent reference-parity spine required in
 # EVERY window.  This list is a plain literal on purpose: the ordering
 # must be deterministic and independent of any files on disk (a
@@ -3961,52 +3962,50 @@ _CATALOG["eval_mrr_bm25"] = (
 # `tools/check_correctness.py` always runs ALL entries regardless of
 # order.
 _SCHEDULE_FRONT: tuple[str, ...] = (
-    # -- slots 1-2: the r8 driver-RED entries, made version-invariant
-    "maintenance_compaction_plan",
-    "dedup_suffix_lcp",
-    # -- slots 3-8: plans/numerics changed this round -- re-certify
-    "eval_ab_welch_ttest",
-    "sample_stratified_neyman",
-    "cluster_dbscan_lsh",
-    "cluster_dbscan",
-    "dedup_near_clusters",
-    "split_leakage_safe",
-    # -- slots 9-37: the full r4-stale cohort (alphabetical)
-    "eval_calibration_bins",
-    "eval_ndcg_bm25",
-    "graph_pagerank",
-    "graph_triangles",
-    "maintenance_profile_table",
-    "maintenance_snapshot_diff",
-    "maintenance_upsert",
-    "maintenance_zorder_stats",
-    "mine_hard_negatives",
-    "multimodal_phash_dedup",
-    "parse_quarantine",
-    "privacy_k_anonymity",
-    "rel_bucketed_join",
-    "rel_salted_hot_join",
-    "rel_skew_isolated_join",
-    "search_index_probe",
-    "sketch_countmin",
-    "sketch_heavy_hitters",
-    "sketch_mergeable_hll",
-    "source_csv_roundtrip",
-    "source_dpp_join",
-    "source_orc_roundtrip",
-    "source_partitioned_pruning",
-    "source_schema_evolution",
-    "stream_parse_quarantine",
-    "stream_stateful_user_stats",
-    "text_html_extract",
-    "tokenize_bpe_encode",
-    "train_logreg_quality",
-    # -- slots 38-42: new in round 9 (never driver-sampled)
-    "eval_auc_quality",
-    "eval_psi_drift",
-    "maintenance_vacuum_plan",
-    "privacy_l_diversity",
-    "mix_temperature_sampling",
+    # -- slots 1-5: the carried certification queue (r9 verdict #2)
+    "search_bm25",
+    "search_hybrid_rrf",
+    "stream_psi_drift",
+    "eval_mrr_bm25",
+    "multimodal_header_decode",
+    # -- slots 6-42: 37 of the 41-entry r5-stale cohort (alphabetical)
+    "audit_benford_prices",
+    "chunk_documents",
+    "crawl_warc_to_documents",
+    "curation_domain_cap",
+    "dedup_cdc_chunks",
+    "dedup_cdc_gear",
+    "dedup_substring_exact",
+    "dsir_importance_weights",
+    "mixture_sample_epoch",
+    "multimodal_profile",
+    "multimodal_resize",
+    "pack_sequences",
+    "rel_datetime_funcs",
+    "rel_decayed_sum",
+    "rel_gapfill_hourly",
+    "rel_lateral_topk",
+    "rel_rank_functions",
+    "rel_scd2_intervals",
+    "rel_session_window_native",
+    "rel_sql_udf_priceband",
+    "rel_unpivot_part_metrics",
+    "rel_variant_json",
+    "rel_window_funcs_panel",
+    "sample_fixed_per_lang",
+    "sketch_hdr_quantiles",
+    "sketch_kmv_overlap",
+    "source_incremental_convert",
+    "stream_archive_ingest",
+    "stream_events_hourly",
+    "stream_neardup_incremental",
+    "text_boilerplate_removal",
+    "text_lm_perplexity",
+    "text_readability",
+    "text_tfidf_terms",
+    "tpch_q01_pricing_summary",
+    "tpch_q12_priority_split",
+    "vocab_coverage",
     # -- slots 43-50: permanent reference-parity spine (every round)
     "q1_projection_hash",
     "q2_include_text",
@@ -4016,19 +4015,6 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "q6_union_group",
     "source_nested_walk",
     "source_url_ingest",
-    # -- slots 51-54 (outside the sampled window): search_bm25 and
-    # search_hybrid_rrf also changed plans this round (inverted index
-    # staged once on doc_id), but the window is full with the r4
-    # cohort; both are value-identical, green in the committed local
-    # sweeps at two scale factors + hostile-7, and search_bm25's new
-    # construction is exercised transitively by eval_ndcg_bm25 (in the
-    # window).  stream_psi_drift and eval_mrr_bm25 are the round-9
-    # second-leg additions (local-certified at sf0.001/0.01/0.1 +
-    # hostile-7).  All four lead the round-10 rotation.
-    "search_bm25",
-    "search_hybrid_rrf",
-    "stream_psi_drift",
-    "eval_mrr_bm25",
 )
 
 

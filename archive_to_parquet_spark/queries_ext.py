@@ -1231,8 +1231,10 @@ def _be2(col):
 
 def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL multimodal decode path, driver-checked: valid PNG, WAV,
-    Ogg/Vorbis, Ogg/Opus, MP4/M4A audio, ADTS/AAC, AIFF, Sun/NeXT .au
-    and Matroska/WebM
+    Ogg/Vorbis, Ogg/Opus, MP4/M4A audio, ADTS/AAC, AIFF, Sun/NeXT .au,
+    MP3-with-Xing (round 10: exact frames×1152 duration from the VBR
+    header — the header tier the r8 stretch asked for, still no PCM
+    claim) and Matroska/WebM
     bytes are constructed JVM-side with
     closed-form geometry (width/height/sample-rate/duration derived
     from doc_id), pushed through the Arrow ``mapInPandas`` decoders in
@@ -1449,6 +1451,23 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _be4(au_rate),
         _be4(F.lit(1)),                           # channels
     )
+    # MP3 with a Xing VBR header (round 10): MPEG1 Layer III mono
+    # frame header (0xFFFB, bitrate idx 9, rate idx doc_id%3 →
+    # 44100/48000/32000), 17 zero side-info bytes, then
+    # Xing + flags(frames) + frame count — the EXACT-duration tier
+    # (frames × 1152 samples), no PCM claim.  Rates are tie-free under
+    # round(d, 6): n_samples = 1152·frames is divisible by 4 and 6, so
+    # the ·10^6/32000 and /48000 half-tie residues (s≡2 mod 4, s≡3
+    # mod 6) are unreachable, and s·10^6 ≡ 22050 (mod 44100) has no
+    # solution (gcd 100 ∤ 22050).
+    mp3_rate_idx = (F.col("doc_id") % 3).cast("long")
+    mp3_frames = (F.col("doc_id") % 2000 + 50).cast("long")
+    mp3 = F.concat(
+        F.unhex(F.lit("FFFB")),
+        F.unhex(F.lpad(F.hex(F.lit(0x90) + mp3_rate_idx * 4), 2, "0")),
+        F.unhex(F.lit("C0" + "00" * 17 + "58696E67" + "00000001")),
+        _be4(mp3_frames),
+    )
     media = (
         docs.select(
             "doc_id",
@@ -1460,6 +1479,7 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             webm.alias("webm"),
             aiff.alias("aiff"),
             au.alias("au"),
+            mp3.alias("mp3"),
             adts_frame_hex.alias("_adts_frame_hex"),
             n_frames.alias("_n_frames"),
         )
@@ -1506,6 +1526,7 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(aud_features("adts", "adts_"), "doc_id")
         .join(aud_features("aiff", "aiff_"), "doc_id")
         .join(aud_features("au", "au_"), "doc_id")
+        .join(aud_features("mp3", "mp3_"), "doc_id")
         .join(vid, "doc_id")
     )
 
@@ -1550,6 +1571,13 @@ SELECT doc_id,
        round((doc_id % 6000 + 600)
                / CAST(8000 + (doc_id % 6) * 1000 AS DOUBLE), 6)
          AS au_duration_s,
+       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+                 WHEN 1 THEN 48000 ELSE 32000 END AS INT) AS mp3_rate,
+       CAST((doc_id % 2000 + 50) * 1152 AS BIGINT) AS mp3_samples,
+       round((doc_id % 2000 + 50) * 1152
+               / CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+                      WHEN 1 THEN 48000 ELSE 32000 END AS DOUBLE), 6)
+         AS mp3_duration_s,
        CAST(doc_id % 640 + 16 AS INT) AS webm_width,
        CAST(doc_id % 480 + 16 AS INT) AS webm_height,
        round((doc_id % 4000 + 500) / 1000.0, 6) AS webm_duration_s

@@ -4,12 +4,14 @@ retention, release compliance, and corpus-mixing entries.
 Same contract as ``queries.py``: each entry pairs an idiomatic-Spark
 query with an ANSI-SQL oracle DuckDB runs over the same parquet views,
 every computed column aliased identically on both sides.  Every
-expression here follows the round-9 version-invariance rules learned
-from the r8 driver divergence: integer arithmetic (DIV/``//``) instead
-of float-division+floor, explicit BIGINT casts wherever DuckDB would
+expression here follows the version-invariance rules learned from the
+r8 driver divergence — integer arithmetic (DIV/``//``) instead of
+float-division+floor, explicit BIGINT casts wherever DuckDB would
 promote SUM to HUGEINT, decimal(38,0)/HUGEINT second-moment
 accumulation, no DuckDB lambda syntax, and doubles only in fixed
-scalar expression trees over identical integers (rounded 6dp).
+scalar expression trees over identical integers (rounded 6dp).  The
+full checklist now lives in ``ORACLE_RULES.md`` at the repo root —
+review every new or edited entry against it.
 
 - ``eval_auc_quality`` — exact ROC-AUC (Mann-Whitney U with tie
   correction) of a document-length signal as a predictor of the

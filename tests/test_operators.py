@@ -612,6 +612,45 @@ def test_flac_mp3_header_decoders():
     assert parse_mp3_header(b"\x00" * 100) is None
 
 
+def test_mp3_xing_and_vbri_exact_duration():
+    from archive_to_parquet_spark.operators.multimodal import (
+        parse_mp3_header,
+    )
+
+    # Xing, MPEG1 mono (side info 17): exact frames × 1152
+    hdr_mono = bytes([0xFF, 0xFB, 0x94, 0xC0])  # 48000 Hz, mode 3
+    xing = hdr_mono + b"\x00" * 17 + b"Xing" + b"\x00\x00\x00\x01" + (300).to_bytes(4, "big")
+    rate, n, dur = parse_mp3_header(xing)
+    assert (rate, n) == (48000, 300 * 1152)
+    assert abs(dur - 300 * 1152 / 48000) < 1e-12
+    # "Info" tag (LAME CBR) carries the same frame-count layout
+    info = xing.replace(b"Xing", b"Info")
+    assert parse_mp3_header(info)[1] == 300 * 1152
+    # Xing, MPEG1 stereo (side info 32), behind an ID3v2 tag
+    hdr_st = bytes([0xFF, 0xFB, 0x90, 0x00])  # 44100 Hz, stereo
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    xing_st = id3 + hdr_st + b"\x00" * 32 + b"Xing" + b"\x00\x00\x00\x01" + (77).to_bytes(4, "big")
+    assert parse_mp3_header(xing_st) == (44100, 77 * 1152, 77 * 1152 / 44100)
+    # frames flag clear -> frame count ignored, CBR estimate instead
+    noflag = hdr_mono + b"\x00" * 17 + b"Xing" + b"\x00\x00\x00\x00" + (300).to_bytes(4, "big")
+    assert parse_mp3_header(noflag)[1] != 300 * 1152
+    # VBRI (fixed 32-byte offset): frames at tag+14
+    vbri = (
+        hdr_st + b"\x00" * 32 + b"VBRI"
+        + (1).to_bytes(2, "big") + b"\x00\x00" + b"\x00\x00"   # ver/delay/quality
+        + (99999).to_bytes(4, "big") + (123).to_bytes(4, "big")  # bytes, frames
+    )
+    assert parse_mp3_header(vbri) == (44100, 123 * 1152, 123 * 1152 / 44100)
+    # MPEG2 (576 samples/frame), mono side info 9
+    hdr_v2 = bytes([0xFF, 0xF3, 0x94, 0xC0])  # MPEG2, 24000 Hz
+    x2 = hdr_v2 + b"\x00" * 9 + b"Xing" + b"\x00\x00\x00\x01" + (40).to_bytes(4, "big")
+    assert parse_mp3_header(x2) == (24000, 40 * 576, 40 * 576 / 24000)
+    # truncated Xing payload degrades to the CBR estimate, never raises
+    trunc = (hdr_mono + b"\x00" * 17 + b"Xing" + b"\x00\x00\x00\x01")[:30]
+    out = parse_mp3_header(trunc)
+    assert out is not None and out[0] == 48000
+
+
 def _make_adts(rate_idx=4, n_frames=4, rdb=0, with_crc=False):
     """Header-only ADTS/AAC frames (ISO 13818-7 §6.2): AAC LC, mono,
     fullness 0x7FF, ``rdb`` extra raw-data-blocks per frame."""
