@@ -568,8 +568,16 @@ def connected_components(
     duplicate, and min-aggregation is multiplicity-insensitive — the
     distinct bought nothing but its shuffle.)
 
+    Local-tax control (r9 verdict ask #3): the convergence probe rides
+    each round's checkpoint materialization job as an ``Observation``
+    metric instead of a separate filter+count action, halving the
+    loop's job count — same plan shapes, same pinned exchanges, half
+    the AQE-less stage launches.
+
     Raises RuntimeError if not converged within max_iterations.
     """
+    from pyspark.sql import Observation
+
     from archive_to_parquet_spark.plans.checkpoint import (
         checkpoint_keeping_partitioning,
         checkpoint_partitioned,
@@ -597,22 +605,29 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        obs = Observation()
         updated = checkpoint_keeping_partitioning(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
                 (
                     F.coalesce(F.col("nbr_min"), F.col("component"))
                     < F.col("component")
                 ).alias("changed"),
             )
+            .observe(
+                obs,
+                F.sum(F.col("changed").cast("long")).alias("n_changed"),
+            )
         )
-        n_changed = updated.filter(F.col("changed")).count()
+        # harvested from the checkpoint's own job; None ⇔ zero rows
+        n_changed = obs.get["n_changed"]
         labels = updated.drop("changed")
-        if n_changed == 0:
+        if not n_changed:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"

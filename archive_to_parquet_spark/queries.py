@@ -3952,7 +3952,10 @@ _CATALOG["eval_mrr_bm25"] = (
 # aggregation as tpch_q01_pricing_summary, slot 40), and
 # rel_trailing_window_avg (window-frame battery twin of
 # rel_window_funcs_panel, slot 28).  After this window those 4 are the
-# ONLY catalog entries whose latest driver row is r5.
+# ONLY catalog entries whose latest driver row is r5; they lead the
+# round-11 rotation together with the round-10 addition
+# dedup_suffix_lcp_bucketed (local-certified at three scale factors +
+# hostile-7, not yet driver-sampled).
 # Slots 43-50 are the permanent reference-parity spine required in
 # EVERY window.  This list is a plain literal on purpose: the ordering
 # must be deterministic and independent of any files on disk (a

@@ -46,6 +46,11 @@ every computed column aliased identically on both sides.
   sampling (budget ∝ N_h·σ_h, σ from exact integer moments), drawn by
   md5 priority per stratum — the minimum-variance mean-estimation
   design as a one-shuffle Spark plan.
+- ``dedup_suffix_lcp_bucketed`` (round 10) — the suffix family's
+  bucketed incremental twin: a persisted suffix index bucketed on the
+  25-char prefix (lossless for the ≥25 LCP threshold) + an anti-join
+  delta probe grouped by the bucket key, pinned at ZERO shuffle
+  Exchanges like the other bucketed families.
 """
 
 from __future__ import annotations
@@ -541,6 +546,40 @@ _SFX_SCAN_CAP = 10_000  # chars of normalized text scanned per document
 # correlated/subquery bounds — without any data-dependent divergence)
 
 
+def _suffix_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, suffix, pfx) word-start suffix rows over the
+    ASCII-normalized, scan-capped text — the shared builder of
+    ``dedup_suffix_lcp`` and its bucketed incremental twin (the two
+    entries must agree on the suffix universe or the index misses
+    exactly the rows the batch probes)."""
+    norm = F.substring(
+        F.trim(F.lower(F.regexp_replace("text", "[^A-Za-z0-9]+", " "))),
+        1,
+        _SFX_SCAN_CAP,
+    )
+    starts = F.filter(
+        F.sequence(F.lit(1), F.length("norm")),
+        lambda p: (F.substr(F.col("norm"), p, F.lit(1)) != F.lit(" "))
+        & (
+            (p == F.lit(1))
+            | (F.substr(F.col("norm"), p - 1, F.lit(1)) == F.lit(" "))
+        ),
+    )
+    return (
+        docs.select("doc_id", norm.alias("norm"))
+        .select("doc_id", "norm", F.explode(starts).alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            F.substr(F.col("norm"), F.col("pos"), F.lit(_SFX_LEN)).alias(
+                "suffix"
+            ),
+        )
+        .filter(F.length("suffix") >= _SFX_MIN)
+        .withColumn("pfx", F.substring("suffix", 1, _SFX_MIN))
+    )
+
+
 def dedup_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-sorting maximal-repeat detection — the distributed form
     of the suffix-array pass in Lee et al. (ACL 2022): every
@@ -578,32 +617,7 @@ def dedup_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``list_filter(.., p -> ..)`` forms, whose ``->`` arrow DuckDB
     deprecated after 1.2)."""
     docs = _t(spark, sf_dir, "documents")
-    norm = F.substring(
-        F.trim(F.lower(F.regexp_replace("text", "[^A-Za-z0-9]+", " "))),
-        1,
-        _SFX_SCAN_CAP,
-    )
-    starts = F.filter(
-        F.sequence(F.lit(1), F.length("norm")),
-        lambda p: (F.substr(F.col("norm"), p, F.lit(1)) != F.lit(" "))
-        & (
-            (p == F.lit(1))
-            | (F.substr(F.col("norm"), p - 1, F.lit(1)) == F.lit(" "))
-        ),
-    )
-    sfx = (
-        docs.select("doc_id", norm.alias("norm"))
-        .select("doc_id", "norm", F.explode(starts).alias("pos"))
-        .select(
-            "doc_id",
-            "pos",
-            F.substr(F.col("norm"), F.col("pos"), F.lit(_SFX_LEN)).alias(
-                "suffix"
-            ),
-        )
-        .filter(F.length("suffix") >= _SFX_MIN)
-        .withColumn("pfx", F.substring("suffix", 1, _SFX_MIN))
-    )
+    sfx = _suffix_rows(docs)
     w = Window.partitionBy("pfx").orderBy("suffix", "doc_id", "pos")
     # prefix equality is monotone, so the count of agreeing prefix
     # lengths IS the LCP — except when the two (truncated) suffixes are
@@ -687,6 +701,119 @@ SELECT doc_id,
 FROM pairs
 WHERE lcp >= {_SFX_MIN}
 GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bucketed suffix index + incremental probe (round 10 — the fourth
+# zero-Exchange bucketed family, after exact dedup, minhash and LSH-ANN)
+# ---------------------------------------------------------------------------
+
+
+def dedup_suffix_lcp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup index MAINTENANCE with a co-bucketed layout —
+    ``dedup_suffix_lcp``'s prefix groups ARE a bucketing key (r9
+    verdict stretch #6): every suffix pair that can clear the ≥25-char
+    repeat threshold shares its 25-char prefix, so a persisted suffix
+    index bucketed on ``pfx`` answers the daily question — which
+    25-char prefix groups are NEW today, i.e. which long substrings
+    appear for the first time — with ZERO shuffle Exchanges, asserted
+    in-query with auto-broadcast disabled (same zero-Exchange contract
+    as ``dedup_minhash_bucketed`` / ``dedup_incremental_bucketed``;
+    reference contract D1 generalized to substring dedup).
+
+    Index = distinct 25-char prefixes of the even-doc_id corpus's
+    word-start suffixes (``_suffix_rows``, shared with the batch
+    entry so both agree on the suffix universe); batch = the odd-doc
+    suffix rows. Both bucketed 8-way on ``pfx``, written once per
+    sf_dir (ensure_bucketed_table): the anti-join rides the bucket
+    spec and the delta aggregation groups BY the bucket key, so a
+    100-TB index never re-shuffles — the probe's cost is the day's
+    batch alone.
+
+    Matching is prefix-EXACT (both engines compare the same ASCII-
+    normalized 25-char strings), so the DuckDB oracle checks every
+    group key exactly — no banding-quality argument needed."""
+    import re
+
+    from archive_to_parquet_spark.plans.bucketing import (
+        _input_fingerprint,
+        ensure_bucketed_table,
+        plan_has_exchange,
+    )
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+
+    suffix = re.sub(r"\W", "_", sf_dir.rstrip("/").split("sf")[-1])
+    ti, tb = f"sfxbk_idx_{suffix}", f"sfxbk_batch_{suffix}"
+    stage = _stage_dir("sfxbucketed", sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    fp = ["sfxbk-v1", _input_fingerprint(f"{sf_dir}/documents.parquet")]
+    ensure_bucketed_table(
+        spark, ti, os.path.join(stage, "idx"), "pfx", 8,
+        lambda: (
+            _suffix_rows(docs.filter(F.col("doc_id") % 2 == 0))
+            .select("pfx")
+            .distinct()  # one row per prefix group; shuffle paid ONCE
+        ),
+        fp,
+    )
+    ensure_bucketed_table(
+        spark, tb, os.path.join(stage, "new"), "pfx", 8,
+        lambda: _suffix_rows(docs.filter(F.col("doc_id") % 2 == 1)).select(
+            "doc_id", "pos", "pfx"
+        ),
+        fp,
+    )
+
+    def probe() -> DataFrame:
+        return (
+            spark.table(tb)
+            .join(spark.table(ti), "pfx", "left_anti")
+            .groupBy("pfx")
+            .agg(
+                F.min("doc_id").alias("first_doc"),
+                F.count("*").alias("n_suffixes"),
+            )
+            .select("pfx", "first_doc", "n_suffixes")
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert not plan_has_exchange(probe()), (
+            "bucketed suffix-index delta gained a shuffle"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return probe()
+
+
+DEDUP_SUFFIX_BUCKETED_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         substr(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))),
+                1, {_SFX_SCAN_CAP}) AS norm
+  FROM documents
+),
+series AS (
+  SELECT g.pos AS pos FROM generate_series(1, {_SFX_SCAN_CAP}) AS g(pos)
+),
+sfx AS (
+  SELECT doc_id, substr(norm, g.pos, {_SFX_MIN}) AS pfx
+  FROM norm, series g
+  WHERE g.pos <= length(norm)
+    AND substr(norm, g.pos, 1) <> ' '
+    AND (g.pos = 1 OR substr(norm, g.pos - 1, 1) = ' ')
+    AND length(substr(norm, g.pos, {_SFX_LEN})) >= {_SFX_MIN}
+),
+idx AS (SELECT DISTINCT pfx FROM sfx WHERE doc_id % 2 = 0),
+batch AS (SELECT doc_id, pfx FROM sfx WHERE doc_id % 2 = 1)
+SELECT b.pfx,
+       CAST(MIN(b.doc_id) AS BIGINT) AS first_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_suffixes
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.pfx = b.pfx)
+GROUP BY 1
 """
 
 
@@ -1182,4 +1309,8 @@ CATALOG = {
         MAINTENANCE_COMPACTION_SQL,
     ),
     "dedup_suffix_lcp": (dedup_suffix_lcp, DEDUP_SUFFIX_LCP_SQL),
+    "dedup_suffix_lcp_bucketed": (
+        dedup_suffix_lcp_bucketed,
+        DEDUP_SUFFIX_BUCKETED_SQL,
+    ),
 }

@@ -26,12 +26,150 @@ from __future__ import annotations
 import io
 import json
 import os
+import signal
 import sys
 import tarfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+
+class _Deadline:
+    """Wall-clock budget for the whole bench process.  BENCH_r09 died
+    rc=124 (the driver's timeout kill) with parsed=null because the
+    harness ran 3 full sweep attempts and only emitted at the very
+    end.  Every section now checks ``hit(cost)`` before starting more
+    work and the process stops MEASURING — and emits what exists —
+    rather than get killed mid-measurement.  ``reserve`` keeps enough
+    headroom to write the artifact and print the summary line."""
+
+    def __init__(self) -> None:
+        self.t0 = time.time()
+        self.budget = float(
+            os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1200")
+        )
+        self.reserve = 30.0
+
+    def elapsed(self) -> float:
+        return time.time() - self.t0
+
+    def left(self) -> float:
+        return self.budget - self.elapsed() - self.reserve
+
+    def hit(self, need: float = 0.0) -> bool:
+        return self.left() < need
+
+
+# Best result observed so far (module-global so the SIGTERM handler
+# can emit it). "full" holds either a completed sweep dict or the
+# running partial checkpoint of the sweep in flight.
+_LATEST: dict = {}
+
+
+def _emit_artifact(full: dict) -> None:
+    """Atomically rewrite BENCH_FULL.json (tmp file + rename) so a kill
+    at ANY moment leaves a parseable artifact holding whatever had
+    completed — never-lossy is the r9 lesson."""
+    tmp = os.path.join(REPO, "BENCH_FULL.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(full, fh, indent=1)
+    os.replace(tmp, os.path.join(REPO, "BENCH_FULL.json"))
+
+
+def _install(cand: dict) -> None:
+    """Record `cand` as the artifact-of-record unless that would
+    regress a COMPLETE result to a partial one (attempt 2's in-flight
+    checkpoints must not clobber attempt 1's finished sweep)."""
+    cur = _LATEST.get("full")
+    if cur is not None and not cur.get("partial") and cand.get("partial"):
+        return
+    _LATEST["full"] = cand
+    _emit_artifact(cand)
+
+
+def _compact(full: dict) -> str:
+    """The ONE stdout JSON line (driver contract), built defensively:
+    a partial result emitted from the SIGTERM handler or a
+    deadline-stopped sweep has only the fields that completed.  The
+    full per-query breakdown lives in BENCH_FULL.json; the line keeps
+    the r1 comparator subset + the 10 most expensive queries so it
+    always fits the 2000-char stdout tail the driver records."""
+    per_query = full.get("queries", {})
+    pin_stats = full.get("pin", {})
+    for n_heavy in (10, 5, 0):
+        heavy = dict(
+            sorted(per_query.items(), key=lambda kv: -kv[1])[:n_heavy]
+        )
+        compact = {
+            "metric": "headline_queries_total",
+            "value": full.get("value"),
+            "unit": "sec",
+            "queries": {
+                **{n: per_query[n] for n in _R1_SUBSET if n in per_query},
+                **heavy,
+            },
+            "n_queries": len(per_query),
+            "r1_subset_total": full.get("r1_subset_total"),
+            "sf": full.get("sf"),
+            "tpch_total": full.get("tpch", {}).get("total"),
+            "ingest_mb_per_s": full.get("ingest", {}).get("mb_per_s"),
+            "ingest_pruned_mb_per_s": full.get("ingest_pruned", {}).get(
+                "mb_per_s"
+            ),
+            "ingest_warc_mb_per_s": full.get("ingest_warc", {}).get(
+                "mb_per_s"
+            ),
+            "pin_best": pin_stats.get("best"),
+            "noisy": pin_stats.get("noisy"),
+            "host_loaded": pin_stats.get("host_loaded"),
+            "entries_quiet_pct": pin_stats.get("entries_quiet_pct"),
+            "retries_spent": pin_stats.get("retries_spent"),
+            "retry_budget_effective": pin_stats.get("retry_budget_effective"),
+            "retries_exhausted": pin_stats.get("retries_exhausted"),
+            "pin_median": pin_stats.get("median"),
+            "pin_inflation_median_pct": pin_stats.get(
+                "inflation_median_pct"
+            ),
+            "value_normalized": full.get("value_normalized"),
+            "r1_subset_total_normalized": full.get(
+                "r1_subset_total_normalized"
+            ),
+            "tpch_total_normalized": full.get("tpch_total_normalized"),
+            "ingest_mb_per_s_normalized": full.get("ingest", {}).get(
+                "mb_per_s_normalized"
+            ),
+            "ingest_warc_mb_per_s_normalized": full.get(
+                "ingest_warc", {}
+            ).get("mb_per_s_normalized"),
+            "detail": "BENCH_FULL.json",
+        }
+        if full.get("partial"):
+            compact["partial"] = True
+        if full.get("deadline"):
+            compact["deadline"] = full["deadline"]
+        if full.get("errors"):
+            compact["n_errors"] = len(full["errors"])
+        line = json.dumps(compact)
+        if len(line) < 1900:
+            return line
+    return line  # n_heavy=0 floor; structurally always small enough
+
+
+def _emit_and_exit(signum, frame) -> None:
+    """SIGTERM/SIGINT handler: the driver's kill must still yield a
+    parsed artifact — print the best result seen so far (flagged
+    partial if a sweep was in flight) and exit 0."""
+    full = _LATEST.get("full")
+    if full is not None:
+        try:
+            _emit_artifact(full)
+        except OSError:
+            pass
+        full.setdefault("deadline", {})["killed_by_signal"] = int(signum)
+        print(_compact(full))
+        sys.stdout.flush()
+    os._exit(0)
 
 # Queries that exercise the distinct physical paths: scan+project+hash,
 # hash agg, big-big join + broadcast dims, window, sessionization,
@@ -145,6 +283,8 @@ HEADLINE = [
     "maintenance_vacuum_plan",
     "privacy_l_diversity",
     "mix_temperature_sampling",
+    # round-10 addition
+    "dedup_suffix_lcp_bucketed",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,
@@ -296,10 +436,46 @@ def _warc_fixture(
 PIN = "tpch_q06_forecast_revenue"
 
 
-def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
+def _sf_of(sf_dir: str):
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf
+
+
+def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
     """One full measurement sweep (ingest sections + query battery +
     pin series). Returns the `full` result dict; the caller decides
-    whether the host was quiet enough to keep it."""
+    whether the host was quiet enough to keep it.  Checkpoints a
+    partial result through `_install` after every section and entry,
+    and stops measuring — returning what exists, flagged partial —
+    when `deadline` runs low."""
+
+    per_query: dict[str, float] = {}
+    tpch: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    sections: dict = {}
+    deadline_info: dict = {"budget_sec": deadline.budget}
+
+    def _checkpoint() -> None:
+        _install(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(per_query.values()), 3),
+                "unit": "sec",
+                "partial": True,
+                "sf": _sf_of(sf_dir),
+                "queries": dict(per_query),
+                "r1_subset_total": round(
+                    sum(per_query[n] for n in _R1_SUBSET if n in per_query),
+                    3,
+                ),
+                "tpch": {"total": round(sum(tpch.values()), 3), **tpch},
+                **sections,
+                "errors": dict(errors),
+                "deadline": dict(
+                    deadline_info, elapsed_sec=round(deadline.elapsed(), 1)
+                ),
+            }
+        )
 
     def run_noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
@@ -391,6 +567,14 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
             windows.append((m, min(before, after)))
             if min(before, after) <= min(pin_samples) * 1.15:
                 break
+            if deadline.hit(30):
+                # out of wall budget: keep the loaded-window number
+                # rather than lose the leg entirely
+                deadline_info["ingest_retries_deadline_skipped"] = (
+                    deadline_info.get("ingest_retries_deadline_skipped", 0)
+                    + 1
+                )
+                break
             if ingest_retry_budget[0] <= 0:
                 # gave up while the window was STILL loaded — the
                 # meaning `retries_exhausted` carries on the query side
@@ -422,16 +606,23 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
 
         return measure
 
-    ingest_sec, ingest_pin, prev_after = _ingest_leg(
-        _throughput_measure(paths)
-    )
-    ingest = {
-        "sec": round(ingest_sec, 3),
-        "bytes": total_bytes,
-        "mb_per_s": round(total_bytes / ingest_sec / 1e6, 1),
-        "entries": _INGEST_MEMBERS * len(paths),
-        "entries_per_s": round(_INGEST_MEMBERS * len(paths) / ingest_sec, 0),
-    }
+    if deadline.hit(60):
+        deadline_info["deadline_hit"] = True
+        ingest = {"skipped": "deadline"}
+        ingest_pin = None
+    else:
+        ingest_sec, ingest_pin, _ = _ingest_leg(_throughput_measure(paths))
+        ingest = {
+            "sec": round(ingest_sec, 3),
+            "bytes": total_bytes,
+            "mb_per_s": round(total_bytes / ingest_sec / 1e6, 1),
+            "entries": _INGEST_MEMBERS * len(paths),
+            "entries_per_s": round(
+                _INGEST_MEMBERS * len(paths) / ingest_sec, 0
+            ),
+        }
+    sections["ingest"] = ingest
+    _checkpoint()
 
     # Column-pruned ingest A/B: columns without `content` make the
     # walker stream-hash without buffering payloads, and the scan
@@ -445,62 +636,81 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     # comparability.  Both arms of the A/B run on the SAME fixture in
     # the same session, best-of-3 (the runs are multi-second, codegen
     # is already warm, and n=3 keeps the section under a minute).
-    big_paths, big_bytes = _ingest_fixture(
-        "/tmp/a2p_bench_fixtures_big", members=4096
-    )
-    pruned_opts = ConvertOptions(
-        threads=cpus, columns=("source", "path", "size", "hash", "format")
-    )
+    if deadline.hit(120):
+        deadline_info["deadline_hit"] = True
+        ingest_pruned = {"skipped": "deadline"}
+        pruned_pin = None
+    else:
+        big_paths, big_bytes = _ingest_fixture(
+            "/tmp/a2p_bench_fixtures_big", members=4096
+        )
+        pruned_opts = ConvertOptions(
+            threads=cpus,
+            columns=("source", "path", "size", "hash", "format"),
+        )
 
-    def _best_of(n: int, opts: ConvertOptions) -> float:
-        best = float("inf")
-        for _ in range(n):
-            t0 = time.time()
-            run_noop(entries_pipeline(spark, big_paths, opts))
-            best = min(best, time.time() - t0)
-        return best
+        def _best_of(n: int, opts: ConvertOptions) -> float:
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.time()
+                run_noop(entries_pipeline(spark, big_paths, opts))
+                best = min(best, time.time() - t0)
+            return best
 
-    run_noop(entries_pipeline(spark, big_paths, ConvertOptions(threads=cpus)))
-    run_noop(entries_pipeline(spark, big_paths, pruned_opts))
+        run_noop(
+            entries_pipeline(spark, big_paths, ConvertOptions(threads=cpus))
+        )
+        run_noop(entries_pipeline(spark, big_paths, pruned_opts))
 
-    def _pruned_measure() -> tuple:
-        # both arms of the A/B in ONE window so the speedup ratio is
-        # apples-to-apples; the pair retries together; sort key is the
-        # pruned arm (the headline number of this section)
-        full = _best_of(3, ConvertOptions(threads=cpus))
-        pruned = _best_of(3, pruned_opts)
-        return (pruned, full)
+        def _pruned_measure() -> tuple:
+            # both arms of the A/B in ONE window so the speedup ratio
+            # is apples-to-apples; the pair retries together; sort key
+            # is the pruned arm (the headline number of this section)
+            full = _best_of(3, ConvertOptions(threads=cpus))
+            pruned = _best_of(3, pruned_opts)
+            return (pruned, full)
 
-    (pruned_sec, big_full_sec), pruned_pin, prev_after = _ingest_leg(
-        _pruned_measure
-    )
-    ingest_pruned = {
-        "sec": round(pruned_sec, 3),
-        "bytes": big_bytes,
-        "mb_per_s": round(big_bytes / pruned_sec / 1e6, 1),
-        "entries": 4096 * len(big_paths),
-        "entries_per_s": round(4096 * len(big_paths) / pruned_sec, 0),
-        "columns": "source,path,size,hash,format",
-        "full_content_sec": round(big_full_sec, 3),
-        "full_content_mb_per_s": round(big_bytes / big_full_sec / 1e6, 1),
-        "speedup_vs_full": round(big_full_sec / pruned_sec, 2),
-    }
+        (pruned_sec, big_full_sec), pruned_pin, _ = _ingest_leg(
+            _pruned_measure
+        )
+        ingest_pruned = {
+            "sec": round(pruned_sec, 3),
+            "bytes": big_bytes,
+            "mb_per_s": round(big_bytes / pruned_sec / 1e6, 1),
+            "entries": 4096 * len(big_paths),
+            "entries_per_s": round(4096 * len(big_paths) / pruned_sec, 0),
+            "columns": "source,path,size,hash,format",
+            "full_content_sec": round(big_full_sec, 3),
+            "full_content_mb_per_s": round(big_bytes / big_full_sec / 1e6, 1),
+            "speedup_vs_full": round(big_full_sec / pruned_sec, 2),
+        }
+    sections["ingest_pruned"] = ingest_pruned
+    _checkpoint()
 
     # WARC ingest: same payload bytes via per-record-gzip .warc.gz (the
     # Common Crawl layout) — MB/s is payload bytes, comparable with tar
-    warc_paths, warc_bytes = _warc_fixture("/tmp/a2p_bench_fixtures")
-    run_noop(entries_pipeline(spark, warc_paths, ConvertOptions(threads=cpus)))
+    if deadline.hit(60):
+        deadline_info["deadline_hit"] = True
+        ingest_warc = {"skipped": "deadline"}
+        warc_pin = None
+    else:
+        warc_paths, warc_bytes = _warc_fixture("/tmp/a2p_bench_fixtures")
+        run_noop(
+            entries_pipeline(spark, warc_paths, ConvertOptions(threads=cpus))
+        )
 
-    warc_sec, warc_pin, pin_after_warc = _ingest_leg(
-        _throughput_measure(warc_paths)
-    )
-    ingest_warc = {
-        "sec": round(warc_sec, 3),
-        "bytes": warc_bytes,
-        "mb_per_s": round(warc_bytes / warc_sec / 1e6, 1),
-        "entries": _INGEST_MEMBERS * len(warc_paths),
-        "entries_per_s": round(_INGEST_MEMBERS * len(warc_paths) / warc_sec, 0),
-    }
+        warc_sec, warc_pin, _ = _ingest_leg(_throughput_measure(warc_paths))
+        ingest_warc = {
+            "sec": round(warc_sec, 3),
+            "bytes": warc_bytes,
+            "mb_per_s": round(warc_bytes / warc_sec / 1e6, 1),
+            "entries": _INGEST_MEMBERS * len(warc_paths),
+            "entries_per_s": round(
+                _INGEST_MEMBERS * len(warc_paths) / warc_sec, 0
+            ),
+        }
+    sections["ingest_warc"] = ingest_warc
+    _checkpoint()
 
     # best of 5 everywhere (r4 verdict ask #2): the first run includes
     # whole-stage-codegen compilation for every new operator shape; at
@@ -510,10 +720,9 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
     # entries; an entry is normalized by the MIN of its two surrounding
     # pins — an entry's best-of-5 tends to land in the quieter of the
     # two windows, and a single slow adjacent pin must not overcorrect.
-    per_query: dict[str, float] = {}
     pin_before: dict[str, float] = {}
     pin_after: dict[str, float] = {}
-    prev_pin = pin_after_warc  # the sample taken after the ingest section
+    prev_pin = pin_samples[-1]  # the sample taken after the ingest section
 
     # Per-query quiet-window retry (r6 verdict ask #3): host load is
     # BURSTY — a whole-sweep retry re-rolls every entry's window at
@@ -544,10 +753,40 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
         s = sorted(pin_samples)
         return s[len(s) // 2] > s[0] * 1.15
 
+    # Deadline-aware pacing (r9 verdict ask #1c): `entry_walls` tracks
+    # each entry's full wall cost (all windows + pins); when the
+    # remaining battery no longer fits the remaining budget at
+    # best-of-5, degrade to best-of-3 — and when even the recent
+    # average entry no longer fits, stop measuring entirely and return
+    # what exists, flagged partial.  Both degradations are reported.
+    entry_walls: list[float] = []
+    total_planned = len(HEADLINE) + len(TPCH)
+
+    def _avg_entry_wall() -> float:
+        recent = entry_walls[-10:]
+        return sum(recent) / len(recent) if recent else 4.0
+
+    def _reps() -> int:
+        remaining = total_planned - len(entry_walls)
+        if entry_walls and deadline.left() < _avg_entry_wall() * remaining:
+            deadline_info["entries_degraded_to_best_of_3"] = (
+                deadline_info.get("entries_degraded_to_best_of_3", 0) + 1
+            )
+            return 3
+        return 5
+
     def timed_entries(names: list[str], out: dict[str, float]) -> None:
         nonlocal prev_pin, retry_budget, budget_topup, retries_exhausted
-        for name in names:
+        for i, name in enumerate(names):
+            if deadline.hit(max(4.0, _avg_entry_wall())):
+                deadline_info["deadline_hit"] = True
+                deadline_info["entries_skipped"] = deadline_info.get(
+                    "entries_skipped", 0
+                ) + (len(names) - i)
+                break
             before = prev_pin
+            t_entry = time.time()
+            reps = _reps()
             # Each retry window tracks its OWN best-of-5, and the
             # reported value is the min across windows — with the pins
             # recorded being the ones that bracket the WINDOW THAT
@@ -557,34 +796,49 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
             # window's load factor).  min across windows is still a
             # monotone improvement: load only ever inflates.
             windows: list[tuple[float, float, float]] = []
-            while True:
-                w_best = float("inf")
-                for _ in range(5):
-                    t0 = time.time()
-                    run_noop(qs[name](spark, sf_dir))
-                    w_best = min(w_best, time.time() - t0)
-                after = pin_sample()
-                windows.append((w_best, before, after))
-                window = min(before, after)
-                if window <= min(pin_samples) * quiet_factor:
-                    break
-                if retry_budget <= 0:
-                    if budget_topup > 0 and _host_looks_loaded():
-                        retry_budget += budget_topup
-                        budget_topup = 0
-                    else:
-                        retries_exhausted += 1
+            try:
+                while True:
+                    w_best = float("inf")
+                    for _ in range(reps):
+                        t0 = time.time()
+                        run_noop(qs[name](spark, sf_dir))
+                        w_best = min(w_best, time.time() - t0)
+                    after = pin_sample()
+                    windows.append((w_best, before, after))
+                    window = min(before, after)
+                    if window <= min(pin_samples) * quiet_factor:
                         break
-                retry_budget -= 1
-                before = after  # retry in the next window
+                    if deadline.hit(_avg_entry_wall()):
+                        # out of wall budget: keep the loaded-window
+                        # measurement instead of losing the battery
+                        deadline_info["retries_deadline_skipped"] = (
+                            deadline_info.get("retries_deadline_skipped", 0)
+                            + 1
+                        )
+                        break
+                    if retry_budget <= 0:
+                        if budget_topup > 0 and _host_looks_loaded():
+                            retry_budget += budget_topup
+                            budget_topup = 0
+                        else:
+                            retries_exhausted += 1
+                            break
+                    retry_budget -= 1
+                    before = after  # retry in the next window
+            except Exception as exc:  # never lose the sweep to 1 entry
+                errors[name] = f"{type(exc).__name__}: {str(exc)[:160]}"
+                entry_walls.append(time.time() - t_entry)
+                _checkpoint()
+                continue
             best, win_before, win_after = min(windows)
             pin_before[name] = win_before
             pin_after[name] = win_after
             out[name] = round(best, 3)
             prev_pin = after
+            entry_walls.append(time.time() - t_entry)
+            _checkpoint()
 
     timed_entries(HEADLINE, per_query)
-    tpch: dict[str, float] = {}
     timed_entries(TPCH, tpch)
 
     # Normalized view: scale each entry by pin_best / min(surrounding
@@ -659,27 +913,35 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
         n: round(per_query[n] * pin_best / _adj(n), 3) for n in per_query
     }
     tpch_norm = {n: round(tpch[n] * pin_best / _adj(n), 3) for n in tpch}
-    ingest["mb_per_s_normalized"] = round(
-        ingest["mb_per_s"] * ingest_pin / pin_best, 1
-    )
-    ingest_pruned["mb_per_s_normalized"] = round(
-        ingest_pruned["mb_per_s"] * pruned_pin / pin_best, 1
-    )
-    ingest_warc["mb_per_s_normalized"] = round(
-        ingest_warc["mb_per_s"] * warc_pin / pin_best, 1
-    )
+    if ingest_pin is not None:
+        ingest["mb_per_s_normalized"] = round(
+            ingest["mb_per_s"] * ingest_pin / pin_best, 1
+        )
+    if pruned_pin is not None:
+        ingest_pruned["mb_per_s_normalized"] = round(
+            ingest_pruned["mb_per_s"] * pruned_pin / pin_best, 1
+        )
+    if warc_pin is not None:
+        ingest_warc["mb_per_s_normalized"] = round(
+            ingest_warc["mb_per_s"] * warc_pin / pin_best, 1
+        )
 
     total = round(sum(per_query.values()), 3)
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    deadline_info["elapsed_sec"] = round(deadline.elapsed(), 1)
     return {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # a deadline-stopped sweep is PARTIAL: `value` sums only the
+        # measured entries and is not comparable round-over-round
+        **({"partial": True} if deadline_info.get("deadline_hit") else {}),
+        **({"errors": errors} if errors else {}),
+        "deadline": deadline_info,
         "queries": per_query,
         "r1_subset_total": round(
             sum(per_query[n] for n in _R1_SUBSET if n in per_query), 3
         ),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": _sf_of(sf_dir),
         "tpch": {"total": round(sum(tpch.values()), 3), **tpch},
         "ingest": ingest,
         "ingest_pruned": ingest_pruned,
@@ -698,6 +960,14 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int) -> dict:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    deadline = _Deadline()
+
+    # never-lossy (r9 verdict ask #1b): if the driver's wall budget is
+    # shorter than ours and it kills us anyway, still print the best
+    # result seen so far and exit 0 — BENCH_r09's rc=124/parsed=null
+    # must be unrepresentable.
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGINT, _emit_and_exit)
 
     from archive_to_parquet_spark import queries as catalog
     from archive_to_parquet_spark.session import get_spark
@@ -717,27 +987,50 @@ def main() -> int:
     # SPARK_GRAFT_BENCH_ATTEMPTS, default 3) and keep the QUIETEST
     # attempt (lowest pin median); stop early the moment an attempt is
     # clean.  Fixtures are disk-cached, so retries pay only measurement
-    # time.
+    # time.  The wall deadline gates further attempts (r9 ask #1a: all
+    # 3 attempts ran on a loaded host and blew the driver budget) — a
+    # repeat attempt starts only if the remaining budget fits what the
+    # previous attempt actually cost.
     attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
     full = None
     for attempt in range(1, attempts + 1):
-        cand = _run_sweep(spark, qs, sf_dir, cpus)
+        t0_attempt = time.time()
+        cand = _run_sweep(spark, qs, sf_dir, cpus, deadline)
+        attempt_wall = time.time() - t0_attempt
         cand["pin"]["attempt"] = attempt
         # keep the attempt with the BEST measurement quality — the same
         # axis `noisy` gates on (share of entries that landed a quiet
         # window), tie-broken by relative pin inflation.  Selecting on
         # inflation alone could keep an attempt whose host looked
         # calmer at the pin median while far fewer of its entries
-        # actually measured clean.
+        # actually measured clean.  A partial (deadline-stopped)
+        # attempt never displaces a complete one.
         if full is None or (
+            not cand.get("partial", False),
             cand["pin"]["entries_quiet_pct"],
             -cand["pin"]["inflation_median_pct"],
         ) > (
+            not full.get("partial", False),
             full["pin"]["entries_quiet_pct"],
             -full["pin"]["inflation_median_pct"],
         ):
             full = cand
-        if not cand["pin"]["noisy"]:
+        # a completed attempt immediately becomes the kill-time
+        # artifact-of-record, so a kill during attempt N+1 emits
+        # attempt N's COMPLETE result, not N+1's partial checkpoint
+        _install(full)
+        if not cand["pin"]["noisy"] or cand.get("partial"):
+            break
+        if attempt < attempts and deadline.hit(attempt_wall * 0.9):
+            print(
+                f"[bench] attempt {attempt} noisy but only "
+                f"{deadline.left():.0f}s of budget left (attempt cost "
+                f"{attempt_wall:.0f}s) — keeping quietest so far",
+                file=sys.stderr,
+            )
+            full["deadline"]["attempts_deadline_skipped"] = (
+                attempts - attempt
+            )
             break
         print(
             f"[bench] attempt {attempt}/{attempts} noisy "
@@ -749,58 +1042,14 @@ def main() -> int:
         )
     full["pin"]["attempts_run"] = attempt  # chosen attempt is pin.attempt
 
-    per_query = full["queries"]
-    pin_stats = full["pin"]
-    ingest = full["ingest"]
-    ingest_pruned = full["ingest_pruned"]
-    ingest_warc = full["ingest_warc"]
-    total = full["value"]
-
-    # the full per-query breakdown (190 entries) is ~3.5 KB — larger
-    # than the 2000-char stdout tail the driver records, which left
-    # BENCH_r02/r03 with parsed=None. Persist the full result to a
-    # committed artifact, and make the FINAL stdout line a compact
-    # summary that always fits the tail: contract fields + the r1
-    # comparator subset + the 10 most expensive queries.
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
-        json.dump(full, fh, indent=1)
-    heavy = dict(
-        sorted(per_query.items(), key=lambda kv: -kv[1])[:10]
-    )
-    compact = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": {
-            **{n: per_query[n] for n in _R1_SUBSET if n in per_query},
-            **heavy,
-        },
-        "n_queries": len(per_query),
-        "r1_subset_total": full["r1_subset_total"],
-        "sf": full["sf"],
-        "tpch_total": full["tpch"]["total"],
-        "ingest_mb_per_s": ingest["mb_per_s"],
-        "ingest_pruned_mb_per_s": ingest_pruned["mb_per_s"],
-        "ingest_warc_mb_per_s": ingest_warc["mb_per_s"],
-        "pin_best": pin_stats["best"],
-        "noisy": pin_stats["noisy"],
-        "host_loaded": pin_stats["host_loaded"],
-        "entries_quiet_pct": pin_stats["entries_quiet_pct"],
-        "retries_spent": pin_stats["retries_spent"],
-        "retry_budget_effective": pin_stats["retry_budget_effective"],
-        "retries_exhausted": pin_stats["retries_exhausted"],
-        "pin_median": pin_stats["median"],
-        "pin_inflation_median_pct": pin_stats["inflation_median_pct"],
-        "value_normalized": full["value_normalized"],
-        "r1_subset_total_normalized": full["r1_subset_total_normalized"],
-        "tpch_total_normalized": full["tpch_total_normalized"],
-        "ingest_mb_per_s_normalized": ingest["mb_per_s_normalized"],
-        "ingest_warc_mb_per_s_normalized": ingest_warc["mb_per_s_normalized"],
-        "detail": "BENCH_FULL.json",
-    }
-    line = json.dumps(compact)
-    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
-    print(line)
+    # the full per-query breakdown (~200 entries) is larger than the
+    # 2000-char stdout tail the driver records, which left BENCH_r02/
+    # r03 with parsed=None. Persist the full result to a committed
+    # artifact, and make the FINAL stdout line a compact summary that
+    # always fits the tail: contract fields + the r1 comparator subset
+    # + the 10 most expensive queries.
+    _install(full)
+    print(_compact(full))
     spark.stop()
     return 0
 
