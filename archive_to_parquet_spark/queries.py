@@ -2577,6 +2577,39 @@ FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
 """
 
 
+def dedup_near_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_near_clusters`` through the GALAXY-SCALE components
+    path: alternating large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    O(log² n) rounds REGARDLESS of component diameter, where min-label
+    propagation needs O(diameter) rounds and degrades on chain-shaped
+    components. Same exact-Jaccard-confirmed pair graph, same output
+    contract (component = min reachable id, representative = the
+    component's min id), same recursive-CTE transitive-closure oracle —
+    so the driver certifies that the two CC implementations agree on
+    real corpus data, not just unit fixtures. This is the path a
+    100-TB web-crawl dedup actually runs: near-dup graphs there carry
+    long URL-variant chains, exactly the diameter pathology the star
+    contraction removes.
+
+    Scale shape: every star round is one groupBy(min) + one join, both
+    shuffling on node id only; per-round lineage truncation, bounded
+    1-row convergence probes (edge-set count + order-insensitive
+    xxhash64 xor fold)."""
+    from archive_to_parquet_spark.operators.dedup import near_duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = near_duplicate_clusters(
+        docs, "doc_id", "text", jaccard_threshold=0.5,
+        confirm_exact=True, method="star", num_hashes=32, bands=8,
+    )
+    return labeled.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.col("is_representative").cast("int").alias("is_rep"),
+    )
+
+
 _LSPLIT_THRESH_U32 = 3435973836  # floor(0.8 · 2^32): 80/20 split
 
 
@@ -3847,6 +3880,7 @@ _CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding_lsh": (dedup_embedding_lsh, DEDUP_EMBEDDING_LSH_SQL),
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "dedup_near_clusters": (dedup_near_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_near_clusters_star": (dedup_near_clusters_star, DEDUP_CLUSTERS_SQL),
     "split_leakage_safe": (split_leakage_safe, SPLIT_LEAKAGE_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_token_counts": (text_token_counts, TEXT_TOKENS_SQL),
@@ -3953,9 +3987,10 @@ _CATALOG["eval_mrr_bm25"] = (
 # rel_trailing_window_avg (window-frame battery twin of
 # rel_window_funcs_panel, slot 28).  After this window those 4 are the
 # ONLY catalog entries whose latest driver row is r5; they lead the
-# round-11 rotation together with the round-10 addition
-# dedup_suffix_lcp_bucketed (local-certified at three scale factors +
-# hostile-7, not yet driver-sampled).
+# round-11 rotation together with the round-10 additions
+# dedup_suffix_lcp_bucketed and dedup_near_clusters_star
+# (local-certified at three scale factors + hostile-7, not yet
+# driver-sampled).
 # Slots 43-50 are the permanent reference-parity spine required in
 # EVERY window.  This list is a plain literal on purpose: the ordering
 # must be deterministic and independent of any files on disk (a

@@ -46,8 +46,13 @@ class _Deadline:
 
     def __init__(self) -> None:
         self.t0 = time.time()
+        # default sized from a measured clean sf0.1 attempt (~15-18
+        # min at best-of-5): one full attempt + margin; a second
+        # attempt only starts if the remainder fits what the first
+        # actually cost.  The SIGTERM emit covers a driver budget
+        # shorter than this.
         self.budget = float(
-            os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1200")
+            os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "2040")
         )
         self.reserve = 30.0
 
@@ -968,6 +973,20 @@ def main() -> int:
     # must be unrepresentable.
     signal.signal(signal.SIGTERM, _emit_and_exit)
     signal.signal(signal.SIGINT, _emit_and_exit)
+    # a kill during Spark startup / fixture build must still emit a
+    # parseable (empty, partial) line rather than nothing
+    _LATEST.setdefault(
+        "full",
+        {
+            "metric": "headline_queries_total",
+            "value": 0,
+            "unit": "sec",
+            "partial": True,
+            "sf": _sf_of(sf_dir),
+            "queries": {},
+            "deadline": {"budget_sec": deadline.budget},
+        },
+    )
 
     from archive_to_parquet_spark import queries as catalog
     from archive_to_parquet_spark.session import get_spark
