@@ -639,13 +639,26 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     Components in MapReduce and Beyond"): every node links its
     larger/smaller neighbors to the minimum of its neighborhood.
     ``edges`` and the result are undirected edge sets held as (u, v)
-    rows; each round is one groupBy(min) + one join, both shuffling on
-    the node id."""
-    adj = (
-        edges.select("u", "v")
-        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
+    rows.
+
+    Shuffle shape (round 10): the expanded adjacency feeds THREE
+    consumers (the dedup, the per-node min, the join) — it is
+    materialized ONCE hash-partitioned on ``u``, and because
+    HashPartitioning(u) satisfies clustering on (u, v) ⊇ {u}, the
+    duplicate-drop, the groupBy(u) and the u-keyed join all ride that
+    single exchange. One more exchange dedups the round's re-keyed
+    output — 2 executed exchanges per star round where the lazy form
+    executed ~4 and computed the adjacency twice."""
+    from archive_to_parquet_spark.plans.checkpoint import (
+        checkpoint_partitioned,
     )
+
+    adj = checkpoint_partitioned(
+        edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        "u",
+    ).dropDuplicates(["u", "v"])
     m = (
         adj.groupBy("u")
         .agg(F.min("v").alias("mv"))
@@ -677,9 +690,14 @@ def connected_components_star(
 
     Same contract as connected_components: (id, component = min
     reachable id) for every node appearing in ``pairs``. Convergence is
-    detected by an edge-set signature (count + hash sum) going stable;
-    lineage is truncated per round with localCheckpoint.
+    detected by an edge-set signature (count + order-insensitive
+    xxhash64 xor fold) going stable; lineage is truncated per round
+    with localCheckpoint, and the signature rides the checkpoint's own
+    materialization job as an ``Observation`` metric (round 10 — same
+    job-fusion as the label-propagation loop).
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
@@ -694,12 +712,19 @@ def connected_components_star(
     prev_sig = None
     for _ in range(max_iterations):
         edges = _star_round(edges, large=True)
-        edges = _star_round(edges, large=False).localCheckpoint()
-        row = edges.agg(
-            F.count("*").alias("n"),
-            # xor-fold of row hashes: order-insensitive, can't overflow
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("sig"),
-        ).collect()[0]
+        obs = Observation()
+        edges = (
+            _star_round(edges, large=False)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("u", "v")), F.lit(0)
+                ).alias("sig"),
+            )
+            .localCheckpoint()
+        )
+        row = obs.get
         sig = (row["n"], row["sig"])
         if sig == prev_sig:
             break
