@@ -3988,9 +3988,9 @@ _CATALOG["eval_mrr_bm25"] = (
 # rel_window_funcs_panel, slot 28).  After this window those 4 are the
 # ONLY catalog entries whose latest driver row is r5; they lead the
 # round-11 rotation together with the round-10 additions
-# dedup_suffix_lcp_bucketed and dedup_near_clusters_star
-# (local-certified at three scale factors + hostile-7, not yet
-# driver-sampled).
+# dedup_suffix_lcp_bucketed, dedup_near_clusters_star and
+# stream_suffix_incremental (local-certified at three scale factors +
+# hostile-7, not yet driver-sampled).
 # Slots 43-50 are the permanent reference-parity spine required in
 # EVERY window.  This list is a plain literal on purpose: the ordering
 # must be deterministic and independent of any files on disk (a

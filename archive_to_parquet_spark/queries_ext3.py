@@ -51,6 +51,10 @@ every computed column aliased identically on both sides.
   25-char prefix (lossless for the ≥25 LCP threshold) + an anti-join
   delta probe grouped by the bucket key, pinned at ZERO shuffle
   Exchanges like the other bucketed families.
+- ``stream_suffix_incremental`` (round 10) — the same family under
+  continuous arrival: per-micro-batch suffix expansion, probe of the
+  accumulated prefix index, batch_id-keyed idempotent delta/append;
+  oracle = the first-batch-wins closed form.
 """
 
 from __future__ import annotations
@@ -817,6 +821,111 @@ GROUP BY 1
 """
 
 
+def stream_suffix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The suffix family under continuous arrival: the corpus arrives
+    as 4 slice files (doc_id % 4), one per micro-batch; each batch
+    suffix-expands its documents ONCE (``_suffix_rows`` — the same
+    builder as ``dedup_suffix_lcp`` and its bucketed twin), probes the
+    accumulated 25-char-prefix index for the prefixes it INTRODUCES,
+    emits that delta with batch-local first_doc/count, and appends its
+    prefixes to the index (streaming/suffix_index.py — probe + append,
+    never re-derive).
+
+    Deterministic closed form the oracle states: each prefix is
+    emitted exactly once, by the FIRST batch (min doc_id % 4)
+    containing it, with first_doc and n_suffixes computed within that
+    batch. Replays are batch_id-keyed idempotent (overwrite + a
+    same-batch exclusion in the probe), so the bounded stream's delta
+    union equals the closed form regardless of restarts.
+
+    Scale: this is the daily substring-index maintenance loop at
+    100 TB — arriving shards are normalized and suffix-expanded
+    exactly once, stored state is probe+append; persisted bucketed on
+    ``pfx`` (the bucketed twin's layout) the probe never re-shuffles
+    the index."""
+    import glob
+    import shutil
+    import tempfile
+
+    from archive_to_parquet_spark.streaming.suffix_index import (
+        suffix_index_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="stream_sfx_")
+    stage = os.path.join(root, "in")
+    os.makedirs(stage)
+    try:
+        for k in range(4):
+            tmp = os.path.join(root, f"slice{k}")
+            docs.filter(F.col("doc_id") % 4 == k).coalesce(1).write.parquet(
+                tmp
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"{k:02d}.parquet")
+            shutil.copy(part, dst)
+            t = 1_700_000_000 + k * 10  # deterministic arrival order
+            os.utime(dst, (t, t))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = suffix_index_stream(
+            spark,
+            stream,
+            index_dir=os.path.join(root, "index"),
+            delta_dir=os.path.join(root, "delta"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.read.parquet(os.path.join(root, "delta"))
+            .select(
+                "pfx",
+                "first_doc",
+                "n_suffixes",
+                F.col("batch_id").cast("bigint").alias("first_batch"),
+            )
+            .localCheckpoint(eager=True)  # staging dir is removed below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_SUFFIX_INCREMENTAL_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         substr(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))),
+                1, {_SFX_SCAN_CAP}) AS norm
+  FROM documents
+),
+series AS (
+  SELECT g.pos AS pos FROM generate_series(1, {_SFX_SCAN_CAP}) AS g(pos)
+),
+sfx AS (
+  SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch,
+         substr(norm, g.pos, {_SFX_MIN}) AS pfx
+  FROM norm, series g
+  WHERE g.pos <= length(norm)
+    AND substr(norm, g.pos, 1) <> ' '
+    AND (g.pos = 1 OR substr(norm, g.pos - 1, 1) = ' ')
+    AND length(substr(norm, g.pos, {_SFX_LEN})) >= {_SFX_MIN}
+),
+fb AS (SELECT pfx, MIN(batch) AS batch FROM sfx GROUP BY pfx)
+SELECT s.pfx,
+       CAST(MIN(s.doc_id) AS BIGINT) AS first_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_suffixes,
+       f.batch AS first_batch
+FROM sfx s
+JOIN fb f ON s.pfx = f.pfx AND s.batch = f.batch
+GROUP BY s.pfx, f.batch
+"""
+
+
 # ---------------------------------------------------------------------------
 # A/B experiment readout: Welch's t-test from exact integer moments
 # ---------------------------------------------------------------------------
@@ -1312,5 +1421,9 @@ CATALOG = {
     "dedup_suffix_lcp_bucketed": (
         dedup_suffix_lcp_bucketed,
         DEDUP_SUFFIX_BUCKETED_SQL,
+    ),
+    "stream_suffix_incremental": (
+        stream_suffix_incremental,
+        STREAM_SUFFIX_INCREMENTAL_SQL,
     ),
 }

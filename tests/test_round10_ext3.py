@@ -96,6 +96,75 @@ def test_connected_components_empty_pairs(spark):
     assert connected_components(pairs).count() == 0
 
 
+def test_suffix_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch (same
+    batch_id) must neither grow the prefix index nor erase the
+    batch's own delta by anti-joining against its previously-appended
+    prefixes (the same-batch exclusion in the probe)."""
+    from archive_to_parquet_spark.streaming.suffix_index import (
+        probe_and_append_prefixes,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(40)
+    )
+    index_dir = str(tmp_path / "index")
+    delta_dir = str(tmp_path / "delta")
+
+    probe_and_append_prefixes(spark, docs, index_dir, delta_dir, batch_id=0)
+    idx_rows = spark.read.parquet(index_dir).count()
+    d1 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(delta_dir)
+            .select("pfx", "first_doc", "n_suffixes")
+            .collect(),
+        )
+    )
+    assert idx_rows > 0 and len(d1) == idx_rows  # first batch: all new
+
+    probe_and_append_prefixes(spark, docs, index_dir, delta_dir, batch_id=0)
+    assert spark.read.parquet(index_dir).count() == idx_rows
+    d2 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(delta_dir)
+            .select("pfx", "first_doc", "n_suffixes")
+            .collect(),
+        )
+    )
+    assert d2 == d1
+
+
+def test_suffix_stream_cross_batch_delta_only_new_prefixes(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from archive_to_parquet_spark.streaming.suffix_index import (
+        probe_and_append_prefixes,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    b0 = docs.filter(F2.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F2.col("doc_id") % 2 == 1)
+    index_dir = str(tmp_path / "index")
+    delta_dir = str(tmp_path / "delta")
+    probe_and_append_prefixes(spark, b0, index_dir, delta_dir, batch_id=0)
+    probe_and_append_prefixes(spark, b1, index_dir, delta_dir, batch_id=1)
+    batch0_pfx = {
+        r["pfx"]
+        for r in spark.read.parquet(index_dir)
+        .filter(F2.col("batch_id") == 0)
+        .collect()
+    }
+    delta1 = spark.read.parquet(delta_dir).filter(F2.col("batch_id") == 1)
+    assert delta1.count() > 0
+    # batch 1's delta must not contain any prefix batch 0 introduced
+    assert not {r["pfx"] for r in delta1.collect()} & batch0_pfx
+
+
 def test_near_clusters_star_agrees_with_label_on_corpus(spark):
     """The two CC implementations must produce identical clusterings
     through the FULL near-dup entry (LSH candidates → exact-Jaccard
