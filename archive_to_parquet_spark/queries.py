@@ -3977,17 +3977,25 @@ _CATALOG["eval_mrr_bm25"] = (
 # eval_mrr_bm25 (the only two entries with no driver row ever), and
 # multimodal_header_decode (gained AIFF/.au legs in r9 and the
 # MP3-header/Xing leg this round after its r8 certification).
-# Slots 6-42 take 37 of the 41-entry r5-stale cohort (alphabetical);
-# the 4 that did not fit spill to the round-11 rotation, chosen as the
-# closest TWINS of entries already in this window so the displaced
-# risk is minimal: q2b_utf8_binary (same filter as spine
-# q2_include_text on real binary), q4b_distinct_hash_count (count form
-# of spine q4_dedup_hash_groups), rel_pricing_summary (same
-# aggregation as tpch_q01_pricing_summary, slot 40), and
-# rel_trailing_window_avg (window-frame battery twin of
-# rel_window_funcs_panel, slot 28).  After this window those 4 are the
-# ONLY catalog entries whose latest driver row is r5; they lead the
-# round-11 rotation together with the round-10 additions
+# Slots 6-9 are the entries whose EXECUTED plan changed this round
+# through the Observation-fused connected-components convergence
+# probe (r6/r9 precedent: changed plans re-certify in-window):
+# dedup_near_clusters, cluster_dbscan, cluster_dbscan_lsh,
+# split_leakage_safe — all driver-green in r9, value-identical under
+# the fusion (oracle-verified locally at three scale factors), but
+# the probe now rides Observation metrics and that path must carry a
+# driver row.  Slots 10-42 take 33 of the 41-entry r5-stale cohort
+# (alphabetical); the 8 that did not fit spill to the round-11
+# rotation — 4 chosen as the closest TWINS of entries already in this
+# window (q2b_utf8_binary ~ spine q2_include_text,
+# q4b_distinct_hash_count ~ spine q4_dedup_hash_groups,
+# rel_pricing_summary ~ tpch_q01_pricing_summary IN the r11 queue,
+# rel_trailing_window_avg ~ rel_window_funcs_panel slot 32) and 4
+# displaced by the CC re-certification cohort, taken from the
+# alphabetical tail (text_tfidf_terms, tpch_q01_pricing_summary,
+# tpch_q12_priority_split, vocab_coverage).  After this window those
+# 8 are the ONLY catalog entries whose latest driver row is r5; they
+# lead the round-11 rotation together with the round-10 additions
 # dedup_suffix_lcp_bucketed, dedup_near_clusters_star and
 # stream_suffix_incremental (local-certified at three scale factors +
 # hostile-7, not yet driver-sampled).
@@ -4006,7 +4014,13 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "stream_psi_drift",
     "eval_mrr_bm25",
     "multimodal_header_decode",
-    # -- slots 6-42: 37 of the 41-entry r5-stale cohort (alphabetical)
+    # -- slots 6-9: executed plans changed this round (Observation-
+    # fused CC probe) -- re-certify
+    "dedup_near_clusters",
+    "cluster_dbscan",
+    "cluster_dbscan_lsh",
+    "split_leakage_safe",
+    # -- slots 10-42: 33 of the 41-entry r5-stale cohort (alphabetical)
     "audit_benford_prices",
     "chunk_documents",
     "crawl_warc_to_documents",
@@ -4040,10 +4054,6 @@ _SCHEDULE_FRONT: tuple[str, ...] = (
     "text_boilerplate_removal",
     "text_lm_perplexity",
     "text_readability",
-    "text_tfidf_terms",
-    "tpch_q01_pricing_summary",
-    "tpch_q12_priority_split",
-    "vocab_coverage",
     # -- slots 43-50: permanent reference-parity spine (every round)
     "q1_projection_hash",
     "q2_include_text",

@@ -549,6 +549,26 @@ _SFX_SCAN_CAP = 10_000  # chars of normalized text scanned per document
 # positions from a CONSTANT generate_series — older DuckDB builds reject
 # correlated/subquery bounds — without any data-dependent divergence)
 
+# Shared DuckDB fragments of the suffix universe — the oracle-side
+# twin of ``_suffix_rows``, single-sourced so the three suffix entries
+# (dedup_suffix_lcp, dedup_suffix_lcp_bucketed,
+# stream_suffix_incremental) cannot silently drift apart on the
+# normalization, the scan cap, or the word-start rule.
+_SFX_SQL_PRELUDE = f"""norm AS (
+  SELECT doc_id,
+         substr(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))),
+                1, {_SFX_SCAN_CAP}) AS norm
+  FROM documents
+),
+series AS (
+  SELECT g.pos AS pos FROM generate_series(1, {_SFX_SCAN_CAP}) AS g(pos)
+)"""
+# word-start positions whose truncated suffix clears the threshold
+_SFX_SQL_WHERE = f"""g.pos <= length(norm)
+    AND substr(norm, g.pos, 1) <> ' '
+    AND (g.pos = 1 OR substr(norm, g.pos - 1, 1) = ' ')
+    AND length(substr(norm, g.pos, {_SFX_LEN})) >= {_SFX_MIN}"""
+
 
 def _suffix_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, suffix, pfx) word-start suffix rows over the
@@ -660,24 +680,13 @@ def dedup_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SUFFIX_LCP_SQL = f"""
-WITH norm AS (
-  SELECT doc_id,
-         substr(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))),
-                1, {_SFX_SCAN_CAP}) AS norm
-  FROM documents
-),
-series AS (
-  SELECT g.pos AS pos FROM generate_series(1, {_SFX_SCAN_CAP}) AS g(pos)
-),
+WITH {_SFX_SQL_PRELUDE},
 sfx AS (
   SELECT doc_id, g.pos AS pos,
          substr(norm, g.pos, {_SFX_LEN}) AS suffix,
          substr(norm, g.pos, {_SFX_MIN}) AS pfx
   FROM norm, series g
-  WHERE g.pos <= length(norm)
-    AND substr(norm, g.pos, 1) <> ' '
-    AND (g.pos = 1 OR substr(norm, g.pos - 1, 1) = ' ')
-    AND length(substr(norm, g.pos, {_SFX_LEN})) >= {_SFX_MIN}
+  WHERE {_SFX_SQL_WHERE}
 ),
 lagged AS (
   SELECT doc_id, pos, suffix,
@@ -793,22 +802,11 @@ def dedup_suffix_lcp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SUFFIX_BUCKETED_SQL = f"""
-WITH norm AS (
-  SELECT doc_id,
-         substr(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))),
-                1, {_SFX_SCAN_CAP}) AS norm
-  FROM documents
-),
-series AS (
-  SELECT g.pos AS pos FROM generate_series(1, {_SFX_SCAN_CAP}) AS g(pos)
-),
+WITH {_SFX_SQL_PRELUDE},
 sfx AS (
   SELECT doc_id, substr(norm, g.pos, {_SFX_MIN}) AS pfx
   FROM norm, series g
-  WHERE g.pos <= length(norm)
-    AND substr(norm, g.pos, 1) <> ' '
-    AND (g.pos = 1 OR substr(norm, g.pos - 1, 1) = ' ')
-    AND length(substr(norm, g.pos, {_SFX_LEN})) >= {_SFX_MIN}
+  WHERE {_SFX_SQL_WHERE}
 ),
 idx AS (SELECT DISTINCT pfx FROM sfx WHERE doc_id % 2 = 0),
 batch AS (SELECT doc_id, pfx FROM sfx WHERE doc_id % 2 = 1)
@@ -882,8 +880,21 @@ def stream_suffix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
+        delta_dir = os.path.join(root, "delta")
+        from archive_to_parquet_spark.streaming.neardup import _index_exists
+
+        if not _index_exists(delta_dir):
+            # a corpus where no batch yields a ≥25-char word-start
+            # suffix writes no delta at all; the oracle returns 0 rows
+            # — return the same empty relation instead of crashing on
+            # a missing parquet path
+            return spark.createDataFrame(
+                [],
+                "pfx string, first_doc bigint, n_suffixes bigint,"
+                " first_batch bigint",
+            )
         return (
-            spark.read.parquet(os.path.join(root, "delta"))
+            spark.read.parquet(delta_dir)
             .select(
                 "pfx",
                 "first_doc",
@@ -897,23 +908,12 @@ def stream_suffix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_SUFFIX_INCREMENTAL_SQL = f"""
-WITH norm AS (
-  SELECT doc_id,
-         substr(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))),
-                1, {_SFX_SCAN_CAP}) AS norm
-  FROM documents
-),
-series AS (
-  SELECT g.pos AS pos FROM generate_series(1, {_SFX_SCAN_CAP}) AS g(pos)
-),
+WITH {_SFX_SQL_PRELUDE},
 sfx AS (
   SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch,
          substr(norm, g.pos, {_SFX_MIN}) AS pfx
   FROM norm, series g
-  WHERE g.pos <= length(norm)
-    AND substr(norm, g.pos, 1) <> ' '
-    AND (g.pos = 1 OR substr(norm, g.pos - 1, 1) = ' ')
-    AND length(substr(norm, g.pos, {_SFX_LEN})) >= {_SFX_MIN}
+  WHERE {_SFX_SQL_WHERE}
 ),
 fb AS (SELECT pfx, MIN(batch) AS batch FROM sfx GROUP BY pfx)
 SELECT s.pfx,

@@ -167,11 +167,13 @@ def _emit_and_exit(signum, frame) -> None:
     partial if a sweep was in flight) and exit 0."""
     full = _LATEST.get("full")
     if full is not None:
+        # record the kill BEFORE writing, so the artifact and the
+        # printed line agree on how the run ended
+        full.setdefault("deadline", {})["killed_by_signal"] = int(signum)
         try:
             _emit_artifact(full)
         except OSError:
             pass
-        full.setdefault("deadline", {})["killed_by_signal"] = int(signum)
         print(_compact(full))
         sys.stdout.flush()
     os._exit(0)
@@ -521,6 +523,10 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
     # samples ≈ pin_best × 5 ≈ 0.7 s at sf0.1 — noise insurance, not
     # measurement.
     for _ in range(5):
+        if deadline.hit(15):  # tiny budgets: 2 pins suffice for a floor
+            break
+        pin_sample()
+    if not pin_samples:
         pin_sample()
 
     # ingest throughput FIRST, from a comparable-to-baseline session
@@ -531,11 +537,13 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
     from archive_to_parquet_spark.options import ConvertOptions
     from archive_to_parquet_spark.plans.convert import entries_pipeline
 
-    paths, total_bytes = _ingest_fixture("/tmp/a2p_bench_fixtures")
-    # warm-up with one input: python-worker spawn + module import are
-    # one-time costs the 25 GB baseline run amortizes away; our fixture
-    # is 0.5 GB so they'd dominate a cold measurement
-    run_noop(entries_pipeline(spark, paths, ConvertOptions(threads=cpus)))
+    if not deadline.hit(60):
+        # fixture build + warm-up only when the first leg will run
+        paths, total_bytes = _ingest_fixture("/tmp/a2p_bench_fixtures")
+        # warm-up with one input: python-worker spawn + module import
+        # are one-time costs the 25 GB baseline run amortizes away;
+        # our fixture is 0.5 GB so they'd dominate a cold measurement
+        run_noop(entries_pipeline(spark, paths, ConvertOptions(threads=cpus)))
 
     # Quiet-window retry for the THREE ingest throughput legs (r8
     # verdict ask #3): the per-query retry machinery below never

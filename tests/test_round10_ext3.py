@@ -165,6 +165,25 @@ def test_suffix_stream_cross_batch_delta_only_new_prefixes(spark, tmp_path):
     assert not {r["pfx"] for r in delta1.collect()} & batch0_pfx
 
 
+def test_suffix_stream_empty_corpus_yields_empty_frame(spark, tmp_path):
+    """A corpus where no batch produces a ≥25-char word-start suffix
+    writes no delta files at all; the entry must return the oracle's
+    empty relation, not crash on a missing parquet path."""
+    from archive_to_parquet_spark.queries_ext3 import (
+        stream_suffix_incremental,
+    )
+
+    sf_dir = str(tmp_path / "sf_empty")
+    spark.createDataFrame(
+        [(1, "a b", "en", 3, "s")],  # too short for any 25-char suffix
+        "doc_id long, text string, lang string, n_chars long,"
+        " source string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    out = stream_suffix_incremental(spark, sf_dir)
+    assert out.count() == 0
+    assert out.columns == ["pfx", "first_doc", "n_suffixes", "first_batch"]
+
+
 def test_near_clusters_star_agrees_with_label_on_corpus(spark):
     """The two CC implementations must produce identical clusterings
     through the FULL near-dup entry (LSH candidates → exact-Jaccard
