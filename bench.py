@@ -71,15 +71,57 @@ class _Deadline:
 # running partial checkpoint of the sweep in flight.
 _LATEST: dict = {}
 
+# Best pin sample from each completed sweep this process — attempt 2+
+# inherits attempt 1's floor, so the pre-sweep quiet gate can tell
+# "this window is loaded" even when every sample in ITS OWN series is
+# uniformly inflated (sustained load looks quiet to a same-series
+# median test).
+_PIN_FLOOR: list[float] = []
+
+
+def _committed_pin_floor(sf) -> float | None:
+    """Pin floor inherited from the committed BENCH_FULL.json (r10
+    verdict ask #2: persist best-so-far across rounds so a noisy round
+    inherits floors). Trusted only when the committed artifact is a
+    COMPLETE sweep at the SAME scale factor — a different sf or a
+    partial smoke has incomparable pin cost."""
+    try:
+        with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if prev.get("partial") or prev.get("sf") != sf:
+        return None
+    best = prev.get("pin", {}).get("best")
+    return float(best) if isinstance(best, (int, float)) and best > 0 else None
+
+
+def _artifact_name(full: dict) -> str:
+    """Partial/in-flight results land in BENCH_FULL.partial.json (NOT
+    committed); only a COMPLETE sweep is promoted to BENCH_FULL.json.
+    r10 advice: the old single-path rewrite meant ANY local bench run —
+    including a 120 s deadline smoke — clobbered the committed
+    artifact-of-record with its in-flight checkpoint."""
+    return (
+        "BENCH_FULL.partial.json" if full.get("partial") else "BENCH_FULL.json"
+    )
+
 
 def _emit_artifact(full: dict) -> None:
-    """Atomically rewrite BENCH_FULL.json (tmp file + rename) so a kill
+    """Atomically rewrite the artifact (tmp file + rename) so a kill
     at ANY moment leaves a parseable artifact holding whatever had
     completed — never-lossy is the r9 lesson."""
-    tmp = os.path.join(REPO, "BENCH_FULL.json.tmp")
+    name = _artifact_name(full)
+    tmp = os.path.join(REPO, name + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(full, fh, indent=1)
-    os.replace(tmp, os.path.join(REPO, "BENCH_FULL.json"))
+    os.replace(tmp, os.path.join(REPO, name))
+    if not full.get("partial"):
+        # a promoted complete sweep supersedes any in-flight partial
+        try:
+            os.remove(os.path.join(REPO, "BENCH_FULL.partial.json"))
+        except FileNotFoundError:
+            pass
 
 
 def _install(cand: dict) -> None:
@@ -147,7 +189,7 @@ def _compact(full: dict) -> str:
             "ingest_warc_mb_per_s_normalized": full.get(
                 "ingest_warc", {}
             ).get("mb_per_s_normalized"),
-            "detail": "BENCH_FULL.json",
+            "detail": _artifact_name(full),
         }
         if full.get("partial"):
             compact["partial"] = True
@@ -529,6 +571,41 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
     if not pin_samples:
         pin_sample()
 
+    # Pre-sweep quiet gate (r10 verdict ask #2): a full sf0.1 sweep
+    # costs ~1365 s — burning one in a loaded window buys nothing a
+    # retry can fix afterwards.  Before committing to the sweep, check
+    # the just-measured pins against the best floor KNOWN (this series,
+    # earlier attempts this process, and the committed same-sf complete
+    # artifact); while the current window is inflated past the quiet
+    # factor, sleep and re-pin — seconds spent waiting for a burst to
+    # pass instead of ~23 min measuring through it.  Bounded: at most
+    # 8% of the remaining wall budget (≤ 90 s), so sustained load
+    # degrades to the old behavior with telemetry saying why.
+    floor_candidates = [min(pin_samples)] + _PIN_FLOOR
+    committed = _committed_pin_floor(_sf_of(sf_dir))
+    # sanity: only trust a cross-round floor within 2.5x of what this
+    # host measures right now (catalog/pin-cost drift, different host)
+    if committed is not None and min(pin_samples) < 2.5 * committed:
+        floor_candidates.append(committed)
+    floor = min(floor_candidates)
+    gate_budget = min(90.0, 0.08 * max(0.0, deadline.left()))
+    gate_t0 = time.time()
+    gate_waits = 0
+    while (
+        min(pin_samples[-2:]) > floor * 1.15
+        and time.time() - gate_t0 + 10.0 < gate_budget
+        and not deadline.hit(30)
+    ):
+        time.sleep(10.0)
+        gate_waits += 1
+        floor = min(floor, pin_sample())
+    if gate_waits:
+        deadline_info["pre_sweep_gate_waits"] = gate_waits
+        deadline_info["pre_sweep_gate_sec"] = round(time.time() - gate_t0, 1)
+        deadline_info["pre_sweep_gate_cleared"] = (
+            min(pin_samples[-2:]) <= floor * 1.15
+        )
+
     # ingest throughput FIRST, from a comparable-to-baseline session
     # state: the reference's 682 MB/s is a standalone ingest run, and
     # measuring after ~190 query executions was costing a reproducible
@@ -861,6 +938,7 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
     # series itself (best/median/max) quantifies the inflation
     # explicitly instead of leaving it to after-the-fact A/B runs.
     pin_best = min(pin_samples)
+    _PIN_FLOOR.append(pin_best)  # later attempts inherit this floor
     pin_sorted = sorted(pin_samples)
     pin_stats = {
         "name": PIN,
