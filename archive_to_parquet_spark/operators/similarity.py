@@ -49,17 +49,62 @@ def fixed_hyperplanes(
     ]
 
 
+def double_array_literal(values: list[float]):
+    """Literal ``array<double>`` column built with ONE py4j round-trip.
+
+    ``F.array(*[F.lit(x) ...])`` costs a py4j call per element — for a
+    64-dim plane that is ~45 ms of DRIVER time per plane, and a banded
+    LSH entry building 32 planes spent ~2 s of its wall just
+    constructing Column objects (round-11 profile of
+    cluster_dbscan_lsh). A single SQL ``array(...)`` literal parses
+    JVM-side in microseconds. ``repr`` is shortest round-trip notation,
+    so the parsed doubles are bit-identical to the Python values
+    (verified incl. exponent notation and subnormals)."""
+    return F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in values) + ")"
+    )
+
+
+def long_array_literal(values: list[int]):
+    """Literal ``array<bigint>`` column in one py4j round-trip — the
+    integer twin of :func:`double_array_literal`."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in values) + ")")
+
+
 def hyperplane_bucket_literal(vec_col, planes: list[list[float]]):
     """LSH bucket id from a literal plane matrix (see fixed_hyperplanes):
     bit p = sign(dot(v, planes[p])). Pure column expression — the plane
-    arrays are plan literals, the dot is a zip_with/aggregate fold."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    arrays are plan literals, the dot is a zip_with/aggregate fold.
+
+    Built as ONE ``F.expr`` SQL string when ``vec_col`` is a column
+    name (every call site today): the Column-DSL form costs ~30 ms of
+    py4j round-trips PER PLANE constructing lambda/when nodes, which
+    for a 4-band × 8-plane entry was ~1 s of pure driver wall per
+    execution (round-11 profile of cluster_dbscan_lsh). The SQL string
+    parses JVM-side to the same analyzed expressions; ``repr`` double
+    literals are shortest-round-trip so the plane values are
+    bit-identical to the DSL form."""
+    if isinstance(vec_col, str):
+        ident = "`" + vec_col.replace("`", "``") + "`"
+        terms = ["0"]
+        for p, plane in enumerate(planes):
+            arr = (
+                "array(" + ",".join(repr(float(x)) + "D" for x in plane) + ")"
+            )
+            dot = (
+                f"aggregate(zip_with({ident}, {arr},"
+                " (x, y) -> CAST(x AS DOUBLE) * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << p} ELSE 0 END)")
+        return F.expr("CAST(" + " + ".join(terms) + " AS INT)")
+    v = vec_col
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
         dot = F.aggregate(
             F.zip_with(
                 v,
-                F.array(*[F.lit(float(x)) for x in plane]),
+                double_array_literal(plane),
                 lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0),

@@ -103,6 +103,10 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix is a plan literal (constant-folded). This is the standard
     pre-ANN width reducer: 8-d candidates, 64-d exact re-rank.
     """
+    from archive_to_parquet_spark.operators.similarity import (
+        long_array_literal,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
     w = _jl_matrix_e6()
     v_e6 = F.transform(
@@ -114,7 +118,10 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot = F.aggregate(
             F.zip_with(
                 v_e6,
-                F.array(*[F.lit(int(wjd)) for wjd in w[j]]),
+                # one py4j call for the whole 64-element literal row
+                # (per-element F.lit cost ~45ms/row of driver wall —
+                # see similarity.long_array_literal)
+                long_array_literal([int(wjd) for wjd in w[j]]),
                 lambda x, y: x * y,
             ),
             F.lit(0).cast("long"),
