@@ -927,6 +927,149 @@ GROUP BY s.pfx, f.batch
 
 
 # ---------------------------------------------------------------------------
+# Streaming-index maintenance: fold aged batch partitions into the
+# bucketed base (round 11 — VERDICT r10 ask #4)
+# ---------------------------------------------------------------------------
+
+
+def maintenance_stream_index_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compaction of the STREAMING suffix index — the daily-loop piece
+    the three incremental indexes were missing: the streaming writer
+    (streaming/suffix_index.py) appends one ``batch_id=N`` partition
+    per micro-batch forever, so probe fan-in grows with index age.
+    This entry folds the aged partitions into the bucketed base layout
+    (``dedup_suffix_lcp_bucketed``'s) with
+    ``streaming.suffix_index.compact_suffix_index`` and probes against
+    base + young tail.
+
+    Construction: the corpus arrives as 5 slices (doc_id % 5). Slices
+    0-3 are the accumulated index partitions (batch_id=k, one row per
+    distinct 25-char word-start suffix prefix — exactly what the
+    streaming writer appends); the fold watermark is batch_id <= 2, so
+    the base absorbs slices 0-2 and slice 3 remains the uncompacted
+    tail; slice 4 is today's probe batch. The probe's delta — prefixes
+    slice 4 INTRODUCES, with batch-local first_doc / suffix count — is
+    by probe-equivalence identical before and after the fold
+    (tests/test_round11_compaction.py pins this on the real streaming
+    writer's output), so the DuckDB oracle states the same closed form
+    as the bucketed twin: prefixes of slice 4 absent from slices 0-3.
+
+    Scale shape: compaction itself is one distinct + bucketed write
+    paid at fold time (staged once per input fingerprint here, like
+    every bucketed layout); the folded-batch decision is a partition-
+    directory listing, never a data scan (the maintenance-family
+    rule). The probe anti-joins the BUCKETED base exchange-free
+    (asserted in-query with auto-broadcast disabled, same contract as
+    the bucketed twin) and pays exchanges only for the young tail —
+    probe cost tracks tail size, not index size, which is what makes
+    the continuous-ingest index sustainable at 100 TB."""
+    from archive_to_parquet_spark.plans.bucketing import (
+        _input_fingerprint,
+        ensure_bucketed_table,
+        ensure_parquet_snapshot,
+        plan_has_exchange,
+    )
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+    from archive_to_parquet_spark.streaming.suffix_index import (
+        compact_suffix_index,
+    )
+
+    import re
+
+    suffix = re.sub(r"\W", "_", sf_dir.rstrip("/").split("sf")[-1])
+    stage = _stage_dir("sfxcompact", sf_dir)
+    idx_dir = os.path.join(stage, "index")
+    docs = _t(spark, sf_dir, "documents")
+    fp = ["sfxcompact-v1", _input_fingerprint(f"{sf_dir}/documents.parquet")]
+
+    # the accumulated streaming index: one batch_id=k partition per
+    # arrived slice, holding that batch's distinct prefixes (the
+    # streaming writer's exact row format)
+    for k in range(4):
+        ensure_parquet_snapshot(
+            spark,
+            os.path.join(idx_dir, f"batch_id={k}"),
+            lambda k=k: (
+                _suffix_rows(docs.filter(F.col("doc_id") % 5 == k))
+                .select("pfx")
+                .distinct()
+            ),
+            fp,
+        )
+
+    tbase = f"sfxcmp_base_{suffix}"
+    compact_suffix_index(
+        spark,
+        idx_dir,
+        tbase,
+        os.path.join(stage, "base"),
+        max_batch_id=2,
+        num_buckets=8,
+        fingerprint=fp,
+    )
+
+    tprobe = f"sfxcmp_probe_{suffix}"
+    ensure_bucketed_table(
+        spark, tprobe, os.path.join(stage, "probe"), "pfx", 8,
+        lambda: _suffix_rows(docs.filter(F.col("doc_id") % 5 == 4)).select(
+            "doc_id", "pos", "pfx"
+        ),
+        fp,
+    )
+
+    def probe() -> DataFrame:
+        tail = (
+            spark.read.parquet(idx_dir)
+            .filter(F.col("batch_id") > 2)
+            .select("pfx")
+        )
+        return (
+            spark.table(tprobe)
+            .join(spark.table(tbase), "pfx", "left_anti")
+            .join(tail, "pfx", "left_anti")
+            .groupBy("pfx")
+            .agg(
+                F.min("doc_id").alias("first_doc"),
+                F.count("*").alias("n_suffixes"),
+            )
+            .select("pfx", "first_doc", "n_suffixes")
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base_leg = spark.table(tprobe).join(
+            spark.table(tbase), "pfx", "left_anti"
+        )
+        assert not plan_has_exchange(base_leg), (
+            "compacted suffix-index base probe gained a shuffle"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return probe()
+
+
+MAINTENANCE_STREAM_INDEX_COMPACTION_SQL = f"""
+WITH {_SFX_SQL_PRELUDE},
+sfx AS (
+  SELECT doc_id, substr(norm, g.pos, {_SFX_MIN}) AS pfx
+  FROM norm, series g
+  WHERE {_SFX_SQL_WHERE}
+),
+idx AS (SELECT DISTINCT pfx FROM sfx WHERE doc_id % 5 <= 3),
+batch AS (SELECT doc_id, pfx FROM sfx WHERE doc_id % 5 = 4)
+SELECT b.pfx,
+       CAST(MIN(b.doc_id) AS BIGINT) AS first_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_suffixes
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.pfx = b.pfx)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # A/B experiment readout: Welch's t-test from exact integer moments
 # ---------------------------------------------------------------------------
 
@@ -1425,5 +1568,9 @@ CATALOG = {
     "stream_suffix_incremental": (
         stream_suffix_incremental,
         STREAM_SUFFIX_INCREMENTAL_SQL,
+    ),
+    "maintenance_stream_index_compaction": (
+        maintenance_stream_index_compaction,
+        MAINTENANCE_STREAM_INDEX_COMPACTION_SQL,
     ),
 }

@@ -651,6 +651,37 @@ def test_mp3_xing_and_vbri_exact_duration():
     assert out is not None and out[0] == 48000
 
 
+def test_mp3_cbr_fallback_contract_on_midstream_bitrate_change():
+    """The CBR fallback's DOCUMENTED estimate semantics (r10 verdict
+    ask #6): with no Xing/Info/VBRI header, duration is
+    ``remaining bytes / byte-rate of the FIRST frame header`` — a
+    mid-stream bitrate change (VBR encoded without a VBR header) does
+    NOT re-derive the rate; the estimate knowingly follows the first
+    frame. This pins the fallback's contract the way the Xing/VBRI
+    tests pin the exact tiers."""
+    from archive_to_parquet_spark.operators.multimodal import (
+        parse_mp3_header,
+    )
+
+    # frame 1: MPEG1 L3, 44100 Hz, 128 kbps (bitrate_idx 9)
+    f1 = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2), 0x00]) + b"\x00" * 413
+    # frames 2..4: same stream continues at 320 kbps (bitrate_idx 14)
+    f320 = bytes([0xFF, 0xFB, (14 << 4) | (0 << 2), 0x00]) + b"\x00" * 1040
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    data = id3 + f1 + f320 * 3
+
+    rate, n, dur = parse_mp3_header(data)
+    assert rate == 44100
+    audio_bytes = len(data) - len(id3)  # estimate starts at first sync
+    assert abs(dur - audio_bytes * 8 / 128000) < 1e-9
+    assert n == int(dur * rate)
+    # flipping WHICH frame comes first flips the whole estimate — the
+    # first header is authoritative, by contract
+    data_320_first = id3 + f320 + f1 * 3
+    _, _, dur320 = parse_mp3_header(data_320_first)
+    assert abs(dur320 - (len(data_320_first) - len(id3)) * 8 / 320000) < 1e-9
+
+
 def _make_adts(rate_idx=4, n_frames=4, rdb=0, with_crc=False):
     """Header-only ADTS/AAC frames (ISO 13818-7 §6.2): AAC LC, mono,
     fullness 0x7FF, ``rdb`` extra raw-data-blocks per frame."""
