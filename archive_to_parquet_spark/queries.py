@@ -3970,35 +3970,35 @@ _CATALOG["eval_mrr_bm25"] = (
 
 # Static, hand-maintained coverage schedule.  The external correctness
 # gate samples exactly the first 50 ``queries()`` entries per run, so a
-# 200+-entry catalog needs a deliberate front-of-list.  Round-10
-# rotation (per VERDICT r9 ask #2): slots 1-5 are the carried
-# certification queue — search_bm25 + search_hybrid_rrf (plans changed
-# in r9: inverted index staged once on doc_id), stream_psi_drift +
-# eval_mrr_bm25 (the only two entries with no driver row ever), and
-# multimodal_header_decode (gained AIFF/.au legs in r9 and the
-# MP3-header/Xing leg this round after its r8 certification).
-# Slots 6-9 are the entries whose EXECUTED plan changed this round
-# through the Observation-fused connected-components convergence
-# probe (r6/r9 precedent: changed plans re-certify in-window):
-# dedup_near_clusters, cluster_dbscan, cluster_dbscan_lsh,
-# split_leakage_safe — all driver-green in r9, value-identical under
-# the fusion (oracle-verified locally at three scale factors), but
-# the probe now rides Observation metrics and that path must carry a
-# driver row.  Slots 10-42 take 33 of the 41-entry r5-stale cohort
-# (alphabetical); the 8 that did not fit spill to the round-11
-# rotation — 4 chosen as the closest TWINS of entries already in this
-# window (q2b_utf8_binary ~ spine q2_include_text,
-# q4b_distinct_hash_count ~ spine q4_dedup_hash_groups,
-# rel_pricing_summary ~ tpch_q01_pricing_summary IN the r11 queue,
-# rel_trailing_window_avg ~ rel_window_funcs_panel slot 32) and 4
-# displaced by the CC re-certification cohort, taken from the
-# alphabetical tail (text_tfidf_terms, tpch_q01_pricing_summary,
-# tpch_q12_priority_split, vocab_coverage).  After this window those
-# 8 are the ONLY catalog entries whose latest driver row is r5; they
-# lead the round-11 rotation together with the round-10 additions
-# dedup_suffix_lcp_bucketed, dedup_near_clusters_star and
-# stream_suffix_incremental (local-certified at three scale factors +
-# hostile-7, not yet driver-sampled).
+# 211-entry catalog needs a deliberate front-of-list.  Round-11
+# rotation (per VERDICT r10 ask #1): slots 1-3 are the three round-10
+# additions that have never carried a driver row
+# (dedup_suffix_lcp_bucketed, dedup_near_clusters_star,
+# stream_suffix_incremental — local-certified at three scale factors +
+# hostile-7 in r10); slots 4-11 are the 8 spilled r5-stale entries
+# named in the r10 schedule comment — after this window NO catalog
+# entry's latest driver row predates r6.  Slot 12 is the round-11
+# addition (maintenance_stream_index_compaction — streaming-index
+# fold, first driver row).  Slots 13-16 re-certify the four entries
+# whose EXECUTED plans changed this round through the capped-partition
+# CC loop + single-materialization pair staging (shuffle counts
+# DROPPED 2-5 per entry: dedup_near_clusters 16->11, cluster_dbscan
+# 15->13, cluster_dbscan_lsh 18->16, split_leakage_safe 15->10 — the
+# r6/r9/r10 precedent: changed plans re-certify in-window even when
+# value-identical).  Slots 17-20 re-certify the entries whose bucket
+# expressions moved from the Column-DSL to the single-F.expr SQL form
+# (bit-identical values, verified; same precedent): ann_lsh_topk,
+# ann_lsh_bucketed, ann_jl_topk, stream_ann_index_append.  Slots 21-42
+# take the first 22 of the 39-entry r6-stale cohort (alphabetical —
+# which also covers the two remaining plane-affected entries,
+# dedup_embedding_lsh and dedup_semantic); the 17 that did not fit
+# spill to the round-12 rotation, all from the alphabetical tail:
+# rel_part_type_stats, rel_percentiles, rel_pivot_status,
+# rel_posexplode_words, rel_range_join_price_bands,
+# rel_revenue_by_nation, rel_sessionize, rel_string_funcs,
+# sample_weighted_priority, sketch_theta_setops, source_bucketed_join,
+# source_pruned_manifest, text_bigram_topk, text_fingerprint,
+# text_lang_id, text_quality, text_token_counts.
 # Slots 43-50 are the permanent reference-parity spine required in
 # EVERY window.  This list is a plain literal on purpose: the ordering
 # must be deterministic and independent of any files on disk (a
@@ -4008,52 +4008,54 @@ _CATALOG["eval_mrr_bm25"] = (
 # `tools/check_correctness.py` always runs ALL entries regardless of
 # order.
 _SCHEDULE_FRONT: tuple[str, ...] = (
-    # -- slots 1-5: the carried certification queue (r9 verdict #2)
-    "search_bm25",
-    "search_hybrid_rrf",
-    "stream_psi_drift",
-    "eval_mrr_bm25",
-    "multimodal_header_decode",
-    # -- slots 6-9: executed plans changed this round (Observation-
-    # fused CC probe) -- re-certify
+    # -- slots 1-3: round-10 additions, never driver-sampled
+    "dedup_suffix_lcp_bucketed",
+    "dedup_near_clusters_star",
+    "stream_suffix_incremental",
+    # -- slots 4-11: the 8 spilled r5-stale entries (r10 queue)
+    "q2b_utf8_binary",
+    "q4b_distinct_hash_count",
+    "rel_pricing_summary",
+    "rel_trailing_window_avg",
+    "text_tfidf_terms",
+    "tpch_q01_pricing_summary",
+    "tpch_q12_priority_split",
+    "vocab_coverage",
+    # -- slot 12: round-11 addition (first driver row)
+    "maintenance_stream_index_compaction",
+    # -- slots 13-16: executed plans changed (capped CC loop) -- re-certify
     "dedup_near_clusters",
     "cluster_dbscan",
     "cluster_dbscan_lsh",
     "split_leakage_safe",
-    # -- slots 10-42: 33 of the 41-entry r5-stale cohort (alphabetical)
-    "audit_benford_prices",
-    "chunk_documents",
-    "crawl_warc_to_documents",
-    "curation_domain_cap",
-    "dedup_cdc_chunks",
-    "dedup_cdc_gear",
-    "dedup_substring_exact",
-    "dsir_importance_weights",
-    "mixture_sample_epoch",
-    "multimodal_profile",
-    "multimodal_resize",
-    "pack_sequences",
-    "rel_datetime_funcs",
-    "rel_decayed_sum",
-    "rel_gapfill_hourly",
-    "rel_lateral_topk",
-    "rel_rank_functions",
-    "rel_scd2_intervals",
-    "rel_session_window_native",
-    "rel_sql_udf_priceband",
-    "rel_unpivot_part_metrics",
-    "rel_variant_json",
-    "rel_window_funcs_panel",
-    "sample_fixed_per_lang",
-    "sketch_hdr_quantiles",
-    "sketch_kmv_overlap",
-    "source_incremental_convert",
-    "stream_archive_ingest",
-    "stream_events_hourly",
-    "stream_neardup_incremental",
-    "text_boilerplate_removal",
-    "text_lm_perplexity",
-    "text_readability",
+    # -- slots 17-20: bucket exprs moved to single-F.expr form -- re-certify
+    "ann_lsh_topk",
+    "ann_lsh_bucketed",
+    "ann_jl_topk",
+    "stream_ann_index_append",
+    # -- slots 21-42: first 22 of the 39-entry r6-stale cohort (alphabetical)
+    "ann_cosine_topk",
+    "ann_ivf_pq_topk",
+    "dedup_containment",
+    "dedup_embedding_lsh",
+    "dedup_exact_docs",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "dedup_simhash",
+    "rel_asof_click_before_purchase",
+    "rel_cohort_retention",
+    "rel_cube_orders",
+    "rel_customers_without_orders",
+    "rel_events_hourly",
+    "rel_funnel",
+    "rel_fuzzy_match",
+    "rel_grouping_sets",
+    "rel_hourly_anomalies",
+    "rel_json_props",
+    "rel_math_funcs",
+    "rel_order_priority_counts",
+    "rel_orders_above_customer_avg",
     # -- slots 43-50: permanent reference-parity spine (every round)
     "q1_projection_hash",
     "q2_include_text",

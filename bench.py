@@ -334,6 +334,10 @@ HEADLINE = [
     "mix_temperature_sampling",
     # round-10 addition
     "dedup_suffix_lcp_bucketed",
+    # round-11 addition (the fold is staged once per fingerprint, so
+    # the measured wall is the metadata decision + base/tail probe —
+    # the per-run cost a daily maintenance job actually pays)
+    "maintenance_stream_index_compaction",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,
