@@ -61,7 +61,35 @@ except ImportError:
 
 # subprocess fallback: the zstd(1) binary decodes when the module is
 # absent (reference decodes zstd natively, src/anyreader/compression.rs:47-55)
-_ZSTD_BIN = shutil.which("zstd")
+
+
+def _find_zstd_bin() -> str | None:
+    """``shutil.which`` first, then conventional install prefixes that a
+    restricted PATH may omit (conda envs, /usr/local): executor Python
+    workers inherit a PATH the cluster manager builds, which routinely
+    drops the prefix the binary was installed under."""
+    found = shutil.which("zstd")
+    if found:
+        return found
+    import os as _os
+
+    home = _os.path.expanduser("~")
+    candidates = [
+        _os.path.join(_os.environ.get("CONDA_PREFIX", ""), "bin", "zstd"),
+        _os.path.join(home, "miniconda", "bin", "zstd"),
+        _os.path.join(home, "miniconda3", "bin", "zstd"),
+        _os.path.join(home, "anaconda3", "bin", "zstd"),
+        "/opt/conda/bin/zstd",
+        "/usr/local/bin/zstd",
+        "/usr/bin/zstd",
+    ]
+    for c in candidates:
+        if c and _os.path.isfile(c) and _os.access(c, _os.X_OK):
+            return c
+    return None
+
+
+_ZSTD_BIN = _find_zstd_bin()
 
 # content-copy chunk size. The reference copies in 8 KiB chunks
 # (src/batch.rs:42) — cheap in Rust, but every .read() call here is a
