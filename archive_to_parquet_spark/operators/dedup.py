@@ -963,6 +963,7 @@ def embedding_near_duplicates(
     planes: list[list[float]] | None = None,
     max_bucket_size: int | None = 100_000,
     observation: Observation | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH.
 
@@ -1005,9 +1006,9 @@ def embedding_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_from_norms(
-                F.col("a.v"), F.col("b.v"), F.col("a.norm"), F.col("b.norm")
-            ).alias("cosine"),
+            cosine_from_norms("a.v", "b.v", "a.norm", "b.norm").alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -1070,6 +1071,7 @@ def semantic_dedup(
     centroid_vec: str = "centroid",
     threshold: float = 0.99,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-cluster-scoped semantic
     deduplication. Every vector is assigned to its nearest centroid
@@ -1102,21 +1104,32 @@ def semantic_dedup(
             F.col(centroid_vec).alias("cent_v"),
         )
     )
-    dist = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.col("cent_v"),
-                    lambda x, y: (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ),
-        round_to,
-    )
+    if dim is not None:
+        from archive_to_parquet_spark.functions.vectors import (
+            unrolled_d2_sql,
+        )
+
+        # unrolled fixed-dim distance (guide §4.1) — same fold order,
+        # bit-identical doubles
+        dist = F.round(
+            F.sqrt(F.expr(unrolled_d2_sql("v", "cent_v", dim))), round_to
+        )
+    else:
+        dist = F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.col("cent_v"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            round_to,
+        )
     assigned = (
         corpus.select(
             F.col(id_col).alias("id"),

@@ -51,6 +51,10 @@ def pagerank(
     the 3-round wall at sf0.1). Hot sink nodes skew only the dst agg,
     which partial aggregation absorbs; AQE splits a skewed rank join.
     """
+    from archive_to_parquet_spark.plans.checkpoint import (
+        checkpoint_partitioned,
+    )
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         # callers that already guarantee a distinct edge list (e.g. the
@@ -64,16 +68,25 @@ def pagerank(
     # window over src — ONE exchange of the edge list, where the
     # agg-then-join-back form pays the same exchange for the agg AND a
     # second one for the join (measured ~0.5 s of the sf0.1 setup).
-    # localCheckpoint preserves the partitioning, so each round's rank
-    # join moves only the small rank frame, never the edge list.
+    #
+    # Round 11: the weighted edge list is materialized hash-partitioned
+    # on ``src`` with the partitioning RECORDED through the checkpoint
+    # (checkpoint_partitioned — the window's own exchange IS that
+    # shuffle, so this costs nothing extra). A plain localCheckpoint
+    # captured UnknownPartitioning, and with no stats on the LogicalRDD
+    # the planner chose to BROADCAST the edge table into every round's
+    # rank join — a full collect-and-build of the edge list per round
+    # locally (r11 profile: 28.8/13.8/13.2 s executor time at sf0.1 in
+    # the three broadcast-collect stages, the entry's dominant cost)
+    # and an impossibility on a 100-TB edge list.
     w_src = Window.partitionBy("src")
-    contrib_edges = (
+    contrib_edges = checkpoint_partitioned(
         e.select(
             "src",
             "dst",
             (F.lit(1.0) / F.count(F.lit(1)).over(w_src)).alias("weight"),
-        )
-        .localCheckpoint()
+        ),
+        "src",
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -101,15 +114,27 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(n_iter):
-        # ranks arrive hash-partitioned on node == the src join key, and
-        # contrib_edges is pre-partitioned on src, so the join plans
-        # exchange-free; the groupBy(dst) is the round's one shuffle
+        # contrib_edges rides its recorded hash(src) partitioning, so
+        # the round join moves only the small rank frame. The
+        # SHUFFLE_HASH hint on the rank side pins the strategy the
+        # true sizes imply: a per-partition hash build of the rank
+        # rows with the edge side STREAMED — no broadcast of the edge
+        # list (the checkpoint's under-estimated stats otherwise pick
+        # exactly that, impossible at 100 TB), and no per-round sort
+        # of the edge list (what a MERGE pin would cost; measured
+        # 15-28 s executor per round at sf0.1). The groupBy(dst) is
+        # the round's one shuffle.
         contribs = (
-            contrib_edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            contrib_edges.join(
+                ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("weight")).alias("in_mass"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        ranks = nodes.join(
+            contribs.hint("shuffle_hash"), "node", "left"
+        ).select(
             "node",
             (
                 F.lit(base)

@@ -236,6 +236,7 @@ def brute_force_top_k(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     round_to: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × scan corpus → window top-k.
 
@@ -286,6 +287,7 @@ def lsh_top_k(
     query_vec: str = "query_vec",
     planes: list[list[float]] | None = None,
     round_to: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via hyperplane LSH with multi-probe.
 
@@ -365,6 +367,7 @@ def ivf_top_k_fixed_centroids(
     centroid_id: str = "cid",
     centroid_vec: str = "centroid",
     round_to: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF top-k with an EXPLICIT centroid table (any coarse quantizer:
     k-means output, a deterministic corpus sample, a product quantizer's
@@ -387,18 +390,25 @@ def ivf_top_k_fixed_centroids(
     )
 
     def _dist(vec_col: str):
-        d = F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.col("cent_v"),
-                    lambda x, y: (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+        if dim is not None:
+            from archive_to_parquet_spark.functions.vectors import (
+                unrolled_d2_sql,
             )
-        )
+
+            d = F.sqrt(F.expr(unrolled_d2_sql(vec_col, "cent_v", dim)))
+        else:
+            d = F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.col("cent_v"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
         return F.round(d, round_to) if round_to is not None else d
 
     c = corpus.select(
@@ -465,6 +475,7 @@ def hard_negatives(
     query_vec: str = "query_vec",
     query_label: str = "query_label",
     round_to: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training data: per query,
     the top-k most-similar corpus vectors with a DIFFERENT label (the
@@ -573,19 +584,15 @@ def pq_top_k_fixed_codebook(
     def sub_rows(df: DataFrame, id_col: str, vec_col: str, out_id: str):
         return _pq_sub_rows(df, id_col, vec_col, out_id, m, sub_dim)
 
+    from archive_to_parquet_spark.functions.vectors import unrolled_d2_sql
+
+    # unrolled fixed-dim distances (guide §4.1): these evaluate inside
+    # codegen'd hash-aggregate / project stages where the fixed-length
+    # sum compiles, and the instance count is small (A/B-measured
+    # faster than the aggregate/zip_with fold at sf0.1: 2.1 s vs 3.1 s
+    # rebuild). Identical fold order → identical doubles/micro-units.
     d2_e6 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("sub"),
-                F.col("cbv"),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        * 1e6,
-        0,
+        F.expr(unrolled_d2_sql("sub", "cbv", sub_dim)) * 1e6, 0
     ).cast("long")
 
     codes = (
@@ -624,18 +631,7 @@ def pq_top_k_fixed_codebook(
         )
     )
     exact_d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("cv"),
-                F.col("qv"),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        * 1e6,
-        0,
+        F.expr(unrolled_d2_sql("cv", "qv", m * sub_dim)) * 1e6, 0
     ).cast("long")
     wr = Window.partitionBy("query_id").orderBy(
         F.col("d2_e6").asc(), F.col("vec_id").asc()
@@ -683,11 +679,11 @@ def ivf_pq_top_k_fixed(
     encode → ADC → re-rank bit-for-bit. Returns
     (query_id, rank, vec_id, d2_e6)."""
 
-    def d2e6(a_col, b_col):
+    def d2e6(a_name: str, b_name: str, d: int):
         return F.aggregate(
             F.zip_with(
-                a_col,
-                b_col,
+                F.col(a_name),
+                F.col(b_name),
                 lambda x, y: F.round(
                     (x.cast("double") - y.cast("double"))
                     * (x.cast("double") - y.cast("double"))
@@ -711,7 +707,7 @@ def ivf_pq_top_k_fixed(
         .agg(
             F.min(
                 F.struct(
-                    d2e6(F.col("cv"), F.col("cent_v")).alias("d"),
+                    d2e6("cv", "cent_v", m * sub_dim).alias("d"),
                     F.col("cid").alias("cid"),
                 )
             ).alias("best")
@@ -727,7 +723,7 @@ def ivf_pq_top_k_fixed(
     q_probes = (
         q.join(cent)
         .select(
-            "query_id", "cid", d2e6(F.col("qv"), F.col("cent_v")).alias("d")
+            "query_id", "cid", d2e6("qv", "cent_v", m * sub_dim).alias("d")
         )
         .withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= n_probe)
@@ -745,7 +741,7 @@ def ivf_pq_top_k_fixed(
     def sub_rows(df: DataFrame, id_col: str, vec_col: str, out_id: str):
         return _pq_sub_rows(df, id_col, vec_col, out_id, m, sub_dim)
 
-    sub_d2 = d2e6(F.col("sub"), F.col("cbv"))
+    sub_d2 = d2e6("sub", "cbv", sub_dim)
     codes = (
         sub_rows(c, "vec_id", "cv", "vec_id")
         .join(cb, "s")
@@ -785,7 +781,7 @@ def ivf_pq_top_k_fixed(
         .select(
             "query_id",
             "vec_id",
-            d2e6(F.col("cv"), F.col("qv")).alias("d2_e6"),
+            d2e6("cv", "qv", m * sub_dim).alias("d2_e6"),
         )
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
@@ -799,6 +795,7 @@ def kmeans_fixed_rounds(
     n_rounds: int = 2,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means with FIXED init and a FIXED round count — the
     corpus-clustering step of data-mixing / SemDeDup pipelines, made a
@@ -830,6 +827,21 @@ def kmeans_fixed_rounds(
     compile per round costs more than the explode shuffle it saves.
     Returns the final assignment (vec_id, cid, d2_e6).
     """
+    from archive_to_parquet_spark.functions.vectors import unrolled_d2e6_sql
+    from archive_to_parquet_spark.operators.dedup import spread_small_scan
+
+    # Round 11 (guide §4.1/§2.5): the distance evaluation dominated the
+    # entry (r11 profile: 8.8 s of 9.5 s executor time, almost all in
+    # ONE task because the small corpus parquet arrives as a single
+    # partition). Two fixes, both no-ops at scale: spread the corpus
+    # across the cluster's slots before the CPU-heavy distance scan
+    # (spread_small_scan — no-op when the scan is already wide), and
+    # when the embedding dim is known, evaluate the distance as an
+    # unrolled codegen-able sum instead of the interpreted
+    # aggregate/zip_with fold (bit-identical result — same per-term
+    # rounding, same addition order).
+    corpus = spread_small_scan(corpus, vec_id)
+
     # centroid frame: (cid int, cv array<double>); doubles from the
     # start so round-0 distances see the same values later rounds do
     cent_df = init_centroids.select(
@@ -838,20 +850,23 @@ def kmeans_fixed_rounds(
     )
 
     def assign(cent_df, carry_vec: bool = False):
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.col("cv"),
-                lambda x, y: F.round(
-                    (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double"))
-                    * 1e6,
-                    0,
+        if dim is not None:
+            d2 = F.expr(unrolled_d2e6_sql("v", "cv", dim))
+        else:
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.col("cv"),
+                    lambda x, y: F.round(
+                        (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double"))
+                        * 1e6,
+                        0,
+                    ),
                 ),
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ).cast("long")
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).cast("long")
         scored = (
             corpus.select(
                 F.col(vec_id).alias("vec_id"), F.col(vec_col).alias("v")
@@ -1076,9 +1091,7 @@ def lsh_epsilon_pairs(
         .join(vb, "id_b")
         .filter(
             F.round(
-                cosine_from_norms(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-                ),
+                cosine_from_norms("va", "vb", "na", "nb"),
                 6,
             )
             >= threshold
@@ -1116,6 +1129,7 @@ def cosine_dbscan(
     min_neighbors: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """DBSCAN with exact cosine ε-neighbors (similarity ≥ threshold,
     compared after 6dp rounding so an engine-order ulp can't flip a
@@ -1139,9 +1153,7 @@ def cosine_dbscan(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(
-                cosine_from_norms(
-                    F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")
-                ),
+                cosine_from_norms("a.v", "b.v", "a.n", "b.n"),
                 6,
             ).alias("cos6"),
         )

@@ -2783,7 +2783,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_top_k_fixed_centroids(emb, cent, q, k=10, n_probe=4, round_to=6)
+    return ivf_top_k_fixed_centroids(
+        emb, cent, q, k=10, n_probe=4, round_to=6, dim=64
+    )
 
 
 ANN_IVF_SQL = """

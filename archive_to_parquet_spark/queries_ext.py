@@ -879,7 +879,7 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("vec_id div 100").cast("int").alias("cid"),
         F.col("embedding").alias("centroid"),
     )
-    assigned = kmeans_fixed_rounds(emb, init, n_rounds=2)
+    assigned = kmeans_fixed_rounds(emb, init, n_rounds=2, dim=64)
     return assigned.groupBy("cid").agg(
         F.count("*").alias("n_members"),
         F.sum("d2_e6").alias("inertia_e6"),

@@ -640,23 +640,35 @@ def dedup_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (correlated ``generate_series`` + a filtered COUNT replace the
     ``list_filter(.., p -> ..)`` forms, whose ``->`` arrow DuckDB
     deprecated after 1.2)."""
+    from archive_to_parquet_spark.operators.dedup import spread_small_scan
+
     docs = _t(spark, sf_dir, "documents")
-    sfx = _suffix_rows(docs)
+    # round 11 (guide §2.5/§2.6): the documents parquet arrives as ONE
+    # split at bench scale, pinning the CPU-heavy normalize+explode+
+    # substr chain to a single task (4.4 s of the entry's profile).
+    # spread_small_scan repartitions on doc_id only when the scan is
+    # narrower than the cluster — a no-op on a 100-TB wide scan.
+    sfx = _suffix_rows(spread_small_scan(docs, "doc_id"))
     w = Window.partitionBy("pfx").orderBy("suffix", "doc_id", "pos")
     # prefix equality is monotone, so the count of agreeing prefix
     # lengths IS the LCP — except when the two (truncated) suffixes are
     # IDENTICAL, where every probed i agrees; clamp to the string
     # length.  Group members share the 25-char prefix by construction,
     # so the scan starts at 26 and adds the guaranteed 25.
+    #
+    # Round 11 (guide §4.1): the agree-count is an UNROLLED sum of the
+    # same per-i prefix-equality probes the
+    # ``filter(sequence(...), lambda ...)`` form evaluated interpreted
+    # (higher-order lambdas get no whole-stage codegen; this window
+    # stage was 4.2 s of the entry's profile). Identical probe set →
+    # identical count.
+    agree = " + ".join(
+        f"(CASE WHEN substr(suffix, 1, {i}) = substr(prev_sfx, 1, {i}) "
+        "THEN 1 ELSE 0 END)"
+        for i in range(_SFX_MIN + 1, _SFX_LEN + 1)
+    )
     lcp = F.least(
-        F.lit(_SFX_MIN)
-        + F.size(
-            F.filter(
-                F.sequence(F.lit(_SFX_MIN + 1), F.lit(_SFX_LEN)),
-                lambda i: F.substr(F.col("suffix"), F.lit(1), i)
-                == F.substr(F.col("prev_sfx"), F.lit(1), i),
-            )
-        ),
+        F.expr(f"{_SFX_MIN} + ({agree})"),
         F.length("suffix"),
         F.length("prev_sfx"),
     )
@@ -1356,18 +1368,35 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
-    mode_w = Window.partitionBy("a").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
-    )
     for _ in range(_LPA_ROUNDS):
         nbr = edges.join(
             labels, edges["b"] == labels["id"]
         ).select("a", "label")
         counts = nbr.groupBy("a", "label").agg(F.count("*").alias("cnt"))
+        # Round 11 (guide §2.3/§2.4): the per-node mode was a
+        # row_number window over (cnt DESC, label ASC) — an exchange on
+        # ``a`` PLUS a per-group sort. max(struct(cnt, −label)) picks
+        # the lexicographically identical winner (max count, ties to
+        # the smallest label), is map-side combinable (partial agg
+        # before the exchange), and drops the sort entirely. A fuller
+        # restructure (edge list checkpointed hash-partitioned on b +
+        # shuffle_hash round joins + single repartition(a)) was
+        # measured SLOWER locally (8.3 s vs 5.0 s rebuild at sf0.1) —
+        # the AQE-less checkpoint stages and the full-width nbr
+        # repartition cost more than the removed sort-merge sorts.
         labels = (
-            counts.withColumn("rn", F.row_number().over(mode_w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("a").alias("id"), "label")
+            counts.groupBy("a")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("neg_label")
+                    )
+                ).alias("best")
+            )
+            .select(
+                F.col("a").alias("id"),
+                (-F.col("best.neg_label")).alias("label"),
+            )
         )
     return (
         labels.groupBy("label")
