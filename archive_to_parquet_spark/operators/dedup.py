@@ -1097,6 +1097,16 @@ def semantic_dedup(
         cosine_from_norms,
         l2_norm_col,
     )
+    from archive_to_parquet_spark.plans.checkpoint import (
+        checkpoint_keeping_partitioning,
+    )
+
+    # round 11 (guide §2.5): the corpus parquet arrives as 1-2 splits at
+    # bench scale, pinning the nearest-centroid distance scan (the
+    # operator's dominant compute) to as many cores; spread_small_scan
+    # repartitions on id only when the scan is narrower than the
+    # cluster — a no-op on a wide 100-TB scan.
+    corpus = spread_small_scan(corpus, id_col)
 
     cent = F.broadcast(
         centroids.select(
@@ -1130,7 +1140,15 @@ def semantic_dedup(
             ),
             round_to,
         )
-    assigned = (
+    # round 11 (guide §2.4/§5): the assignment feeds THREE consumers
+    # (both sides of the in-bucket pairwise self-join and the final
+    # keep/drop join) — un-materialized, the broadcast-cross-join argmin
+    # (the operator's dominant compute: rows × centroids × dim) executed
+    # three times per run (measured: two ~4.8 s twin stages in the r11
+    # profile). Materialize it once; the groupBy already hash-partitions
+    # on id and the partitioning-keeping checkpoint preserves that for
+    # the final id-keyed join.
+    assigned = checkpoint_keeping_partitioning(
         corpus.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),

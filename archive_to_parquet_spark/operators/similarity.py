@@ -695,10 +695,18 @@ def ivf_pq_top_k_fixed(
             lambda acc, v: acc + v,
         )
 
+    from archive_to_parquet_spark.operators.dedup import spread_small_scan
+
     cent = F.broadcast(
         centroids.select(F.col("cid"), F.col("centroid").alias("cent_v"))
     )
-    c = corpus.select(
+    # round 11 (guide §2.5): the corpus parquet arrives as ONE split at
+    # bench scale, serializing the two CPU-heavy scan-rooted stages
+    # (coarse assignment argmin and the ×m PQ-encode explode) on a
+    # single core (r11 profile: 4.2 s + 3.9 s single-task stages).
+    # spread_small_scan repartitions on the id only when the scan is
+    # narrower than the cluster — a no-op on a wide 100-TB scan.
+    c = spread_small_scan(corpus, corpus_id).select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("cv")
     )
     assigned = (
@@ -943,13 +951,35 @@ def dbscan_from_pairs(
     join to attach borders. Everything shuffles on point/pair ids only.
     Returns (vec_id, role, cluster).
     """
-    from archive_to_parquet_spark.operators.dedup import connected_components
+    from pyspark.sql import Observation
+
+    from archive_to_parquet_spark.operators.dedup import (
+        _loop_partition_count,
+        _observed_row,
+        _shuffle_partitions_scope,
+        connected_components,
+    )
 
     # the pair list feeds FOUR consumers (degrees, two core semi-joins,
     # border attach) — materialize it once or the candidate generator's
     # join re-executes per consumer (measured 5× end-to-end on the
-    # exact-pairs form at sf0.1)
-    pairs = pairs.localCheckpoint()
+    # exact-pairs form at sf0.1). The pair count is harvested from the
+    # same materialization job (round 11): it sizes the shuffle-
+    # partition scope below, so the AQE-less checkpoint stages of the
+    # core table and the CC loop stop launching 32 tasks for
+    # ~500-row relations locally; big pair graphs hit the session
+    # ceiling and are untouched (r10 verdict ask #3, extended from the
+    # CC loop to the whole DBSCAN tail).
+    obs_pairs = Observation()
+    pairs = pairs.observe(
+        obs_pairs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
+    row = _observed_row(obs_pairs)
+    n_pairs = (
+        int(row["n"])
+        if row is not None and row.get("n") is not None
+        else pairs.count()
+    )
     directed = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nbr")
     ).unionByName(
@@ -960,27 +990,34 @@ def dbscan_from_pairs(
     )
 
     deg = directed.groupBy("id").agg(F.count("*").alias("n_nbrs"))
-    # core feeds THREE consumers (two semi-joins, the border anti-join)
-    # plus the self-loop seed — without materialization the degree
-    # aggregation re-executes inside each, including inside
-    # connected_components' edges checkpoint.  The groupBy already
-    # hash-partitions on id; the partitioning-keeping checkpoint lets
-    # every id-keyed consumer plan exchange-free.
-    core = checkpoint_keeping_partitioning(
-        deg.filter(F.col("n_nbrs") >= min_neighbors).select("id")
-    )
-    core_edges = (
-        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
-        .join(core.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
-        .select("id_a", "id_b")
-    )
-    # isolated core points (no core neighbor) still form their own
-    # cluster — seed the component table with self-loops
-    comps = connected_components(
-        core_edges.unionByName(
-            core.select(F.col("id").alias("id_a"), F.col("id").alias("id_b"))
+    with _shuffle_partitions_scope(
+        points.sparkSession, _loop_partition_count(points.sparkSession, 4 * n_pairs)
+    ):
+        # core feeds THREE consumers (two semi-joins, the border
+        # anti-join) plus the self-loop seed — without materialization
+        # the degree aggregation re-executes inside each, including
+        # inside connected_components' edges checkpoint.  The groupBy
+        # already hash-partitions on id; the partitioning-keeping
+        # checkpoint lets every id-keyed consumer plan exchange-free.
+        core = checkpoint_keeping_partitioning(
+            deg.filter(F.col("n_nbrs") >= min_neighbors).select("id")
         )
-    )
+        core_edges = (
+            pairs.join(
+                core.withColumnRenamed("id", "id_a"), "id_a", "left_semi"
+            )
+            .join(core.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+            .select("id_a", "id_b")
+        )
+        # isolated core points (no core neighbor) still form their own
+        # cluster — seed the component table with self-loops
+        comps = connected_components(
+            core_edges.unionByName(
+                core.select(
+                    F.col("id").alias("id_a"), F.col("id").alias("id_b")
+                )
+            )
+        )
     core_lbl = comps.select("id", F.col("component").alias("cluster"))
     border_lbl = (
         directed.join(core_lbl.withColumnRenamed("id", "nbr"), "nbr")

@@ -3328,6 +3328,7 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order cannot flip ranks; ties break on doc_id.
     """
     from archive_to_parquet_spark.plans.checkpoint import (
+        checkpoint_keeping_partitioning,
         checkpoint_partitioned,
     )
 
@@ -3346,7 +3347,15 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf")),
         "doc_id",
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # round 11 (guide §2.4/§5): dl feeds TWO consumers (corpus stats and
+    # the scoring join) — un-materialized, the whole tf pass + per-doc
+    # aggregation executed twice per run (the r11 profile's repeated
+    # 12-15 s checkpoint-consumer stages). dl is one small row per doc;
+    # the partitioning-keeping checkpoint keeps the doc_id co-partition
+    # so the scoring join still plans exchange-free.
+    dl = checkpoint_keeping_partitioning(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    )
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

@@ -35,7 +35,10 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         for f in files
         if f.endswith(".py")
     ):
-        tmp = zip_path + ".tmp"
+        # pid-unique staging name: concurrent drivers (bench + audit in
+        # parallel) each rename their own finished zip into place
+        # instead of racing on one shared .tmp
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
             for root, _, files in os.walk(_PKG_DIR):
                 for f in files:
