@@ -58,6 +58,20 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # An already-running session is returned UNTOUCHED: getOrCreate
+    # applies every builder .config() to the existing session's runtime
+    # conf, so a second get_spark() call in the same process (e.g.
+    # cli.main() used as a library function next to a caller-owned
+    # session) would silently clobber the caller's shuffle-partition
+    # count and planner settings — measured as a plan-shape drift
+    # (an extra exchange) in entries whose explicit repartitions are
+    # sized to co-partition with the session's shuffle count.
+    existing = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
+    if existing is not None and existing.sparkContext._jsc is not None:
+        ensure_package_shipped(existing)
+        return existing
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     # SPARK_GRAFT_SHUFFLE_PARTITIONS exists so the oracle gate can be

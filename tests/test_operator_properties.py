@@ -103,6 +103,23 @@ def test_spark_entry_contract(spark):
     assert df.count() > 0
 
 
+def test_get_spark_returns_existing_session_untouched(spark):
+    """A second ``get_spark()`` in a process that already has a live
+    session (the cli.main-as-library path) must return that session
+    WITHOUT applying its builder configs: getOrCreate copies every
+    .config() into the existing session's runtime conf, and a clobbered
+    ``spark.sql.shuffle.partitions`` changes plan shapes — entries whose
+    explicit repartitions are sized to co-partition with the session
+    count gain an exchange (observed: dedup_semantic pin 4 → 5 after a
+    CLI invocation inside the test session)."""
+    from archive_to_parquet_spark.session import get_spark
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    got = get_spark("would-clobber", shuffle_partitions=1234)
+    assert got is spark
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_catalog_docs_count_in_sync():
     """CATALOG.md / PARITY.md entry counts must match len(_CATALOG) —
     parity docs are the map the next round navigates by (r2 verdict
