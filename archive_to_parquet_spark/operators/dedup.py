@@ -402,8 +402,16 @@ def simhash_near_duplicates(
             F.col("b.id").alias("id_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter BEFORE the cross-chunk dedup (r11, guide §2.3):
+        # hamming is a function of the two signatures, so every
+        # duplicate of a pair carries the same value — filter-then-
+        # dedup ≡ dedup-then-filter, but only pairs inside the
+        # threshold cross the dropDuplicates exchange instead of every
+        # chunk collision. Catalyst cannot hoist this itself (a filter
+        # on a non-grouping column below a first-row aggregate is not
+        # semantics-preserving in general).
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -604,16 +612,42 @@ def _shuffle_partitions_scope(spark, n: int):
     """Temporarily pin ``spark.sql.shuffle.partitions`` (0 = no-op).
     Safe for the CC loops because every DataFrame escaping the scope is
     checkpoint-materialized inside it — nothing is lazily planned at
-    the capped count after restore."""
+    the capped count after restore.
+
+    Round 11: the scope also restores AQE's coalescing floor
+    (``minPartitionSize``) to the engine default for the loop's own
+    jobs. The session floor is lowered to 256k so small CPU-heavy
+    shuffles (shingle intersections, vector math) keep the cluster's
+    parallelism — but a CC loop runs dozens of KB-sized stages per
+    entry where aggressive coalescing to 1-2 tasks is exactly right;
+    without the restore the loop pays task-launch overhead × rounds
+    (measured +0.5-1 s on the label/star loops at sf0.1). The loop's
+    checkpoints execute eagerly INSIDE the ``with``, so the restore
+    covers every per-round job."""
     if not n:
         yield
         return
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_min = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", None
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m"
+    )
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        if old_min is None:
+            spark.conf.unset(
+                "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                old_min,
+            )
 
 
 def connected_components(
@@ -1043,8 +1077,14 @@ def decontaminate(
         ),
     )
     bench_grams = grams(bench_df).select("gram").distinct()
+    # round 11 (guide §2.5): the training side's explode → broadcast-
+    # probe → partial-agg chain is the operator's only corpus-sized
+    # compute; a single-split scan pins it to one core (measured 0.9 s
+    # single-task stage at sf0.1). spread_small_scan repartitions on id
+    # only when the scan is narrower than the cluster — and the
+    # groupBy(id) downstream reuses the partitioning.
     overlap = (
-        grams(train_df)
+        grams(spread_small_scan(train_df, id_col))
         .join(F.broadcast(bench_grams), "gram")
         .groupBy("id")
         .agg(F.count("*").alias("n_overlap_grams"))
@@ -1222,6 +1262,13 @@ def dedup_chunk_spans(
     join-back; AQE skew-join splits it, and the agg side is already
     map-side-combined.
     """
+    # round 11 (guide §2.5): the documents parquet arrives as one split
+    # at bench scale, pinning BOTH chunk-explode map stages (the agg
+    # side and the join-back side re-execute the explode) to one core —
+    # measured as two serial ~1 s single-task stages at sf0.1.
+    # spread_small_scan repartitions on id only when the scan is
+    # narrower than the cluster; a wide 100-TB scan is untouched.
+    df = spread_small_scan(df, id_col)
     words = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
     n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
     # guard the empty document: sequence(0, -1) would DESCEND ([0, -1]),
@@ -1809,8 +1856,11 @@ def hamming_near_duplicates(
             F.col("b.id").alias("id_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # same filter-before-dedup reorder as simhash_near_duplicates
+        # (r11, guide §2.3): identical pair set, fewer rows through the
+        # dropDuplicates exchange.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -497,7 +497,13 @@ def hard_negatives(
         F.col(query_label).alias("q_label"),
         l2_norm_col(query_vec).alias("qn"),
     )
-    c = corpus.select(
+    from archive_to_parquet_spark.operators.dedup import spread_small_scan
+
+    # round 11 (guide §2.5): the corpus-side scoring scan (cosine ×
+    # broadcast queries) is the operator's dominant compute; a
+    # single-split scan pins it to one core (1.4 s single-task stage at
+    # sf0.1). spread_small_scan is a no-op on a wide 100-TB scan.
+    c = spread_small_scan(corpus, corpus_id).select(
         F.col(corpus_id).alias("neg_id"),
         F.col(corpus_vec).alias("cv"),
         F.col(corpus_label).alias("c_label"),

@@ -1473,9 +1473,13 @@ def text_topgram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     to doc lengths. No window over unpartitioned data; scales linearly
     in total shingle count."""
     from archive_to_parquet_spark.functions.text import word_ngrams_col
+    from archive_to_parquet_spark.operators.dedup import spread_small_scan
 
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
+    # round 11 (guide §2.5): the shingle explode is the entry's only
+    # corpus-sized map work; a single-split scan pins it to one core
+    # (0.8 s single-task stage at sf0.1). No-op on a wide scan.
+    grams = spread_small_scan(docs, "doc_id").select(
         "doc_id", F.explode(word_ngrams_col("text", 2)).alias("gram")
     )
     counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
@@ -3311,6 +3315,42 @@ _BM25_QUERIES: list[tuple[str, list[str]]] = [
     ("q_scan", ["hash", "table", "scan"]),
     ("q_sort", ["window", "sort", "merge"]),
 ]
+
+
+def _bm25_relevance(docs: DataFrame) -> DataFrame:
+    """Deterministic relevance set for the BM25 eval entries:
+    (query_id, doc_id) for every document containing EVERY term of the
+    query.
+
+    Round 11 (guide §2.3/§3.3): formerly crossJoin(docs × broadcast
+    term list) — a BroadcastNestedLoopJoin that streamed every document
+    row 9× with the full text attached, then re-aggregated on
+    (query_id, doc_id) to count per-query term hits (one more
+    exchange). The query list is a tiny module literal, so the same
+    set is computable in ONE narrow projection: per document a boolean
+    AND of contains() per query, then explode the matching query ids —
+    no pair multiplication, no BNLJ, no aggregation exchange. Pair set
+    is identical by construction (doc relevant ⇔ AND of its term
+    containments), verified by the unchanged oracle hashes."""
+    import functools
+
+    low = F.lower("text")
+    per_query = [
+        F.when(
+            functools.reduce(
+                lambda a, b: a & b,
+                [F.contains(low, F.lit(t)) for t in terms],
+            ),
+            F.lit(qid),
+        )
+        for qid, terms in _BM25_QUERIES
+    ]
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.array(*per_query), lambda x: x.isNotNull())
+        ).alias("query_id"),
+    ).select("query_id", "doc_id")
 
 
 def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2109,23 +2109,14 @@ def eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     nano-units, ndcg = round(dcg/idcg, 6) on bit-identical integers.
     Returns (query_id, n_rel, ndcg).
     """
-    from archive_to_parquet_spark.queries import _BM25_QUERIES, search_bm25
+    from archive_to_parquet_spark.queries import _bm25_relevance, search_bm25
 
     docs = _t(spark, sf_dir, "documents")
     ranked = search_bm25(spark, sf_dir)
-    qterms = spark.createDataFrame(
-        [(qid, t, len(terms)) for qid, terms in _BM25_QUERIES for t in terms],
-        "query_id string, term string, n_terms int",
-    )
-    # relevant (query_id, doc_id): docs containing every term
-    rel = (
-        docs.crossJoin(F.broadcast(qterms))
-        .filter(F.contains(F.lower("text"), F.col("term")))
-        .groupBy("query_id", "doc_id", "n_terms")
-        .agg(F.count("*").alias("n_hit"))
-        .filter(F.col("n_hit") == F.col("n_terms"))
-        .select("query_id", "doc_id")
-    )
+    # relevant (query_id, doc_id): docs containing every term — one
+    # narrow projection against the literal query list (r11, guide
+    # §2.3/§3.3: replaces a docs×terms BNLJ + per-pair re-aggregation)
+    rel = _bm25_relevance(docs)
     n_rel = rel.groupBy("query_id").agg(F.count("*").alias("n_rel"))
     disc = F.element_at(
         F.array(*[F.lit(d) for d in _NDCG_DISC_E9]), F.col("rank")

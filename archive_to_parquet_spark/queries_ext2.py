@@ -252,6 +252,13 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch is ≤ d·w rows by construction).
     """
     docs = _t(spark, sf_dir, "documents")
+    # round 11 negative result (kept lazy + narrow): BOTH a
+    # spread_small_scan on the input (rebuild 1.43 → 1.57 s — the
+    # repartition re-executes in all four legs) and a localCheckpoint
+    # of the bounded sketch (rebuild 1.43 → 1.77 s — serial barrier)
+    # measured WORSE at sf0.1; the four ~0.9 s single-task legs are
+    # cheaper than either fix locally. At 100 TB the checkpoint form
+    # is the right one (d fewer corpus passes) — see OPTIMIZATION_r11.
     words = docs.select(
         F.explode(
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))

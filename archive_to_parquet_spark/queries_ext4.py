@@ -602,22 +602,17 @@ def eval_mrr_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus scan against the broadcast term list; the readout joins
     a 30-row ranking with the relevance set and folds to one row per
     query."""
-    from archive_to_parquet_spark.queries import _BM25_QUERIES, search_bm25
+    from archive_to_parquet_spark.queries import (
+        _BM25_QUERIES,
+        _bm25_relevance,
+        search_bm25,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     ranked = search_bm25(spark, sf_dir)
-    qterms = spark.createDataFrame(
-        [(qid, t, len(terms)) for qid, terms in _BM25_QUERIES for t in terms],
-        "query_id string, term string, n_terms int",
-    )
-    rel = (
-        docs.crossJoin(F.broadcast(qterms))
-        .filter(F.contains(F.lower("text"), F.col("term")))
-        .groupBy("query_id", "doc_id", "n_terms")
-        .agg(F.count("*").alias("n_hit"))
-        .filter(F.col("n_hit") == F.col("n_terms"))
-        .select("query_id", "doc_id")
-    )
+    # one narrow projection against the literal query list (r11, guide
+    # §2.3/§3.3: replaces a docs×terms BNLJ + per-pair re-aggregation)
+    rel = _bm25_relevance(docs)
     first_rel = (
         ranked.join(rel, ["query_id", "doc_id"], "left_semi")
         .groupBy("query_id")

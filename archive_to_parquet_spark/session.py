@@ -86,6 +86,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's parallelism-first coalescing merges post-shuffle
+        # partitions up to minPartitionSize (default 1m) — right for
+        # byte-bound stages, wrong for the CPU-heavy kernels this
+        # engine runs on KB-scale shuffled rows (shingle-array
+        # intersections, vector distances): a 6 MB shuffle coalesced to
+        # 5 × ~1.2 MB partitions pins minutes of per-row compute to 5
+        # cores (measured: dedup_ngram_jaccard's confirm stage, 5.5 s
+        # executor time over 5 tasks). 64k floors the merge so small
+        # shuffles keep the session's parallelism; production-size
+        # shuffles sit far above either threshold and are untouched.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
