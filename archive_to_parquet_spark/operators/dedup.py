@@ -549,11 +549,23 @@ def containment_pairs(
     ppm = F.expr(
         "size(array_intersect(sh_a, sh_b)) * 1000000L div size(sh_a)"
     )
+    # Round 12 (guide §1.2 "per-task work"): C(a→b) ≥ t needs
+    # |S(a)∩S(b)| ≥ t·|S(a)|, and the intersection can never exceed
+    # |S(b)| — so |S(b)| ≥ t·|S(a)| is IMPLIED by the ppm threshold and
+    # adding it changes no result. As the first conjunct of the confirm
+    # filter it short-circuits the O(|a|+|b|) array_intersect for every
+    # candidate whose candidate superset is too small (exact integer
+    # compare, no rounding).
+    thr = int(threshold * 1_000_000)
+    size_ok = (
+        F.size("sh_b").cast("long") * 1_000_000 >= thr * F.size("sh_a").cast("long")
+    )
     return (
         cand.join(a, "id_sub")
         .join(b, "id_sup")
+        .filter(size_ok)
         .select("id_sub", "id_sup", ppm.alias("containment_ppm"))
-        .filter(F.col("containment_ppm") >= int(threshold * 1_000_000))
+        .filter(F.col("containment_ppm") >= thr)
     )
 
 

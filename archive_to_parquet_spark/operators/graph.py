@@ -29,6 +29,7 @@ def pagerank(
     dst: str = "dst",
     assume_distinct: bool = False,
     checkpoint_every: int = 3,
+    checkpoint_edges: bool = True,
 ) -> DataFrame:
     """PageRank by power iteration over a directed edge list; returns
     (node, rank) for every node appearing as src or dst.
@@ -61,7 +62,14 @@ def pagerank(
         # union of a distinct pair set with its prefix-disjoint reverse)
         # pass assume_distinct=True and skip this corpus-sized shuffle
         e = e.distinct()
-    e = e.localCheckpoint()
+    if checkpoint_edges:
+        # callers whose edge frame is already a cheap view over
+        # materialized rows (e.g. a union of one checkpointed half with
+        # its reverse — graph_pagerank) pass checkpoint_edges=False:
+        # re-materializing the union here would only copy the blocks
+        # (round 12; the scan profile showed the source table read once
+        # per union branch because the checkpoint sat ABOVE the union)
+        e = e.localCheckpoint()
     deg = out_degrees(e)
     # per-edge contribution weight (1/out_deg) is precomputed ONCE, so
     # rounds multiply instead of re-dividing. Computed with a count
@@ -88,20 +96,30 @@ def pagerank(
         ),
         "src",
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+    # One action answers all three validations (round 12): total node
+    # count, nodes lacking an OUT-edge (dangling — an error), and nodes
+    # lacking an IN-edge. The third is new: when every node has an
+    # in-edge (true for any symmetrized graph — the entry's case), the
+    # per-round `nodes LEFT JOIN contribs` exists only to re-attach
+    # nodes that received no mass, i.e. it re-attaches NOTHING — the
+    # groupBy(dst) already emits one row per node. Dropping it removes
+    # one join + one exchange + one scan of the node list per round
+    # (guide §2.4), and the node-list union/distinct/checkpoint setup
+    # job with it. `full_outer` of the distinct-dst set against the
+    # out-degree table sees the union of both node sets, so `n` is
+    # counted over exactly the node universe the old code used.
+    n, dangling, no_in = (
+        e.select(F.col("dst").alias("node"))
         .distinct()
-        .localCheckpoint()
-    )
-    # one action answers both validations: total node count and whether
-    # any node lacks an out-edge
-    n, dangling = (
-        nodes.join(deg, "node", "left")
+        .withColumn("has_in", F.lit(1))
+        .join(deg, "node", "full_outer")
         .agg(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("out_deg").isNull(), 1).otherwise(0)).alias(
                 "dangling"
+            ),
+            F.sum(F.when(F.col("has_in").isNull(), 1).otherwise(0)).alias(
+                "no_in"
             ),
         )
         .first()
@@ -112,6 +130,20 @@ def pagerank(
             "symmetrize the edge list or drop sink nodes first"
         )
     base = (1.0 - damping) / n
+    if no_in:
+        # general path: some node never appears as dst — it must be
+        # re-attached every round with base mass, so keep the node
+        # list and the per-round left join
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+    else:
+        # in-coverage path: every node appears as dst, so the seed is
+        # simply the out-degree key set (== all nodes: no dangling)
+        nodes = deg.select("node")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(n_iter):
         # contrib_edges rides its recorded hash(src) partitioning, so
@@ -124,23 +156,35 @@ def pagerank(
         # of the edge list (what a MERGE pin would cost; measured
         # 15-28 s executor per round at sf0.1). The groupBy(dst) is
         # the round's one shuffle.
-        contribs = (
-            contrib_edges.join(
-                ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
-                "src",
+        joined = contrib_edges.join(
+            ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src",
+        )
+        if no_in:
+            contribs = (
+                joined.groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") * F.col("weight")).alias("in_mass"))
             )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("weight")).alias("in_mass"))
-        )
-        ranks = nodes.join(
-            contribs.hint("shuffle_hash"), "node", "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
-            ).alias("rank"),
-        )
+            ranks = nodes.join(
+                contribs.hint("shuffle_hash"), "node", "left"
+            ).select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+        else:
+            # same sum, same grouping, same float expression — the
+            # affine transform just moves into the aggregate's result
+            # projection since no row can be absent
+            ranks = joined.groupBy(F.col("dst").alias("node")).agg(
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.sum(F.col("rank") * F.col("weight"))
+                ).alias("rank")
+            )
         # cut lineage on cadence, never after the final round (the
         # caller's action executes the tail rounds in one job)
         if (it + 1) % checkpoint_every == 0 and it < n_iter - 1:

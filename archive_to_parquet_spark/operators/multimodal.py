@@ -1116,6 +1116,85 @@ def extract_video_metadata(
     return df.select(id_col, data_col).mapInPandas(batches, VIDEO_META_DDL)
 
 
+def extract_header_metadata_fused(
+    df: DataFrame,
+    image_cols: tuple[str, ...] = (),
+    audio_cols: tuple[str, ...] = (),
+    video_cols: tuple[str, ...] = (),
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Header metadata for MANY media columns in ONE Arrow pass.
+
+    Round 12 (guide §4.2, r11 verdict ask #4): a multi-format
+    certification entry built from the per-column extractors costs one
+    MapInPandas boundary per format plus (formats−1) joins — for
+    ``multimodal_header_decode`` that was 10 Arrow legs + 9 joins whose
+    wall was Catalyst analysis of the 10-leg plan, not executor work.
+    Dispatching per column inside ONE kernel makes N formats cost one
+    boundary, one scan of the constructed media frame, and zero joins.
+
+    Per-format results are IDENTICAL to the single-column extractors:
+    the same kernels run per cell (``_real_decode_image``,
+    ``_real_decode_audio``, ``parse_video_header`` — decode="real"
+    semantics, including their error contracts); only the plan shape
+    changes. Unused per-format outputs (hash features) are dropped
+    after decode, exactly as the per-leg form dropped them post-join.
+
+    Output: ``id_col`` plus, per image column c — ``{c}_width int,
+    {c}_height int, {c}_channels int``; per audio column c —
+    ``{c}_rate int, {c}_samples long, {c}_duration_s double``
+    (unrounded; callers round); per video column c — ``{c}_duration_s
+    double, {c}_n_frames long, {c}_width int, {c}_height int``.
+    """
+    fields = [f"{id_col} long"]
+    for c in image_cols:
+        fields += [f"{c}_width int", f"{c}_height int", f"{c}_channels int"]
+    for c in audio_cols:
+        fields += [f"{c}_rate int", f"{c}_samples long", f"{c}_duration_s double"]
+    for c in video_cols:
+        fields += [
+            f"{c}_duration_s double",
+            f"{c}_n_frames long",
+            f"{c}_width int",
+            f"{c}_height int",
+        ]
+    ddl = ", ".join(fields)
+
+    def _video_kernel(data: bytes) -> dict:
+        meta = parse_video_header(data)
+        if meta is None:
+            magic = (data or b"")[:8].hex()
+            raise NotImplementedError(
+                f"video metadata parse supports MP4/MOV/AVI/WebM; "
+                f"bytes with magic {magic!r} need a demuxer (PyAV)"
+            )
+        return meta
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {id_col: pdf[id_col].values}
+            for c in image_cols:
+                decoded = [_real_decode_image(d) for d in pdf[c]]
+                out[f"{c}_width"] = [d[0] for d in decoded]
+                out[f"{c}_height"] = [d[1] for d in decoded]
+                out[f"{c}_channels"] = [d[2] for d in decoded]
+            for c in audio_cols:
+                decoded = [_real_decode_audio(d) for d in pdf[c]]
+                out[f"{c}_rate"] = [d[0] for d in decoded]
+                out[f"{c}_samples"] = [d[1] for d in decoded]
+                out[f"{c}_duration_s"] = [d[2] for d in decoded]
+            for c in video_cols:
+                metas = [_video_kernel(d) for d in pdf[c]]
+                out[f"{c}_duration_s"] = [m["duration_s"] for m in metas]
+                out[f"{c}_n_frames"] = [m["n_frames"] for m in metas]
+                out[f"{c}_width"] = [m["width"] for m in metas]
+                out[f"{c}_height"] = [m["height"] for m in metas]
+            yield pd.DataFrame(out)
+
+    cols = [id_col, *image_cols, *audio_cols, *video_cols]
+    return df.select(*cols).mapInPandas(batches, ddl)
+
+
 def media_table_from_entries(entries: DataFrame) -> DataFrame:
     """Adapt the canonical entries table into the media schema (content →
     data), classifying kind from magic bytes JVM-side. RIFF is a

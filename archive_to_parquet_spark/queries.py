@@ -2298,9 +2298,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split(norm, " "), 1, 30), " ").alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)
-    return containment_pairs(
+    # round 12 (guide §2.4/§7): the deterministic-output orderBy plans
+    # a RANGE exchange whose bounds-sampling pass re-executes its
+    # child — here the whole fused candidate-join + array_intersect
+    # confirm ran TWICE per execution (the r12 profile's twin stages,
+    # one writing nothing). Materializing the confirmed pairs (the
+    # tiny filtered result, 67 rows at sf0.1) right below the sort
+    # makes the sampler read blocks instead of recomputing the confirm.
+    confirmed = containment_pairs(
         corpus, "doc_id", "text", shingle_n=3, threshold=0.9
-    ).orderBy("id_sub", "id_sup")
+    ).localCheckpoint()
+    return confirmed.orderBy("id_sub", "id_sup")
 
 
 DEDUP_CONTAINMENT_SQL = r"""
@@ -3340,6 +3348,13 @@ def _bm25_relevance(docs: DataFrame) -> DataFrame:
             functools.reduce(
                 lambda a, b: a & b,
                 [F.contains(low, F.lit(t)) for t in terms],
+                # initializer (ADVICE r11): reduce() over an empty term
+                # list raised TypeError at plan build. TRUE reads the
+                # empty query as vacuously satisfied ("no term is
+                # missing"); _BM25_QUERIES is a fixed non-empty literal,
+                # so for every real query `true AND ...` constant-folds
+                # away and results are unchanged.
+                F.lit(True),
             ),
             F.lit(qid),
         )
@@ -4248,15 +4263,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archive_to_parquet_spark.operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-    ).distinct()
+    # round 12 (guide §2.4): materialize the DIRECTED half once, below
+    # the symmetrizing union — the union sat above the checkpoint
+    # before, so the lineitem scan + distinct executed once per union
+    # branch (the r12 profile's twin 46-task scan stages); now the
+    # reverse branch re-reads the checkpointed blocks instead
+    e0 = (
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # the union of a distinct pair set with its reverse is distinct by
     # construction (src/dst prefixes are disjoint) — skip the internal
-    # distinct shuffle
-    pr = pagerank(edges, n_iter=3, damping=0.85, assume_distinct=True)
+    # distinct shuffle; the union-of-blocks view is cheap per consumer,
+    # so pagerank's own edge checkpoint (a block copy) is skipped too
+    pr = pagerank(
+        edges,
+        n_iter=3,
+        damping=0.85,
+        assume_distinct=True,
+        checkpoint_edges=False,
+    )
     return (
         pr.select("node", F.round("rank", 10).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("node").asc())

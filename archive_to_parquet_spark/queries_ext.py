@@ -1264,13 +1264,18 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the feature frames keys on doc_id (broadcast-sized here; at corpus
     scale all sides are co-partitioned by id).
     """
+    from archive_to_parquet_spark.operators.dedup import spread_small_scan
     from archive_to_parquet_spark.operators.multimodal import (
-        extract_audio_features,
-        extract_image_features,
-        extract_video_metadata,
+        extract_header_metadata_fused,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the one-split documents scan across the cluster BEFORE the
+    # byte construction + fused decode (guide §2.5): with the ten
+    # per-format legs fused into one kernel the whole decode otherwise
+    # runs as a single task; no-op on a wide 100-TB scan
+    docs = spread_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     width = (F.col("doc_id") % 300 + 16).cast("long")
     height = (F.col("doc_id") % 200 + 16).cast("long")
     png = F.concat(
@@ -1486,48 +1491,45 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("adts", adts)
         .drop("_adts_frame_hex", "_n_frames")
     )
-    img = extract_image_features(
-        media, data_col="png", id_col="doc_id", decode="real"
-    ).select(
-        F.col("media_id").alias("doc_id"), "width", "height", "channels"
+    # Round 12 (guide §4.2, r11 verdict ask #4): the ten per-format
+    # extractor legs + nine doc_id joins are fused into ONE Arrow
+    # boundary — same kernels per cell, identical per-format results,
+    # but the plan is one MapInPandas over one scan of the constructed
+    # media frame instead of a 10-leg join tree whose wall was Catalyst
+    # analysis, not executor work.
+    fused = extract_header_metadata_fused(
+        media,
+        image_cols=("png",),
+        audio_cols=("wav", "ogg", "opus", "m4a", "adts", "aiff", "au", "mp3"),
+        video_cols=("webm",),
+        id_col="doc_id",
     )
 
-    def aud_features(col: str, prefix: str) -> DataFrame:
-        return extract_audio_features(
-            media, data_col=col, id_col="doc_id", decode="real"
-        ).select(
-            F.col("media_id").alias("doc_id"),
-            F.col("sample_rate").alias(f"{prefix}rate"),
-            F.col("n_samples").alias(f"{prefix}samples"),
-            F.round("duration_s", 6).alias(f"{prefix}duration_s"),
-        )
+    def aud_cols(col: str, prefix: str) -> list:
+        return [
+            F.col(f"{col}_rate").alias(f"{prefix}rate"),
+            F.col(f"{col}_samples").alias(f"{prefix}samples"),
+            F.round(f"{col}_duration_s", 6).alias(f"{prefix}duration_s"),
+        ]
 
-    aud = extract_audio_features(
-        media, data_col="wav", id_col="doc_id", decode="real"
-    ).select(
-        F.col("media_id").alias("doc_id"),
-        "sample_rate",
-        "n_samples",
-        F.round("duration_s", 6).alias("duration_s"),
-    )
-    vid = extract_video_metadata(
-        media, data_col="webm", id_col="doc_id", decode="real"
-    ).select(
-        F.col("media_id").alias("doc_id"),
-        F.col("width").alias("webm_width"),
-        F.col("height").alias("webm_height"),
-        F.round("duration_s", 6).alias("webm_duration_s"),
-    )
-    return (
-        img.join(aud, "doc_id")
-        .join(aud_features("ogg", "ogg_"), "doc_id")
-        .join(aud_features("opus", "opus_"), "doc_id")
-        .join(aud_features("m4a", "m4a_"), "doc_id")
-        .join(aud_features("adts", "adts_"), "doc_id")
-        .join(aud_features("aiff", "aiff_"), "doc_id")
-        .join(aud_features("au", "au_"), "doc_id")
-        .join(aud_features("mp3", "mp3_"), "doc_id")
-        .join(vid, "doc_id")
+    return fused.select(
+        "doc_id",
+        F.col("png_width").alias("width"),
+        F.col("png_height").alias("height"),
+        F.col("png_channels").alias("channels"),
+        F.col("wav_rate").alias("sample_rate"),
+        F.col("wav_samples").alias("n_samples"),
+        F.round("wav_duration_s", 6).alias("duration_s"),
+        *aud_cols("ogg", "ogg_"),
+        *aud_cols("opus", "opus_"),
+        *aud_cols("m4a", "m4a_"),
+        *aud_cols("adts", "adts_"),
+        *aud_cols("aiff", "aiff_"),
+        *aud_cols("au", "au_"),
+        *aud_cols("mp3", "mp3_"),
+        F.col("webm_width"),
+        F.col("webm_height"),
+        F.round("webm_duration_s", 6).alias("webm_duration_s"),
     )
 
 
@@ -2112,32 +2114,45 @@ def eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from archive_to_parquet_spark.queries import _bm25_relevance, search_bm25
 
     docs = _t(spark, sf_dir, "documents")
-    ranked = search_bm25(spark, sf_dir)
-    # relevant (query_id, doc_id): docs containing every term — one
-    # narrow projection against the literal query list (r11, guide
-    # §2.3/§3.3: replaces a docs×terms BNLJ + per-pair re-aggregation)
+    # Round 12 (guide §2.4, verdict ask #9): n_rel and the DCG join
+    # each consumed the relevance projection, re-running the full
+    # docs scan + 9 contains() per document TWICE per run (the r12
+    # profile's twin 3.4 s + 2.1 s scan stages). The 30-row ranking is
+    # checkpointed (so its TWO tiny consumers below don't re-run the
+    # whole BM25 build) and broadcast INTO one rel pass that computes
+    # n_rel and dcg in a single aggregation. Identical results: the
+    # (ranked ∩ rel) pair set contributes the same exact-integer disc
+    # terms, queries ranked-but-irrelevant come back via the full join
+    # with the ranked query ids (dcg 0 ≡ old coalesce), and queries
+    # relevant-but-unranked sum zero hits (≡ old left-join nulls).
+    ranked = search_bm25(spark, sf_dir).localCheckpoint()
     rel = _bm25_relevance(docs)
-    n_rel = rel.groupBy("query_id").agg(F.count("*").alias("n_rel"))
     disc = F.element_at(
         F.array(*[F.lit(d) for d in _NDCG_DISC_E9]), F.col("rank")
     )
-    dcg = (
-        ranked.join(
-            rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    per_q = (
+        rel.join(
+            F.broadcast(ranked.select("query_id", "doc_id", "rank")),
+            ["query_id", "doc_id"],
+            "left",
         )
         .groupBy("query_id")
         .agg(
+            F.count("*").alias("n_rel"),
             F.sum(
-                F.coalesce("is_rel", F.lit(0)).cast("long") * disc
-            ).alias("dcg_e9")
+                F.when(F.col("rank").isNotNull(), disc)
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("dcg_e9"),
         )
     )
+    rq = ranked.select("query_id").distinct()
     idcg = F.element_at(
         F.array(*[F.lit(v) for v in _NDCG_IDCG_E9]),
         F.least(F.col("n_rel"), F.lit(10)).cast("int"),
     )
     return (
-        dcg.join(n_rel, "query_id", "full")
+        per_q.join(rq, "query_id", "full")
         .select(
             "query_id",
             F.coalesce("n_rel", F.lit(0)).alias("n_rel"),

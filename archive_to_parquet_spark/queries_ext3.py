@@ -1081,6 +1081,86 @@ GROUP BY 1
 """
 
 
+def maintenance_stream_index_compaction_fold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FOLD leg of the streaming suffix-index compaction, timed per
+    run (r11 verdict ask #5): the headline
+    ``maintenance_stream_index_compaction`` entry stages the fold once
+    per input fingerprint (the staged-layout family convention), so its
+    bench number measures the fold *decision* + probe — the per-run
+    cost of the daily maintenance loop — but never the fold work
+    itself. This twin pays the actual fold on EVERY execution: read the
+    aged ``batch_id <= 2`` partitions of the same staged accumulated
+    index, distinct the prefixes, and rewrite the bucketed base table
+    from scratch (no fingerprint staging — the output directory is
+    removed first so each run performs the full distinct + bucketed
+    write). Returns the folded base, whose closed form the oracle
+    states directly: the distinct prefixes of slices 0-2.
+
+    Scale shape: the fold is ONE distinct shuffle over the aged
+    partitions plus one bucketed write — exactly what a production
+    compaction pays, amortized over however many probe runs the base
+    then serves (the headline entry measures those)."""
+    import re
+    import shutil
+
+    from archive_to_parquet_spark.plans.bucketing import (
+        _input_fingerprint,
+        ensure_parquet_snapshot,
+    )
+    from archive_to_parquet_spark.queries_ext import _stage_dir
+    from archive_to_parquet_spark.streaming.suffix_index import (
+        compact_suffix_index,
+    )
+
+    suffix = re.sub(r"\W", "_", sf_dir.rstrip("/").split("sf")[-1])
+    stage = _stage_dir("sfxcompact", sf_dir)
+    idx_dir = os.path.join(stage, "index")
+    docs = _t(spark, sf_dir, "documents")
+    fp = ["sfxcompact-v1", _input_fingerprint(f"{sf_dir}/documents.parquet")]
+
+    # the same staged accumulated index the headline entry probes
+    # (shared stage dir + fingerprint, so neither entry re-stages it)
+    for k in range(4):
+        ensure_parquet_snapshot(
+            spark,
+            os.path.join(idx_dir, f"batch_id={k}"),
+            lambda k=k: (
+                _suffix_rows(docs.filter(F.col("doc_id") % 5 == k))
+                .select("pfx")
+                .distinct()
+            ),
+            fp,
+        )
+
+    out = os.path.join(stage, "fold_timed")
+    shutil.rmtree(out, ignore_errors=True)
+    tfold = f"sfxcmp_foldtimed_{suffix}"
+    compact_suffix_index(
+        spark,
+        idx_dir,
+        tfold,
+        out,
+        max_batch_id=2,
+        num_buckets=8,
+        # NO fingerprint: the fold re-executes on every run — this
+        # entry exists to TIME it
+    )
+    return spark.table(tfold).select("pfx")
+
+
+MAINTENANCE_STREAM_INDEX_FOLD_SQL = f"""
+WITH {_SFX_SQL_PRELUDE},
+sfx AS (
+  SELECT doc_id, substr(norm, g.pos, {_SFX_MIN}) AS pfx
+  FROM norm, series g
+  WHERE {_SFX_SQL_WHERE}
+)
+SELECT DISTINCT pfx FROM sfx WHERE doc_id % 5 <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # A/B experiment readout: Welch's t-test from exact integer moments
 # ---------------------------------------------------------------------------
@@ -1346,6 +1426,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph_pagerank``. The co-purchase expansion is bounded by basket
     size, not catalog size."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Round 12 negative result: rebuilding the pairs from per-order
+    # collect_set baskets (one scan + explode×explode instead of the
+    # two-scan self-join) measured a WASH on rebuild (3.21 → 3.21 s)
+    # and a regression on the execute side (bench 1.41 → 1.97 s, the
+    # rounds' join strategy drifted) — reverted; the self-join form
+    # stands.
     pairs = (
         li.alias("x")
         .join(li.alias("y"), "l_orderkey")
@@ -1359,7 +1445,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed-label derivation) reuse it, instead of re-running the
     # lineitem self-join + distinct per consumer (the
     # lsh_epsilon_pairs precedent; the checkpoint subplan stays inside
-    # the audit via recording_checkpoint_plans)
+    # the audit via recording_checkpoint_plans).
+    # Round 12 negative result: checkpointing the DIRECTED half below
+    # the union (the pagerank single-scan fix) measured SLOWER here
+    # (rebuild 3.21 → 3.42 s) — unlike pagerank's concat-keyed
+    # branches, the two union branches are IDENTICAL subplans up to
+    # projection, so ReuseExchange already elides the duplication, and
+    # un-materializing the union just made every consumer re-union the
+    # blocks. Kept as-is.
     edges = (
         pairs.select("a", "b")
         .union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -1601,5 +1694,9 @@ CATALOG = {
     "maintenance_stream_index_compaction": (
         maintenance_stream_index_compaction,
         MAINTENANCE_STREAM_INDEX_COMPACTION_SQL,
+    ),
+    "maintenance_stream_index_compaction_fold": (
+        maintenance_stream_index_compaction_fold,
+        MAINTENANCE_STREAM_INDEX_FOLD_SQL,
     ),
 }

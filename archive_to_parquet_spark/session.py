@@ -69,9 +69,37 @@ def get_spark(
     existing = SparkSession.getActiveSession() or getattr(
         SparkSession, "_instantiatedSession", None
     )
-    if existing is not None and existing.sparkContext._jsc is not None:
-        ensure_package_shipped(existing)
-        return existing
+    if existing is not None:
+        try:  # cheap public probe: raises/None once the session stopped
+            alive = existing.sparkContext.applicationId is not None
+        except Exception:
+            alive = False
+        if alive:
+            # the silent-ignore path must at least be observable
+            # (ADVICE r11): a caller requesting a specific conf gets the
+            # existing session's values, whatever they are
+            requested = dict(extra_conf or {})
+            if shuffle_partitions is not None:
+                requested["spark.sql.shuffle.partitions"] = str(
+                    shuffle_partitions
+                )
+            mismatched = {
+                k: (existing.conf.get(k, None), str(v))
+                for k, v in requested.items()
+                if existing.conf.get(k, None) != str(v)
+            }
+            if master is not None and existing.sparkContext.master != master:
+                mismatched["master"] = (existing.sparkContext.master, master)
+            if mismatched:
+                import warnings
+
+                warnings.warn(
+                    "get_spark: returning the existing live session; "
+                    f"explicitly requested conf ignored: {mismatched}",
+                    stacklevel=2,
+                )
+            ensure_package_shipped(existing)
+            return existing
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     # SPARK_GRAFT_SHUFFLE_PARTITIONS exists so the oracle gate can be
@@ -93,9 +121,11 @@ def get_spark(
         # intersections, vector distances): a 6 MB shuffle coalesced to
         # 5 × ~1.2 MB partitions pins minutes of per-row compute to 5
         # cores (measured: dedup_ngram_jaccard's confirm stage, 5.5 s
-        # executor time over 5 tasks). 64k floors the merge so small
-        # shuffles keep the session's parallelism; production-size
-        # shuffles sit far above either threshold and are untouched.
+        # executor time over 5 tasks). 256k floors the merge so small
+        # shuffles keep the session's parallelism (64k measured better
+        # on the confirm stages but cost iterative loops +1.1 s in
+        # per-round task-launch overhead); production-size shuffles sit
+        # far above either threshold and are untouched.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -79,12 +79,22 @@ _LATEST: dict = {}
 _PIN_FLOOR: list[float] = []
 
 
-def _committed_pin_floor(sf) -> float | None:
+# The artifact-of-record (BENCH_FULL.json) is defined at ONE canonical
+# operating point; a complete sweep at any other cpu count or scale
+# factor is a perfectly good measurement but NOT the artifact-of-record
+# (r11 verdict #1: the driver's 8-core scaling sweep was "complete" and
+# silently overwrote the committed 32-core artifact, so per-entry
+# round-over-round evidence required archaeology).
+_CANONICAL_CPUS = 32
+_CANONICAL_SF = 0.1
+
+
+def _committed_pin_floor(sf, cpus) -> float | None:
     """Pin floor inherited from the committed BENCH_FULL.json (r10
     verdict ask #2: persist best-so-far across rounds so a noisy round
     inherits floors). Trusted only when the committed artifact is a
-    COMPLETE sweep at the SAME scale factor — a different sf or a
-    partial smoke has incomparable pin cost."""
+    COMPLETE sweep at the SAME scale factor and cpu count — a different
+    sf/cpus or a partial smoke has incomparable pin cost."""
     try:
         with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
             prev = json.load(fh)
@@ -92,19 +102,28 @@ def _committed_pin_floor(sf) -> float | None:
         return None
     if prev.get("partial") or prev.get("sf") != sf:
         return None
+    # artifacts older than the cpus field carry none; those were all
+    # 32-core sweeps, so absence matches only the canonical count
+    if prev.get("cpus", _CANONICAL_CPUS) != cpus:
+        return None
     best = prev.get("pin", {}).get("best")
     return float(best) if isinstance(best, (int, float)) and best > 0 else None
 
 
 def _artifact_name(full: dict) -> str:
     """Partial/in-flight results land in BENCH_FULL.partial.json (NOT
-    committed); only a COMPLETE sweep is promoted to BENCH_FULL.json.
-    r10 advice: the old single-path rewrite meant ANY local bench run —
-    including a 120 s deadline smoke — clobbered the committed
-    artifact-of-record with its in-flight checkpoint."""
-    return (
-        "BENCH_FULL.partial.json" if full.get("partial") else "BENCH_FULL.json"
-    )
+    committed); a COMPLETE sweep is promoted to BENCH_FULL.json ONLY at
+    the canonical operating point (cpus=32, sf=0.1) — any other
+    complete sweep (a scaling leg, an sf smoke) lands in a suffixed
+    sibling so the artifact-of-record always compares like-for-like
+    round over round (r11 verdict ask #2)."""
+    if full.get("partial"):
+        return "BENCH_FULL.partial.json"
+    cpus = full.get("cpus", _CANONICAL_CPUS)
+    sf = full.get("sf", _CANONICAL_SF)
+    if cpus == _CANONICAL_CPUS and sf == _CANONICAL_SF:
+        return "BENCH_FULL.json"
+    return f"BENCH_FULL.c{cpus}.sf{sf}.json"
 
 
 def _emit_artifact(full: dict) -> None:
@@ -219,6 +238,42 @@ def _emit_and_exit(signum, frame) -> None:
         print(_compact(full))
         sys.stdout.flush()
     os._exit(0)
+
+# Optional executor-time capture (r11 verdict ask #8): at sf0.1 the
+# 8-vs-32-core wall ratios measure scheduling overhead, not the
+# operators — per-entry executorRunTime is the scale-credible signal
+# (constant across core counts while wall shrinks ⇒ the operator
+# parallelizes; exec ≪ wall ⇒ the entry is driver/overhead-bound).
+# Off by default (the driver contract is wall-time; enabling the UI
+# perturbs nothing measured but is opt-in anyway): set
+# SPARK_GRAFT_BENCH_EXEC_METRICS=1 and the artifact gains a
+# queries_exec_ms map (executorRunTime per entry, best-window run).
+_EXEC_METRICS = os.environ.get("SPARK_GRAFT_BENCH_EXEC_METRICS") == "1"
+
+
+def _exec_ms_probe(spark):
+    """Returns a zero-arg callable yielding cumulative completed-stage
+    executorRunTime ms via the UI REST API (None when the UI is off)."""
+    import urllib.request
+
+    try:
+        url = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        return None
+    if not url:
+        return None
+    base = f"{url}/api/v1/applications/{app_id}/stages?status=complete"
+
+    def total() -> int:
+        try:
+            with urllib.request.urlopen(base) as r:
+                return sum(s.get("executorRunTime", 0) for s in json.load(r))
+        except Exception:
+            return -1
+
+    return total
+
 
 # Queries that exercise the distinct physical paths: scan+project+hash,
 # hash agg, big-big join + broadcast dims, window, sessionization,
@@ -338,6 +393,12 @@ HEADLINE = [
     # the measured wall is the metadata decision + base/tail probe —
     # the per-run cost a daily maintenance job actually pays)
     "maintenance_stream_index_compaction",
+    # round-12 addition (r11 verdict ask #5): the fold leg the staged
+    # entry above never pays — this twin re-executes the actual
+    # distinct + bucketed-write fold every run, so the compaction
+    # family's headline now carries both the per-run probe cost AND
+    # the amortized fold cost as separate, honestly-labeled numbers
+    "maintenance_stream_index_compaction_fold",
     # (stream_neardup_incremental is deliberately NOT here: like the
     # other stream_* entries its wall time is streaming machinery —
     # micro-batch scheduling, checkpoint I/O — not operator throughput,
@@ -516,6 +577,7 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
                 "unit": "sec",
                 "partial": True,
                 "sf": _sf_of(sf_dir),
+                "cpus": cpus,
                 "queries": dict(per_query),
                 "r1_subset_total": round(
                     sum(per_query[n] for n in _R1_SUBSET if n in per_query),
@@ -586,13 +648,18 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
     # 8% of the remaining wall budget (≤ 90 s), so sustained load
     # degrades to the old behavior with telemetry saying why.
     floor_candidates = [min(pin_samples)] + _PIN_FLOOR
-    committed = _committed_pin_floor(_sf_of(sf_dir))
+    committed = _committed_pin_floor(_sf_of(sf_dir), cpus)
     # sanity: only trust a cross-round floor within 2.5x of what this
     # host measures right now (catalog/pin-cost drift, different host)
     if committed is not None and min(pin_samples) < 2.5 * committed:
         floor_candidates.append(committed)
     floor = min(floor_candidates)
-    gate_budget = min(90.0, 0.08 * max(0.0, deadline.left()))
+    # r11 verdict ask #7: the 90 s cap never rescued a loaded window on
+    # a 2040 s budget — scale the gate with the remaining budget (a
+    # burst that passes in 2-3 min is exactly what the gate exists to
+    # dodge) while still degrading to measure-through under sustained
+    # load.
+    gate_budget = min(180.0, 0.12 * max(0.0, deadline.left()))
     gate_t0 = time.time()
     gate_waits = 0
     while (
@@ -677,6 +744,14 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
             ingest_retry_budget[0] -= 1
             ingest_retries_used[0] += 1
             before = after
+            # pin-first window hunt (same rationale as the query-side
+            # retries): wait out the burst with cheap pins before
+            # re-paying a multi-second best-of-n leg
+            for _ in range(3):
+                if before <= min(pin_samples) * 1.15 or deadline.hit(30):
+                    break
+                time.sleep(1.5)
+                before = pin_sample()
         best_m, best_pin = min(windows)
         return best_m, best_pin, after
 
@@ -817,6 +892,8 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
     pin_before: dict[str, float] = {}
     pin_after: dict[str, float] = {}
     prev_pin = pin_samples[-1]  # the sample taken after the ingest section
+    exec_probe = _exec_ms_probe(spark) if _EXEC_METRICS else None
+    exec_ms: dict[str, int] = {}
 
     # Per-query quiet-window retry (r6 verdict ask #3): host load is
     # BURSTY — a whole-sweep retry re-rolls every entry's window at
@@ -919,6 +996,19 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
                             break
                     retry_budget -= 1
                     before = after  # retry in the next window
+                    # Pin-first window hunt (r11 verdict ask #7): a pin
+                    # sample costs ~2×pin_best while a full retry costs
+                    # reps× the entry — re-measuring straight into the
+                    # same burst is how the old loop drained its budget.
+                    # Spend up to 3 cheap pins waiting for the burst to
+                    # pass before committing the next best-of-N.
+                    for _ in range(3):
+                        if before <= min(
+                            pin_samples
+                        ) * quiet_factor or deadline.hit(_avg_entry_wall()):
+                            break
+                        time.sleep(1.5)
+                        before = pin_sample()
             except Exception as exc:  # never lose the sweep to 1 entry
                 errors[name] = f"{type(exc).__name__}: {str(exc)[:160]}"
                 entry_walls.append(time.time() - t_entry)
@@ -928,6 +1018,14 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
             pin_before[name] = win_before
             pin_after[name] = win_after
             out[name] = round(best, 3)
+            if exec_probe is not None:
+                # one extra bracketed execution per entry (opt-in only:
+                # the flag changes sweep cost, never the timed numbers)
+                ms0 = exec_probe()
+                run_noop(qs[name](spark, sf_dir))
+                ms1 = exec_probe()
+                if ms0 >= 0 and ms1 >= 0:
+                    exec_ms[name] = ms1 - ms0
             prev_pin = after
             entry_walls.append(time.time() - t_entry)
             _checkpoint()
@@ -1032,6 +1130,7 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
         **({"partial": True} if deadline_info.get("deadline_hit") else {}),
         **({"errors": errors} if errors else {}),
         "deadline": deadline_info,
+        "cpus": cpus,
         "queries": per_query,
         "r1_subset_total": round(
             sum(per_query[n] for n in _R1_SUBSET if n in per_query), 3
@@ -1049,6 +1148,7 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
         "tpch_total_normalized": round(sum(tpch_norm.values()), 3),
         "queries_normalized": per_query_norm,
         "tpch_normalized": tpch_norm,
+        **({"queries_exec_ms": exec_ms} if exec_ms else {}),
     }
 
 
@@ -1073,6 +1173,7 @@ def main() -> int:
             "unit": "sec",
             "partial": True,
             "sf": _sf_of(sf_dir),
+            "cpus": cpus,
             "queries": {},
             "deadline": {"budget_sec": deadline.budget},
         },
@@ -1081,7 +1182,12 @@ def main() -> int:
     from archive_to_parquet_spark import queries as catalog
     from archive_to_parquet_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.enabled": "true"} if _EXEC_METRICS else None,
+    )
 
     # warm-up: JVM, codegen, parquet footer caches
     spark.read.parquet(f"{sf_dir}/nation.parquet").write.format(

@@ -398,8 +398,18 @@ def test_k_anonymity_is_joinless_two_phase_agg(spark):
 
 def test_ndcg_windows_are_partitioned_by_query(spark):
     from archive_to_parquet_spark import queries as q
+    from archive_to_parquet_spark.plans.checkpoint import (
+        recording_checkpoint_plans,
+    )
 
-    plan = _plan(q.queries()["eval_ndcg_bm25"](spark, SF_DIR))
+    # round 12: the 30-row ranking is localCheckpoint-ed inside the
+    # entry, which hides the BM25 rank window from the final plan —
+    # capture checkpoint-truncated subplans too (the scale_audit
+    # approach), so the window property stays enforced
+    sink: list[str] = []
+    with recording_checkpoint_plans(sink):
+        df = q.queries()["eval_ndcg_bm25"](spark, SF_DIR)
+    plan = "\n".join([_plan(df)] + sink)
     spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert spec_lines
     # every rank window partitions by query_id — a global un-keyed sort

@@ -138,6 +138,23 @@ def test_pagerank_hub_ranks_highest_and_mass_conserved(spark):
     assert max(leaf) - min(leaf) < 1e-12
 
 
+def test_pagerank_source_only_node_gets_base_mass(spark):
+    """A node with out-edges but NO in-edge exercises the general
+    (per-round left join) path the round-12 in-coverage fast path must
+    fall back to — its rank is the base mass every round."""
+    from archive_to_parquet_spark.operators.graph import pagerank
+
+    # 3 → 1 ⇄ 2: node 3 has an out-edge but never appears as dst
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 2), (2, 1)], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=1).collect()}
+    base = 0.15 / 3
+    assert abs(ranks[3] - base) < 1e-12
+    assert abs(ranks[1] - (base + 0.85 * (2 / 3))) < 1e-12
+    assert abs(ranks[2] - (base + 0.85 * (1 / 3))) < 1e-12
+
+
 def test_pagerank_rejects_dangling_nodes(spark):
     import pytest
 

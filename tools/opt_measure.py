@@ -24,7 +24,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-PLAN_DIR = os.path.join(REPO, "plans", "r11")
+PLAN_DIR = os.path.join(REPO, "plans", os.environ.get("OPT_PLAN_DIR", "r12"))
 
 _NODE_PATTERNS = {
     "exchange": r"^\s*[+:*-]*\s*\(?\d*\)?\s*Exchange\b",
