@@ -4268,12 +4268,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before, so the lineitem scan + distinct executed once per union
     # branch (the r12 profile's twin 46-task scan stages); now the
     # reverse branch re-reads the checkpointed blocks instead
+    # distinct on the two INTEGER keys, concat after: the prefixes make
+    # the concat injective, so the pair set is identical, while the
+    # distinct shuffles 16 bytes/row of longs instead of two strings
+    # and hash-aggregates native ints (guide §2.3 "narrower types")
     e0 = (
-        li.select(
+        li.select("l_suppkey", "l_partkey")
+        .distinct()
+        .select(
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
             F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
         )
-        .distinct()
         .localCheckpoint()
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -1425,7 +1425,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint cadence can ride the same machinery as
     ``graph_pagerank``. The co-purchase expansion is bounded by basket
     size, not catalog size."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     # Round 12 negative result: rebuilding the pairs from per-order
     # collect_set baskets (one scan + explode×explode instead of the
     # two-scan self-join) measured a WASH on rebuild (3.21 → 3.21 s)

@@ -252,8 +252,12 @@ _EXEC_METRICS = os.environ.get("SPARK_GRAFT_BENCH_EXEC_METRICS") == "1"
 
 
 def _exec_ms_probe(spark):
-    """Returns a zero-arg callable yielding cumulative completed-stage
-    executorRunTime ms via the UI REST API (None when the UI is off)."""
+    """Returns a callable `(min_stage_id) -> (max_stage_id, ms)` giving
+    the completed-stage executorRunTime accumulated by stages with id >
+    min_stage_id (None when the UI is off). Keyed on stage ids — a
+    cumulative total goes BACKWARDS when the UI store evicts old stages
+    mid-sweep (measured: negative per-entry deltas on a 5000-stage
+    sweep), while new-stage sums only need the RECENT window."""
     import urllib.request
 
     try:
@@ -265,14 +269,23 @@ def _exec_ms_probe(spark):
         return None
     base = f"{url}/api/v1/applications/{app_id}/stages?status=complete"
 
-    def total() -> int:
+    def since(min_stage_id: int):
         try:
             with urllib.request.urlopen(base) as r:
-                return sum(s.get("executorRunTime", 0) for s in json.load(r))
+                stages = json.load(r)
+            ids = [s["stageId"] for s in stages]
+            return (
+                max(ids, default=min_stage_id),
+                sum(
+                    s.get("executorRunTime", 0)
+                    for s in stages
+                    if s["stageId"] > min_stage_id
+                ),
+            )
         except Exception:
-            return -1
+            return (min_stage_id, -1)
 
-    return total
+    return since
 
 
 # Queries that exercise the distinct physical paths: scan+project+hash,
@@ -1021,11 +1034,11 @@ def _run_sweep(spark, qs, sf_dir: str, cpus: int, deadline: _Deadline) -> dict:
             if exec_probe is not None:
                 # one extra bracketed execution per entry (opt-in only:
                 # the flag changes sweep cost, never the timed numbers)
-                ms0 = exec_probe()
+                mark, _ = exec_probe(-1)
                 run_noop(qs[name](spark, sf_dir))
-                ms1 = exec_probe()
-                if ms0 >= 0 and ms1 >= 0:
-                    exec_ms[name] = ms1 - ms0
+                _, ms = exec_probe(mark)
+                if ms >= 0:
+                    exec_ms[name] = ms
             prev_pin = after
             entry_walls.append(time.time() - t_entry)
             _checkpoint()
@@ -1186,7 +1199,13 @@ def main() -> int:
         "bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.ui.enabled": "true"} if _EXEC_METRICS else None,
+        extra_conf=(
+            # retain enough completed stages that a probe window never
+            # loses its own entry's stages to eviction
+            {"spark.ui.enabled": "true", "spark.ui.retainedStages": "20000"}
+            if _EXEC_METRICS
+            else None
+        ),
     )
 
     # warm-up: JVM, codegen, parquet footer caches
