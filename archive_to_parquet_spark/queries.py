@@ -4036,92 +4036,79 @@ _CATALOG["eval_mrr_bm25"] = (
 
 # Static, hand-maintained coverage schedule.  The external correctness
 # gate samples exactly the first 50 ``queries()`` entries per run, so a
-# 211-entry catalog needs a deliberate front-of-list.  Round-11
-# rotation (per VERDICT r10 ask #1): slots 1-3 are the three round-10
-# additions that have never carried a driver row
-# (dedup_suffix_lcp_bucketed, dedup_near_clusters_star,
-# stream_suffix_incremental — local-certified at three scale factors +
-# hostile-7 in r10); slots 4-11 are the 8 spilled r5-stale entries
-# named in the r10 schedule comment — after this window NO catalog
-# entry's latest driver row predates r6.  Slot 12 is the round-11
-# addition (maintenance_stream_index_compaction — streaming-index
-# fold, first driver row).  Slots 13-16 re-certify the four entries
-# whose EXECUTED plans changed this round through the capped-partition
-# CC loop + single-materialization pair staging (shuffle counts
-# DROPPED 2-5 per entry: dedup_near_clusters 16->11, cluster_dbscan
-# 15->13, cluster_dbscan_lsh 18->16, split_leakage_safe 15->10 — the
-# r6/r9/r10 precedent: changed plans re-certify in-window even when
-# value-identical).  Slots 17-20 re-certify the entries whose bucket
-# expressions moved from the Column-DSL to the single-F.expr SQL form
-# (bit-identical values, verified; same precedent): ann_lsh_topk,
-# ann_lsh_bucketed, ann_jl_topk, stream_ann_index_append.  Slots 21-42
-# take the first 22 of the 39-entry r6-stale cohort (alphabetical —
-# which also covers the two remaining plane-affected entries,
-# dedup_embedding_lsh and dedup_semantic); the 17 that did not fit
-# spill to the round-12 rotation, all from the alphabetical tail:
-# rel_part_type_stats, rel_percentiles, rel_pivot_status,
-# rel_posexplode_words, rel_range_join_price_bands,
-# rel_revenue_by_nation, rel_sessionize, rel_string_funcs,
-# sample_weighted_priority, sketch_theta_setops, source_bucketed_join,
-# source_pruned_manifest, text_bigram_topk, text_fingerprint,
-# text_lang_id, text_quality, text_token_counts.
-# Slots 43-50 are the permanent reference-parity spine required in
-# EVERY window.  This list is a plain literal on purpose: the ordering
-# must be deterministic and independent of any files on disk (a
-# previous revision derived it from CORRECTNESS_r*.json artifacts at
-# call time, which made the public API's ordering nondeterministic and
-# self-referential).  Update it by hand between rounds;
-# `tools/check_correctness.py` always runs ALL entries regardless of
-# order.
+# 212-entry catalog needs a deliberate front-of-list.  Round-12
+# rotation (the r10/r11 precedent: new entries and changed executed
+# plans re-certify in-window even when value-identical): slot 1 is the
+# round-12 addition (maintenance_stream_index_compaction_fold — the
+# fold-timing twin, first driver row); slots 2-6 re-certify the five
+# entries whose EXECUTED plans changed in this optimization round
+# (graph_pagerank — per-round nodes join removed + long-keyed edge
+# distinct; graph_label_propagation — pre-distinct join inputs;
+# multimodal_header_decode — ten Arrow legs fused to one;
+# dedup_containment — size-conjunct confirm + checkpointed sort input;
+# eval_ndcg_bm25 — single relevance pass), all verified value-identical
+# against the oracle at sf0.001/0.01/0.1 locally this round.  Slots
+# 7-23 are the 17 spilled r5-stale entries named in the r11 schedule
+# comment (the queued rotation debt).  Slots 24-42 are the 19 stalest
+# remaining entries — every one carried its last driver row in round 7
+# (computed from the committed CORRECTNESS_r*.json history,
+# alphabetical within the tie).  Slots 43-50 are the permanent
+# reference-parity spine required in EVERY window.  This list is a
+# plain literal on purpose: the ordering must be deterministic and
+# independent of any files on disk (a previous revision derived it
+# from CORRECTNESS_r*.json artifacts at call time, which made the
+# public API's ordering nondeterministic and self-referential).
+# Update it by hand between rounds; `tools/check_correctness.py`
+# always runs ALL entries regardless of order.
 _SCHEDULE_FRONT: tuple[str, ...] = (
-    # -- slots 1-3: round-10 additions, never driver-sampled
-    "dedup_suffix_lcp_bucketed",
-    "dedup_near_clusters_star",
-    "stream_suffix_incremental",
-    # -- slots 4-11: the 8 spilled r5-stale entries (r10 queue)
-    "q2b_utf8_binary",
-    "q4b_distinct_hash_count",
-    "rel_pricing_summary",
-    "rel_trailing_window_avg",
-    "text_tfidf_terms",
-    "tpch_q01_pricing_summary",
-    "tpch_q12_priority_split",
-    "vocab_coverage",
-    # -- slot 12: round-11 addition (first driver row)
-    "maintenance_stream_index_compaction",
-    # -- slots 13-16: executed plans changed (capped CC loop) -- re-certify
-    "dedup_near_clusters",
-    "cluster_dbscan",
-    "cluster_dbscan_lsh",
-    "split_leakage_safe",
-    # -- slots 17-20: bucket exprs moved to single-F.expr form -- re-certify
-    "ann_lsh_topk",
-    "ann_lsh_bucketed",
-    "ann_jl_topk",
-    "stream_ann_index_append",
-    # -- slots 21-42: first 22 of the 39-entry r6-stale cohort (alphabetical)
-    "ann_cosine_topk",
-    "ann_ivf_pq_topk",
+    # -- round-12 window --
+    # slot 1: the round-12 addition (never driver-sampled)
+    "maintenance_stream_index_compaction_fold",
+    # slots 2-6: executed plans changed this round -- re-certify
+    "graph_pagerank",
+    "graph_label_propagation",
+    "multimodal_header_decode",
     "dedup_containment",
-    "dedup_embedding_lsh",
-    "dedup_exact_docs",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "dedup_simhash",
-    "rel_asof_click_before_purchase",
-    "rel_cohort_retention",
-    "rel_cube_orders",
-    "rel_customers_without_orders",
-    "rel_events_hourly",
-    "rel_funnel",
-    "rel_fuzzy_match",
-    "rel_grouping_sets",
-    "rel_hourly_anomalies",
-    "rel_json_props",
-    "rel_math_funcs",
-    "rel_order_priority_counts",
-    "rel_orders_above_customer_avg",
+    "eval_ndcg_bm25",
+    # slots 7-23: the 17 spilled r5-stale entries (r11 queue, see above)
+    "rel_part_type_stats",
+    "rel_percentiles",
+    "rel_pivot_status",
+    "rel_posexplode_words",
+    "rel_range_join_price_bands",
+    "rel_revenue_by_nation",
+    "rel_sessionize",
+    "rel_string_funcs",
+    "sample_weighted_priority",
+    "sketch_theta_setops",
+    "source_bucketed_join",
+    "source_pruned_manifest",
+    "text_bigram_topk",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_counts",
+    # slots 24-42: the 19 stalest entries (last driver-certified r7,
+    # alphabetical; computed from the committed CORRECTNESS_r*.json)
+    "ann_ivf_topk",
+    "corpus_shuffle",
+    "crossdoc_spans",
+    "dedup_span_removal",
+    "multimodal_content_decode",
+    "rel_array_funcs",
+    "rel_intersect_having",
+    "rel_rollup_sales",
+    "rel_running_totals",
+    "rel_set_ops",
+    "rel_ship_delay_by_year",
+    "rel_supplier_balance_by_nation",
+    "rel_top_orders",
+    "rel_window_top3_per_cust",
+    "sample_split",
+    "text_char_entropy",
+    "text_gopher_quality",
+    "text_pii_redact",
+    "text_topgram_repetition",
     # -- slots 43-50: permanent reference-parity spine (every round)
     "q1_projection_hash",
     "q2_include_text",
