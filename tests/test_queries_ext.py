@@ -349,6 +349,38 @@ def test_containment_finds_planted_prefix_extracts(spark):
         assert got.get((pid + 3000000, pid)) == 1_000_000, pid
 
 
+def test_containment_size_conjunct_keeps_boundary_pairs(spark):
+    """Round 12: the confirm filter gained a short-circuit conjunct
+    |S(b)| ≥ t·|S(a)| ahead of the array_intersect — implied by the
+    ppm threshold, so the pair set must be IDENTICAL to brute force,
+    including a pair sitting EXACTLY on the size boundary (|S(b)| =
+    7 = 0.875·8 = t·|S(a)|, ppm = 875000 = the threshold): a `>`
+    written for `≥` anywhere in the conjunct would drop it."""
+    from archive_to_parquet_spark.operators.dedup import containment_pairs
+
+    words = " ".join(f"w{i}" for i in range(10))       # 8 3-shingles
+    docs = spark.createDataFrame(
+        [
+            (1, words),                                  # A: 8 shingles
+            (2, " ".join(f"w{i}" for i in range(9))),    # B ⊂ A: 7
+            (3, "w0 w1 w2 w3"),                          # C ⊂ B: 2
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_sub, r.id_sup): r.containment_ppm
+        for r in containment_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.875
+        ).collect()
+    }
+    assert got == {
+        (1, 2): 875_000,   # the exact boundary pair
+        (2, 1): 1_000_000,
+        (3, 1): 1_000_000,
+        (3, 2): 1_000_000,
+    }
+
+
 def test_ivf_pq_self_query_is_rank_one(spark):
     """Queries are corpus members: each query's own bucket is its #1
     probe, so rank 1 must be the query itself at exact distance 0, and
